@@ -1,0 +1,330 @@
+"""Glob → regex compiler and Column predicates (micromatch subset).
+
+Re-expresses the reference's PathMatcher surface
+(reference: src/index.ts:613-765) as pure-Python compilation plus
+Spark ``Column`` predicates, so pattern filtering runs JVM-side via
+``rlike`` (whole-stage codegen, no Python UDF) and can be applied to
+billions of keys.
+
+Supported subset (everything exercised by the reference's tests and
+README — tests/index.test.ts:25-126, README.md:66-81):
+
+- ``*``      one segment wildcard           → ``[^/]*``
+- ``**``     any number of segments (incl 0) — ``**/x`` also matches ``x``
+- ``?``      single non-separator char      → ``[^/]``
+- ``[abc]`` / ``[!abc]`` char classes
+- ``{a,b}``  brace alternation (nesting via expansion)
+- ``!pat``   negation inside pattern lists (subtract semantics)
+- ``:name``  named capture (capture mode)   → ``([^/.]+)``  (src/index.ts:745)
+- ``*`` in capture mode                     → ``([^/]+)``   (src/index.ts:747)
+- options: ``dot`` (match dotfiles), ``nocase``
+
+Divergences from micromatch (documented per SURVEY §7): no extglobs
+``@(..)/+(..)``, no ``{1..3}`` numeric ranges, no POSIX classes. None
+appear in the reference's tests or docs.
+
+The emitted regex uses only constructs valid in BOTH Java
+(``rlike``/Catalyst) and Python ``re`` — so the same compiled string
+drives driver-side path resolution (partition pruning before
+``.load``) and executor-side filtering.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SPECIAL = ".^$+()[]{}|\\"
+
+
+def _escape(ch: str) -> str:
+    return "\\" + ch if ch in _SPECIAL else ch
+
+
+def expand_braces(pattern: str) -> list[str]:
+    """Expand ``{a,b}`` alternations into a list of brace-free patterns.
+
+    Handles nesting by repeated single-level expansion. A ``{...}``
+    with no top-level comma is treated literally (micromatch parity).
+    """
+    # find first balanced {...} containing a top-level comma
+    i = pattern.find("{")
+    while i != -1:
+        depth = 0
+        comma = False
+        j = i
+        while j < len(pattern):
+            c = pattern[j]
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif c == "," and depth == 1:
+                comma = True
+            j += 1
+        if j < len(pattern) and comma:
+            head, body, tail = pattern[:i], pattern[i + 1 : j], pattern[j + 1 :]
+            alts: list[str] = []
+            depth = 0
+            cur = ""
+            for c in body:
+                if c == "{":
+                    depth += 1
+                elif c == "}":
+                    depth -= 1
+                if c == "," and depth == 0:
+                    alts.append(cur)
+                    cur = ""
+                else:
+                    cur += c
+            alts.append(cur)
+            out: list[str] = []
+            for a in alts:
+                out.extend(expand_braces(head + a + tail))
+            return out
+        i = pattern.find("{", i + 1)
+    return [pattern]
+
+
+def _translate_one(pattern: str, dot: bool) -> str:
+    """Translate a single brace-free glob into an (unanchored) regex body."""
+    out: list[str] = []
+    i = 0
+    n = len(pattern)
+    seg_start = True  # at start of a path segment
+    star_guard = "" if dot else r"(?!\.)"
+    while i < n:
+        c = pattern[i]
+        if c == "*":
+            if i + 1 < n and pattern[i + 1] == "*":
+                # globstar — must own its segment
+                j = i + 2
+                if (seg_start) and (j >= n or pattern[j] == "/"):
+                    if j >= n:  # trailing '**' → rest of path
+                        out.append(".*")
+                        i = j
+                    else:  # '**/' → zero or more whole segments
+                        out.append(r"(?:" + star_guard + r"[^/]*/)*")
+                        if not dot:
+                            out.append(star_guard)
+                        i = j + 1
+                    seg_start = True
+                    continue
+                # '**' not segment-bound behaves like '*' (micromatch)
+                if seg_start and not dot:
+                    out.append(star_guard)
+                out.append("[^/]*")
+                i = j
+                seg_start = False
+                continue
+            if seg_start and not dot:
+                out.append(star_guard)
+            out.append("[^/]*")
+            i += 1
+            seg_start = False
+        elif c == "?":
+            out.append("[^/]")
+            i += 1
+            seg_start = False
+        elif c == "[":
+            j = i + 1
+            neg = j < n and pattern[j] in "!^"
+            if neg:
+                j += 1
+            if j < n and pattern[j] == "]":  # literal ] first
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 1
+            if j >= n:  # unterminated class → literal '['
+                out.append(r"\[")
+                i += 1
+            else:
+                body = pattern[i + 1 : j]
+                if body.startswith(("!", "^")):
+                    body = "^" + body[1:]
+                out.append("[" + body.replace("\\", "\\\\") + "]")
+                i = j + 1
+            seg_start = False
+        elif c == "/":
+            out.append("/")
+            i += 1
+            seg_start = True
+        else:
+            out.append(_escape(c))
+            i += 1
+            seg_start = False
+    return "".join(out)
+
+
+@lru_cache(maxsize=4096)
+def glob_to_regex(pattern: str, dot: bool = False, nocase: bool = False) -> str:
+    """Compile one glob pattern to an anchored, Java-safe regex string.
+
+    Cached (reference caches compiled RegExp, src/index.ts:658-674 —
+    here the cache amortizes driver-side compile; executors JIT the
+    ``rlike`` pattern once per task anyway).
+    """
+    bodies = [_translate_one(p, dot) for p in expand_braces(pattern)]
+    body = bodies[0] if len(bodies) == 1 else "(?:" + "|".join(bodies) + ")"
+    prefix = "(?i)" if nocase else ""
+    return f"{prefix}^{body}$"
+
+
+@lru_cache(maxsize=4096)
+def capture_to_regex(pattern: str, dot: bool = False) -> tuple[str, tuple[str, ...]]:
+    """Compile a capture pattern (``:name`` placeholders + ``*``) to an
+    anchored regex with capture groups; returns (regex, group_names).
+
+    Mirrors reference semantics exactly (src/index.ts:733-765):
+    ``:name`` → ``([^/.]+)``, ``*`` → ``([^/]+)``; other glob syntax is
+    translated non-capturing.
+    """
+    out: list[str] = []
+    names: list[str] = []
+    i = 0
+    n = len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == ":" and i + 1 < n and (pattern[i + 1].isalpha() or pattern[i + 1] == "_"):
+            j = i + 1
+            while j < n and (pattern[j].isalnum() or pattern[j] == "_"):
+                j += 1
+            names.append(pattern[i + 1 : j])
+            out.append(r"([^/.]+)")
+            i = j
+        elif c == "*":
+            if i + 1 < n and pattern[i + 1] == "*":
+                out.append(".*")
+                i += 2
+            else:
+                names.append(f"_{len(names)}")
+                out.append(r"([^/]+)")
+                i += 1
+        elif c == "?":
+            out.append("[^/]")
+            i += 1
+        else:
+            out.append(_escape(c))
+            i += 1
+    return "^" + "".join(out) + "$", tuple(names)
+
+
+def split_patterns(patterns: str | list[str]) -> tuple[list[str], list[str]]:
+    """Split a micromatch pattern list into (positive, negated-bodies)."""
+    if isinstance(patterns, str):
+        patterns = [patterns]
+    pos = [p for p in patterns if not p.startswith("!")]
+    neg = [p[1:] for p in patterns if p.startswith("!")]
+    return pos, neg
+
+
+# ---------------------------------------------------------------------------
+# Column-level API (JVM-side predicates — the 100 TB path)
+# ---------------------------------------------------------------------------
+
+
+def glob_match(col: Column | str, patterns: str | list[str], *, dot: bool = False, nocase: bool = False) -> Column:
+    """Boolean Column: key matches the micromatch pattern list.
+
+    Positive patterns OR together; ``!``-negated patterns subtract
+    (micromatch list semantics, src/index.ts:644-650). All work is
+    ``rlike`` — codegen'd, pushdown-friendly, no Python on executors.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pos, neg = split_patterns(patterns)
+    if pos:
+        cond = None
+        for p in pos:
+            r = c.rlike(glob_to_regex(p, dot=dot, nocase=nocase))
+            cond = r if cond is None else (cond | r)
+    else:
+        cond = F.lit(neg != [])  # all-negative list: start from "all paths"
+    for p in neg:
+        cond = cond & ~c.rlike(glob_to_regex(p, dot=dot, nocase=nocase))
+    return cond
+
+
+def glob_all(col: Column | str, patterns: list[str], *, dot: bool = False, nocase: bool = False) -> Column:
+    """True iff EVERY pattern matches (reference PathMatcher.all,
+    src/index.ts:718-724)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cond = F.lit(True)
+    for p in patterns:
+        cond = cond & c.rlike(glob_to_regex(p, dot=dot, nocase=nocase))
+    return cond
+
+
+def path_capture(col: Column | str, pattern: str) -> Column:
+    """ARRAY<STRING> of captured values, NULL when the path does not
+    match (reference PathMatcher.capture, src/index.ts:733-765)."""
+    c = F.col(col) if isinstance(col, str) else col
+    regex, names = capture_to_regex(pattern)
+    if not names:
+        return F.when(c.rlike(regex), F.array().cast("array<string>"))
+    arr = F.array(*[F.regexp_extract(c, regex, i + 1) for i in range(len(names))])
+    return F.when(c.rlike(regex), arr)
+
+
+def segment_glob_match(col: Column | str, pattern: str) -> Column:
+    """Segment-anchored glob (HivePartitionParser.matchesGlob,
+    src/index.ts:1750-1793): equal segment count; within a segment
+    ``*`` → ``.*`` and ``?`` → ``.`` (so ``*`` may cross ``=`` but not ``/``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(segment_glob_to_regex(pattern))
+
+
+@lru_cache(maxsize=1024)
+def segment_glob_to_regex(pattern: str) -> str:
+    segs = pattern.split("/")
+    parts = []
+    for seg in segs:
+        body = "".join(".*" if ch == "*" else "." if ch == "?" else _escape(ch) for ch in seg)
+        parts.append(body)
+    return "^" + "/".join(parts) + "$"
+
+
+# ---------------------------------------------------------------------------
+# Driver-side API (path resolution before .load() — this IS partition
+# pruning for non-hive layouts; never ship to executors)
+# ---------------------------------------------------------------------------
+
+
+class PathMatcher:
+    """Driver-side matcher mirroring the reference PathMatcher
+    (src/index.ts:613-765). Used to resolve concrete paths before
+    ``spark.read.load(paths)`` so Spark only opens matching files."""
+
+    def __init__(self, dot: bool = False, nocase: bool = False):
+        self.dot = dot
+        self.nocase = nocase
+
+    def _re(self, pattern: str) -> re.Pattern:
+        return re.compile(glob_to_regex(pattern, dot=self.dot, nocase=self.nocase))
+
+    def is_match(self, path: str, patterns: str | list[str]) -> bool:
+        pos, neg = split_patterns(patterns)
+        ok = any(self._re(p).match(path) for p in pos) if pos else bool(neg)
+        return ok and not any(self._re(p).match(path) for p in neg)
+
+    def match(self, paths: list[str], patterns: str | list[str]) -> list[str]:
+        return [p for p in paths if self.is_match(p, patterns)]
+
+    # matchFast (src/index.ts:683-694) collapses into match: regex
+    # compile is cached in glob_to_regex; same plan (SURVEY §4 row 4).
+    match_fast = match
+
+    def not_match(self, paths: list[str], patterns: str | list[str]) -> list[str]:
+        return [p for p in paths if not self.is_match(p, patterns)]
+
+    def all(self, path: str, patterns: list[str]) -> bool:
+        return all(self._re(p).match(path) for p in patterns)
+
+    def capture(self, pattern: str, path: str) -> list[str] | None:
+        regex, _ = capture_to_regex(pattern)
+        m = re.match(regex, path)
+        return list(m.groups()) if m else None

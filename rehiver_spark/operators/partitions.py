@@ -1,0 +1,329 @@
+"""Hive partition schema: parse / validate / format / prune.
+
+Re-expresses the reference's HivePartitionParser (src/index.ts:1558-1793)
+— a Zod-schema-driven path parser — as a typed ``PartitionSchema`` that
+works at two levels:
+
+- **driver level** (string → dict): API parity for tooling and tests;
+- **Column level** (DataFrame of keys → typed columns + validity):
+  the scale path — extraction is ``regexp_extract`` + ``cast`` +
+  constraint predicates, all codegen'd, applicable to billions of keys.
+
+Partition *pruning* is the headline use (reference createGlobPattern,
+src/index.ts:1644-1657): a partial spec becomes a filter on partition
+columns, which Catalyst turns into directory pruning on a hive-layout
+scan — no custom rule needed (SURVEY §4 row 2).
+
+Documented divergences from the reference (SURVEY §7 risks):
+- values containing ``=`` are kept whole (reference ``split("=",2)``
+  truncates, src/index.ts:1586);
+- values are URL-decoded per Hive convention (reference doesn't).
+"""
+
+from __future__ import annotations
+
+import re
+import urllib.parse
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SEG_RE = re.compile(r"(?:^|/)([^/=]+)=([^/]*)")
+
+_SPARK_TYPE = {
+    "int": "int",
+    "long": "bigint",
+    "string": "string",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamp",
+}
+
+
+class PartitionParseError(ValueError):
+    pass
+
+
+@dataclass
+class PartitionField:
+    """One partition key with Zod-style constraints
+    (reference schemas: tests/index.test.ts:732-736, 957-963, 992-1001)."""
+
+    name: str
+    dtype: str = "string"  # int|long|string|double|date|timestamp
+    min: float | None = None
+    max: float | None = None
+    values: list[str] | None = None  # enum constraint
+    pattern: str | None = None  # regex constraint (anchored)
+    required: bool = True  # optional fields may be absent
+    nullable: bool = False  # literal "null" → NULL (tests/index.test.ts:997-1000)
+    nonempty: bool = False
+
+    # -- driver-side ---------------------------------------------------
+    def coerce(self, raw: str):
+        if self.nullable and raw == "null":
+            return None
+        if self.dtype in ("int", "long"):
+            try:
+                v = int(raw)
+            except ValueError:
+                raise PartitionParseError(f"{self.name}: expected {self.dtype}, got {raw!r}")
+        elif self.dtype == "double":
+            try:
+                v = float(raw)
+            except ValueError:
+                raise PartitionParseError(f"{self.name}: expected double, got {raw!r}")
+        else:
+            v = raw
+        self._check(v, raw)
+        return v
+
+    def _check(self, v, raw: str):
+        if self.min is not None and v < self.min:
+            raise PartitionParseError(f"{self.name}: {v} < min {self.min}")
+        if self.max is not None and v > self.max:
+            raise PartitionParseError(f"{self.name}: {v} > max {self.max}")
+        if self.values is not None and raw not in self.values:
+            raise PartitionParseError(f"{self.name}: {raw!r} not in {self.values}")
+        if self.pattern is not None and not re.fullmatch(self.pattern, raw):
+            raise PartitionParseError(f"{self.name}: {raw!r} !~ /{self.pattern}/")
+        if self.nonempty and raw == "":
+            raise PartitionParseError(f"{self.name}: empty")
+
+    # -- Column-side ---------------------------------------------------
+    def extract_col(self, key: Column) -> Column:
+        """Raw string value of this key in the path, NULL if absent."""
+        raw = F.regexp_extract(key, rf"(?:^|/){re.escape(self.name)}=([^/]*)", 1)
+        # regexp_extract returns '' on no-match; disambiguate via contains
+        present = key.rlike(rf"(?:^|/){re.escape(self.name)}=")
+        return F.when(present, F.url_decode(raw))
+
+    def typed_col(self, key: Column) -> Column:
+        raw = self.extract_col(key)
+        if self.nullable:
+            raw = F.when(raw != F.lit("null"), raw)
+        return raw.cast(_SPARK_TYPE[self.dtype])
+
+    def valid_col(self, key: Column) -> Column:
+        """True iff this field is present (or optional) and satisfies
+        every constraint. Cast-to-null detects type violations."""
+        raw = self.extract_col(key)
+        typed = self.typed_col(key)
+        ok_present = raw.isNotNull() | F.lit(not self.required)
+        ok = ok_present
+        cast_ok = typed.isNotNull() | raw.isNull() | (F.lit(self.nullable) & (raw == "null"))
+        ok = ok & cast_ok
+        if self.min is not None:
+            ok = ok & (typed.isNull() | (typed >= F.lit(self.min)))
+        if self.max is not None:
+            ok = ok & (typed.isNull() | (typed <= F.lit(self.max)))
+        if self.values is not None:
+            ok = ok & (raw.isNull() | raw.isin(self.values))
+        if self.pattern is not None:
+            ok = ok & (raw.isNull() | raw.rlike(f"^(?:{self.pattern})$"))
+        if self.nonempty:
+            ok = ok & (raw.isNull() | (raw != ""))
+        return ok
+
+
+@dataclass
+class PartitionSchema:
+    """Schema over ordered partition keys (reference keys extracted from
+    the Zod schema in declaration order, src/index.ts:1566-1571)."""
+
+    fields: list[PartitionField] = field(default_factory=list)
+
+    @property
+    def keys(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def _field(self, name: str) -> PartitionField:
+        for f_ in self.fields:
+            if f_.name == name:
+                return f_
+        raise KeyError(name)
+
+    # ---------------- driver-side (API parity) ------------------------
+    @staticmethod
+    def split_path(path: str) -> dict[str, str]:
+        """key=value segments of a path (non-partition segments skipped),
+        URL-decoded, full value kept even if it contains ``=``."""
+        out: dict[str, str] = {}
+        for seg in path.split("/"):
+            if "=" in seg and not seg.startswith("="):
+                k, v = seg.split("=", 1)
+                out[k] = urllib.parse.unquote(v)
+        return out
+
+    def parse(self, path: str) -> dict:
+        """Typed dict or raise (reference parse, src/index.ts:1579-1595)."""
+        raw = self.split_path(path)
+        out: dict = {}
+        for f_ in self.fields:
+            if f_.name not in raw:
+                if f_.required:
+                    raise PartitionParseError(f"{f_.name}: missing")
+                continue
+            out[f_.name] = f_.coerce(raw[f_.name])
+        return out
+
+    def safe_parse(self, path: str) -> tuple[bool, dict | list[str]]:
+        """Non-throwing parse (reference safeParse, src/index.ts:1602-1618)."""
+        try:
+            return True, self.parse(path)
+        except PartitionParseError as e:
+            return False, [str(e)]
+
+    def is_valid(self, path: str) -> bool:
+        return self.safe_parse(path)[0]
+
+    def validation_errors(self, path: str) -> list[str]:
+        """All per-field violations (reference getValidationErrors,
+        src/index.ts:1674-1682)."""
+        raw = self.split_path(path)
+        errs: list[str] = []
+        for f_ in self.fields:
+            if f_.name not in raw:
+                if f_.required:
+                    errs.append(f"{f_.name}: missing")
+                continue
+            try:
+                f_.coerce(raw[f_.name])
+            except PartitionParseError as e:
+                errs.append(str(e))
+        return errs
+
+    def missing_keys(self, path: str) -> list[str]:
+        """Schema keys absent from the path (src/index.ts:1689-1703)."""
+        raw = self.split_path(path)
+        return [k for k in self.keys if k not in raw]
+
+    def format(self, data: dict) -> str:
+        """Typed dict → ``k=v/k=v`` in schema-key order, validated,
+        None/absent skipped (reference format, src/index.ts:1625-1637)."""
+        parts: list[str] = []
+        for f_ in self.fields:
+            if f_.name not in data or data[f_.name] is None:
+                if f_.required and not f_.nullable:
+                    raise PartitionParseError(f"{f_.name}: missing")
+                if f_.nullable and f_.name in data:
+                    parts.append(f"{f_.name}=null")
+                continue
+            v = data[f_.name]
+            f_._check(v, str(v))
+            parts.append(f"{f_.name}={v}")
+        return "/".join(parts)
+
+    def glob_pattern(self, partial: dict) -> str:
+        """Partial spec → glob with ``*`` for unspecified keys
+        (reference createGlobPattern, src/index.ts:1644-1657)."""
+        return "/".join(
+            f"{k}={partial[k]}" if k in partial and partial[k] is not None else f"{k}=*"
+            for k in self.keys
+        )
+
+    def extract_keys(self, path: str, keys: list[str]) -> dict:
+        """Validate whole path then project a key subset
+        (src/index.ts:1711-1726)."""
+        full = self.parse(path)
+        return {k: full[k] for k in keys if k in full}
+
+    def transform(self, path: str, fn) -> str:
+        """parse → patch → format (src/index.ts:1734-1741)."""
+        data = self.parse(path)
+        data.update(fn(dict(data)))
+        return self.format(data)
+
+    def matches_glob(self, path: str, pattern: str) -> bool:
+        """Segment-anchored glob (src/index.ts:1750-1793)."""
+        from rehiver_spark.functions.globs import segment_glob_to_regex
+
+        return re.match(segment_glob_to_regex(pattern), path) is not None
+
+    # ---------------- Column-side (scale path) ------------------------
+    def parse_cols(self, key: Column | str) -> dict[str, Column]:
+        """Typed Column per key — use with ``df.withColumns``."""
+        c = F.col(key) if isinstance(key, str) else key
+        return {f_.name: f_.typed_col(c) for f_ in self.fields}
+
+    def valid_col(self, key: Column | str) -> Column:
+        c = F.col(key) if isinstance(key, str) else key
+        ok = F.lit(True)
+        for f_ in self.fields:
+            ok = ok & f_.valid_col(c)
+        return ok
+
+    def missing_keys_col(self, key: Column | str) -> Column:
+        """ARRAY<STRING> of schema keys absent from the path —
+        ``array_except(schema_keys, found_keys)`` (SURVEY §2 R7)."""
+        c = F.col(key) if isinstance(key, str) else key
+        found = F.filter(
+            F.array(*[F.when(c.rlike(rf"(?:^|/){re.escape(k)}="), F.lit(k)) for k in self.keys]),
+            lambda x: x.isNotNull(),
+        )
+        return F.array_except(F.array(*[F.lit(k) for k in self.keys]), found)
+
+    def format_col(self, cols: dict[str, Column] | None = None) -> Column:
+        """Inverse of parse as a projection:
+        ``concat_ws('/', concat('year=', year), ...)`` (SURVEY §2 R5)."""
+        cols = cols or {k: F.col(k) for k in self.keys}
+        parts = [
+            F.concat(F.lit(f"{k}="), cols[k].cast("string"))
+            for k in self.keys
+            if k in cols
+        ]
+        return F.concat_ws("/", *parts)
+
+    def prune_filter(self, partial: dict) -> Column:
+        """Partial spec → conjunctive filter on partition columns.
+        On a hive-layout read, Catalyst converts this to directory
+        pruning (PartitionFilters) — the scalable form of the
+        reference's glob-based pruning (README.md:137-147)."""
+        cond = F.lit(True)
+        for k, v in partial.items():
+            self._field(k)  # validate key exists
+            cond = cond & (F.col(k) == F.lit(v))
+        return cond
+
+    def apply(self, df: DataFrame, key: str = "key", validate: bool = True) -> DataFrame:
+        """Attach typed partition columns (+ ``_valid``) to a keys DF."""
+        df = df.withColumns(self.parse_cols(key))
+        if validate:
+            df = df.withColumn("_valid", self.valid_col(key))
+        return df
+
+
+# Reference example schemas (tests/index.test.ts:732-736, 957-963, 992-1001)
+def date_schema() -> PartitionSchema:
+    return PartitionSchema(
+        [
+            PartitionField("year", "int", min=2000, max=2100),
+            PartitionField("month", "int", min=1, max=12),
+            PartitionField("day", "int", min=1, max=31),
+        ]
+    )
+
+
+def analytics_schema() -> PartitionSchema:
+    return PartitionSchema(
+        [
+            PartitionField("region", values=["us-east", "us-west", "eu", "asia"]),
+            PartitionField("service", nonempty=True),
+            PartitionField("year", "int", min=2000),
+            PartitionField("month", "int", min=1, max=12),
+            PartitionField("eventType", values=["click", "view", "purchase", "error"]),
+        ]
+    )
+
+
+def log_schema() -> PartitionSchema:
+    return PartitionSchema(
+        [
+            PartitionField("app"),
+            PartitionField("environment", values=["dev", "test", "staging", "prod"]),
+            PartitionField("date", pattern=r"\d{4}-\d{2}-\d{2}"),
+            PartitionField("level", values=["INFO", "WARN", "ERROR", "DEBUG"], required=False),
+            PartitionField("instance", nullable=True, required=False),
+        ]
+    )

@@ -1,0 +1,88 @@
+"""SparkSession factory with scale-minded defaults.
+
+Local testing runs ``local[N]``; the configs below are the ones that
+matter identically on a 1000-executor cluster: AQE (runtime coalesce,
+skew-join splitting, dynamic broadcast), shuffle partition sizing, and
+Arrow for any pandas-UDF boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rehiver-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join mitigation,
+        # sort-merge→broadcast switch — the knobs that keep plans sane
+        # when the 0.1-SF test becomes a 100 TB scan.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # partition discovery/listing parallelism (objects catalog scans)
+        .config("spark.sql.sources.parallelPartitionDiscovery.parallelism", str(cpus))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def read_events(spark: SparkSession, sf_dir: str):
+    """Read the events table, normalizing its TIMESTAMP(NANOS) column.
+
+    Spark has no nanosecond timestamp type; the parquet reader rejects
+    it unless ``spark.sql.legacy.parquet.nanosAsLong`` is on. We read
+    nanos as BIGINT via an explicit schema (works regardless of session
+    conf) and expose ``ts`` as a microsecond TIMESTAMP — integer
+    division keeps full precision (no double roundtrip).
+    """
+    from pyspark.sql import functions as F
+
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    df = spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register the driver testdata parquet tables as temp views and
+    return them as a dict of DataFrames."""
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for n in names:
+        df = read_events(spark, sf_dir) if n == "events" else spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

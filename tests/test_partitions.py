@@ -1,0 +1,161 @@
+"""PartitionSchema tests — assertions mirror the reference suite
+(tests/index.test.ts:730-1046)."""
+
+import pytest
+
+from rehiver_spark.operators.partitions import (
+    PartitionParseError,
+    analytics_schema,
+    date_schema,
+    log_schema,
+)
+
+DS = date_schema()
+
+
+def test_parse_valid():
+    assert DS.parse("data/year=2023/month=12/day=25") == {"year": 2023, "month": 12, "day": 25}
+
+
+def test_parse_leading_zero():
+    assert DS.parse("year=2023/month=01/day=05") == {"year": 2023, "month": 1, "day": 5}
+
+
+def test_parse_extra_segments():
+    got = DS.parse("/warehouse/mydb/table/year=2024/month=3/day=9/file.parquet")
+    assert got == {"year": 2024, "month": 3, "day": 9}
+
+
+def test_parse_invalid_values():
+    with pytest.raises(PartitionParseError):
+        DS.parse("year=2023/month=13/day=01")
+    with pytest.raises(PartitionParseError):
+        DS.parse("year=1999/month=01/day=01")
+    with pytest.raises(PartitionParseError):
+        DS.parse("year=2023/month=02/day=32")
+
+
+def test_parse_missing_key():
+    with pytest.raises(PartitionParseError):
+        DS.parse("year=2023/month=02")
+
+
+def test_safe_parse():
+    ok, data = DS.safe_parse("year=2023/month=2/day=2")
+    assert ok and data == {"year": 2023, "month": 2, "day": 2}
+    ok, errs = DS.safe_parse("year=2023/month=13/day=2")
+    assert not ok and "month" in errs[0]
+
+
+def test_format_roundtrip():
+    assert DS.format({"year": 2023, "month": 12, "day": 25}) == "year=2023/month=12/day=25"
+    p = "year=2024/month=6/day=30"
+    assert DS.format(DS.parse(p)) == p
+
+
+def test_format_validates():
+    with pytest.raises(PartitionParseError):
+        DS.format({"year": 2023, "month": 13, "day": 1})
+
+
+def test_glob_pattern():
+    assert DS.glob_pattern({"year": 2024, "month": 3}) == "year=2024/month=3/day=*"
+    assert DS.glob_pattern({}) == "year=*/month=*/day=*"
+
+
+def test_missing_keys():
+    assert DS.missing_keys("year=2023/month=02") == ["day"]
+    assert DS.missing_keys("foo/bar") == ["year", "month", "day"]
+
+
+def test_extract_keys():
+    got = DS.extract_keys("year=2023/month=12/day=25", ["year", "day"])
+    assert got == {"year": 2023, "day": 25}
+
+
+def test_transform():
+    got = DS.transform("year=2023/month=12/day=25", lambda d: {"month": 1, "year": d["year"] + 1})
+    assert got == "year=2024/month=1/day=25"
+
+
+def test_matches_glob():
+    assert DS.matches_glob("year=2023/month=12/day=25", "year=2023/month=*/day=*")
+    assert not DS.matches_glob("year=2024/month=12/day=25", "year=2023/month=*/day=*")
+    assert not DS.matches_glob("year=2023/month=12", "year=2023/month=*/day=*")
+
+
+def test_analytics_enum_schema():
+    AS = analytics_schema()
+    p = "region=us-east/service=api/year=2024/month=5/eventType=click"
+    got = AS.parse(p)
+    assert got["region"] == "us-east" and got["eventType"] == "click" and got["year"] == 2024
+    with pytest.raises(PartitionParseError):
+        AS.parse("region=invalid/service=api/year=2024/month=5/eventType=click")
+    with pytest.raises(PartitionParseError):
+        AS.parse("region=us-east/service=api/year=2024/month=5/eventType=hover")
+
+
+def test_log_schema_optional_nullable():
+    LS = log_schema()
+    base = "app=web/environment=prod/date=2023-04-01"
+    got = LS.parse(base)  # level+instance optional
+    assert got == {"app": "web", "environment": "prod", "date": "2023-04-01"}
+    got = LS.parse(base + "/level=WARN/instance=null")
+    assert got["level"] == "WARN" and got["instance"] is None
+    with pytest.raises(PartitionParseError):
+        LS.parse("app=web/environment=prod/date=2023/04/01")
+
+
+def test_value_with_equals_kept_whole():
+    # divergence from reference split('=',2) truncation — we keep full value
+    from rehiver_spark.operators.partitions import PartitionField, PartitionSchema
+
+    s = PartitionSchema([PartitionField("q")])
+    assert s.parse("q=a=b") == {"q": "a=b"}
+
+
+def test_url_decoded_values():
+    from rehiver_spark.operators.partitions import PartitionField, PartitionSchema
+
+    s = PartitionSchema([PartitionField("name")])
+    assert s.parse("name=a%20b") == {"name": "a b"}
+
+
+# ---------------- Column-level (needs Spark) ----------------
+
+
+def test_parse_cols_and_validity(spark):
+    from pyspark.sql import functions as F
+
+    paths = [
+        "data/year=2023/month=12/day=25",
+        "year=2023/month=01/day=05",
+        "year=2023/month=13/day=01",  # invalid month
+        "year=1999/month=01/day=01",  # invalid year
+        "year=2023/month=02",  # missing day
+        "plain/path/no/partitions",
+    ]
+    df = spark.createDataFrame([(p,) for p in paths], ["key"])
+    out = DS.apply(df, "key").orderBy("key").collect()
+    by_key = {r["key"]: r for r in out}
+    r = by_key["data/year=2023/month=12/day=25"]
+    assert (r["year"], r["month"], r["day"], r["_valid"]) == (2023, 12, 25, True)
+    r = by_key["year=2023/month=01/day=05"]
+    assert (r["month"], r["day"], r["_valid"]) == (1, 5, True)
+    assert by_key["year=2023/month=13/day=01"]["_valid"] is False
+    assert by_key["year=1999/month=01/day=01"]["_valid"] is False
+    assert by_key["year=2023/month=02"]["_valid"] is False
+    assert by_key["plain/path/no/partitions"]["_valid"] is False
+
+    miss = df.select("key", DS.missing_keys_col("key").alias("m")).collect()
+    mm = {r["key"]: r["m"] for r in miss}
+    assert mm["year=2023/month=02"] == ["day"]
+    assert mm["plain/path/no/partitions"] == ["year", "month", "day"]
+
+
+def test_format_col(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(2023, 12, 25)], ["year", "month", "day"])
+    got = df.select(DS.format_col().alias("p")).first()["p"]
+    assert got == "year=2023/month=12/day=25"
