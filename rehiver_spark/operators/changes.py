@@ -1,0 +1,206 @@
+"""Change detection: snapshot diff as a full-outer join.
+
+Re-expresses the reference's ChangeDetectionEngine
+(src/index.ts:384-606) — driver-memory ``Map`` diff + JSON state file —
+as a distributed snapshot join with a Parquet-versioned state store:
+
+    current FULL OUTER JOIN previous ON key
+    → CASE WHEN prev IS NULL            THEN 'added'
+           WHEN cur  IS NULL            THEN 'deleted'
+           WHEN changed(mode)           THEN 'modified'
+           ELSE 'unchanged'
+
+Modes (reference hasObjectChanged, src/index.ts:499-522):
+- ``quick``             size OR mtime differ
+- ``full``              size OR etag OR mtime differ
+- ``ignore_etag_on_size`` if sizes equal → mtime only, else size/mtime
+
+Scale posture: the join shuffles both snapshots on ``key`` — at 100 TB
+catalog scale both sides are hash-partitioned by Spark; no driver
+state. The state store is a versioned Parquet directory (atomic
+pointer file), replacing the reference's single JSON file
+(src/index.ts:444-459) which cannot exceed driver memory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHANGE_TYPES = ("added", "modified", "deleted", "unchanged")
+MODES = ("quick", "full", "ignore_etag_on_size")
+
+
+def normalize_s3_object(df: DataFrame) -> DataFrame:
+    """Normalize raw SDK-shaped rows (reference fromS3Object,
+    src/index.ts:484-491): strip etag quotes, default size 0,
+    missing last_modified → current timestamp."""
+    return df.select(
+        F.col("key"),
+        F.coalesce(F.col("size"), F.lit(0)).alias("size"),
+        F.regexp_replace(F.col("etag"), '"', "").alias("etag"),
+        F.coalesce(F.col("last_modified"), F.current_timestamp()).alias("last_modified"),
+        *([F.col("content_type")] if "content_type" in df.columns else []),
+    )
+
+
+def changed_predicate(mode: str = "full") -> Column:
+    """Mode-parameterized 'has changed' predicate over the joined row
+    (columns: size/etag/last_modified vs prev_*)."""
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}")
+    size_diff = ~F.col("size").eqNullSafe(F.col("prev_size"))
+    mtime_diff = ~F.col("last_modified").eqNullSafe(F.col("prev_last_modified"))
+    etag_diff = ~F.col("etag").eqNullSafe(F.col("prev_etag"))
+    if mode == "quick":
+        return size_diff | mtime_diff
+    if mode == "full":
+        return size_diff | etag_diff | mtime_diff
+    # ignore_etag_on_size: if sizes equal, compare mtime only
+    return F.when(F.col("size").eqNullSafe(F.col("prev_size")), mtime_diff).otherwise(
+        size_diff | mtime_diff
+    )
+
+
+def detect_changes(
+    current: DataFrame,
+    previous: DataFrame,
+    mode: str = "full",
+    track_deleted: bool = True,
+) -> DataFrame:
+    """Snapshot diff (reference detectChanges, src/index.ts:528-571).
+
+    Output: key, change_type, size/etag/last_modified (current; previous
+    for deleted rows), prev_size/prev_etag/prev_last_modified (F2 shape).
+    """
+    cur = current.select("key", "size", "etag", "last_modified")
+    prev = previous.select(
+        F.col("key"),
+        F.col("size").alias("prev_size"),
+        F.col("etag").alias("prev_etag"),
+        F.col("last_modified").alias("prev_last_modified"),
+    )
+    j = cur.join(prev, "key", "full_outer")
+    change_type = (
+        F.when(F.col("prev_last_modified").isNull() & F.col("prev_size").isNull() & F.col("prev_etag").isNull(), "added")
+        .when(F.col("last_modified").isNull() & F.col("size").isNull() & F.col("etag").isNull(), "deleted")
+        .when(changed_predicate(mode), "modified")
+        .otherwise("unchanged")
+    )
+    out = j.withColumn("change_type", change_type)
+    if not track_deleted:
+        out = out.filter(F.col("change_type") != "deleted")
+    return out.select(
+        "key",
+        "change_type",
+        # deleted rows surface the previous version as current (reference
+        # emits the previous object for deletions, src/index.ts:556-566)
+        F.coalesce(F.col("size"), F.col("prev_size")).alias("size"),
+        F.coalesce(F.col("etag"), F.col("prev_etag")).alias("etag"),
+        F.coalesce(F.col("last_modified"), F.col("prev_last_modified")).alias("last_modified"),
+        "prev_size",
+        "prev_etag",
+        "prev_last_modified",
+    )
+
+
+def filter_changes(changes: DataFrame, types: list[str]) -> DataFrame:
+    """reference filterChangesByType (src/index.ts:579-584)."""
+    return changes.filter(F.col("change_type").isin(types))
+
+
+class SnapshotStore:
+    """Versioned Parquet snapshot state (replaces the JSON state file,
+    src/index.ts:412-459). Layout::
+
+        state_dir/_latest.json        -> {"version": N}
+        state_dir/v{N}/*.parquet      -> snapshot N
+
+    Writes are atomic: data lands in a new version dir first, then the
+    pointer file is swapped. Works on any Hadoop-visible FS; local FS
+    here.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.state_dir, "_latest.json")
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(self._pointer) as f:
+                return json.load(f)["version"]
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            return None  # missing/corrupt state → empty (reference :429-438)
+
+    def load(self) -> DataFrame | None:
+        """Previous snapshot, or None when no state exists."""
+        v = self.latest_version()
+        if v is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.state_dir, f"v{v}"))
+
+    def save(self, snapshot: DataFrame) -> int:
+        """Write a new snapshot version and swap the pointer (reference
+        saveCurrentState, src/index.ts:444-459, made atomic/versioned)."""
+        v = (self.latest_version() or 0) + 1
+        path = os.path.join(self.state_dir, f"v{v}")
+        snapshot.write.mode("overwrite").parquet(path)
+        tmp = self._pointer + f".tmp.{time.monotonic_ns()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": v}, f)
+        os.replace(tmp, self._pointer)
+        return v
+
+    def reset(self) -> None:
+        """Drop state pointer (reference resetAllState, src/index.ts:597-606)."""
+        try:
+            os.remove(self._pointer)
+        except FileNotFoundError:
+            pass
+
+
+class ChangeDetector:
+    """Facade with reference API parity (Rehiver.changeDetector,
+    src/index.ts:2265-2267): accumulate a current snapshot, diff against
+    stored previous, commit current → previous."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.store = SnapshotStore(spark, state_dir)
+        self._current: DataFrame | None = None
+
+    def add_objects(self, df: DataFrame) -> None:
+        """Upsert rows into the current snapshot (reference addObjects,
+        src/index.ts:471-477; last-wins per key applied at detect time)."""
+        self._current = df if self._current is None else self._current.unionByName(df)
+
+    def _current_dedup(self) -> DataFrame:
+        from rehiver_spark.sources.catalog import dedup_catalog
+
+        if self._current is None:
+            raise ValueError("no current snapshot; call add_objects first")
+        return dedup_catalog(self._current)
+
+    def detect(self, mode: str = "full", track_deleted: bool = True) -> DataFrame:
+        prev = self.store.load()
+        cur = self._current_dedup()
+        if prev is None:
+            prev = self.spark.createDataFrame([], cur.schema)
+        return detect_changes(cur, prev, mode=mode, track_deleted=track_deleted)
+
+    def commit(self) -> int:
+        """Promote current → previous (reference commitChanges,
+        src/index.ts:589-591) by persisting a new snapshot version."""
+        return self.store.save(self._current_dedup())
+
+    def reset_current(self) -> None:
+        self._current = None
