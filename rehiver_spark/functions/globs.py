@@ -146,7 +146,10 @@ def _translate_one(pattern: str, dot: bool) -> str:
             else:
                 body = pattern[i + 1 : j]
                 if body.startswith(("!", "^")):
-                    body = "^" + body[1:]
+                    # a glob class never matches the separator, so the
+                    # negation set must include '/' (micromatch parity:
+                    # '[!b]' must not match across segment boundaries)
+                    body = "^/" + body[1:]
                 out.append("[" + body.replace("\\", "\\\\") + "]")
                 i = j + 1
             seg_start = False
@@ -176,7 +179,7 @@ def glob_to_regex(pattern: str, dot: bool = False, nocase: bool = False) -> str:
 
 
 @lru_cache(maxsize=4096)
-def capture_to_regex(pattern: str, dot: bool = False) -> tuple[str, tuple[str, ...]]:
+def capture_to_regex(pattern: str) -> tuple[str, tuple[str, ...]]:
     """Compile a capture pattern (``:name`` placeholders + ``*``) to an
     anchored regex with capture groups; returns (regex, group_names).
 

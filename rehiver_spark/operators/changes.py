@@ -77,17 +77,23 @@ def detect_changes(
     Output: key, change_type, size/etag/last_modified (current; previous
     for deleted rows), prev_size/prev_etag/prev_last_modified (F2 shape).
     """
-    cur = current.select("key", "size", "etag", "last_modified")
+    # explicit join-side presence flags: a row whose metadata columns are
+    # all legitimately NULL (e.g. etag from from_file_scan) must not be
+    # misclassified — presence is a fact about the join, not the values
+    cur = current.select(
+        "key", "size", "etag", "last_modified", F.lit(True).alias("_in_cur")
+    )
     prev = previous.select(
         F.col("key"),
         F.col("size").alias("prev_size"),
         F.col("etag").alias("prev_etag"),
         F.col("last_modified").alias("prev_last_modified"),
+        F.lit(True).alias("_in_prev"),
     )
     j = cur.join(prev, "key", "full_outer")
     change_type = (
-        F.when(F.col("prev_last_modified").isNull() & F.col("prev_size").isNull() & F.col("prev_etag").isNull(), "added")
-        .when(F.col("last_modified").isNull() & F.col("size").isNull() & F.col("etag").isNull(), "deleted")
+        F.when(F.col("_in_prev").isNull(), "added")
+        .when(F.col("_in_cur").isNull(), "deleted")
         .when(changed_predicate(mode), "modified")
         .otherwise("unchanged")
     )

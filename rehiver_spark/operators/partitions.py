@@ -55,7 +55,11 @@ class PartitionField:
     min: float | None = None
     max: float | None = None
     values: list[str] | None = None  # enum constraint
-    pattern: str | None = None  # regex constraint (anchored)
+    # regex constraint (anchored). Evaluated by Python `re` on the driver
+    # and Java regex on executors — restrict to the shared dialect subset:
+    # literals, classes, quantifiers, alternation, \d/\w/\s. No inline
+    # flags (?i), \p{} properties, or lookbehind.
+    pattern: str | None = None
     required: bool = True  # optional fields may be absent
     nullable: bool = False  # literal "null" → NULL (tests/index.test.ts:997-1000)
     nonempty: bool = False
@@ -93,17 +97,34 @@ class PartitionField:
 
     # -- Column-side ---------------------------------------------------
     def extract_col(self, key: Column) -> Column:
-        """Raw string value of this key in the path, NULL if absent."""
+        """Raw string value of this key in the path, NULL if absent.
+
+        URL-decoding is guarded: Java's ``url_decode`` throws
+        CANNOT_DECODE_URL on malformed ``%`` sequences and turns ``+``
+        into a space (x-www-form-urlencoded), both of which diverge from
+        the driver-side ``urllib.parse.unquote``. We pre-escape ``+`` to
+        ``%2B`` and only decode values whose ``%`` sequences are all
+        valid; a malformed value is returned undecoded (driver parity:
+        ``unquote`` leaves invalid sequences in place) rather than
+        aborting the job.
+        """
         raw = F.regexp_extract(key, rf"(?:^|/){re.escape(self.name)}=([^/]*)", 1)
         # regexp_extract returns '' on no-match; disambiguate via contains
         present = key.rlike(rf"(?:^|/){re.escape(self.name)}=")
-        return F.when(present, F.url_decode(raw))
+        decodable = raw.rlike(r"^(?:[^%]|%[0-9A-Fa-f]{2})*$")
+        decoded = F.when(
+            decodable, F.url_decode(F.replace(raw, F.lit("+"), F.lit("%2B")))
+        ).otherwise(raw)
+        return F.when(present, decoded)
 
     def typed_col(self, key: Column) -> Column:
         raw = self.extract_col(key)
         if self.nullable:
             raw = F.when(raw != F.lit("null"), raw)
-        return raw.cast(_SPARK_TYPE[self.dtype])
+        # try_cast, not cast: ANSI mode (Spark 4 default) makes plain
+        # cast THROW on malformed input; validity detection relies on
+        # cast-to-null semantics
+        return raw.try_cast(_SPARK_TYPE[self.dtype])
 
     def valid_col(self, key: Column) -> Column:
         """True iff this field is present (or optional) and satisfies

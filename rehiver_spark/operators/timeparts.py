@@ -114,7 +114,10 @@ class TimePartitioner:
         """Path projection from a timestamp column — pure
         ``date_format``/``concat``; stays in whole-stage codegen."""
         c = F.col(ts) if isinstance(ts, str) else ts
-        c = F.to_utc_timestamp(c, self.timezone) if self.timezone != "UTC" else c
+        # session tz is UTC, so the stored instant renders as UTC wall
+        # time; from_utc_timestamp converts it to the target wall clock
+        # (mirrors path_for's dt.astimezone).
+        c = F.from_utc_timestamp(c, self.timezone) if self.timezone != "UTC" else c
         parts = []
         for key, _ in self._components():
             v = F.date_format(c, self._SPARK_FMT[key])

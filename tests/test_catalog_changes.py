@@ -215,3 +215,15 @@ def test_content_type_col(spark):
     assert got["noext"] == "application/octet-stream"
     assert got["dir.with.dot/file"] == "application/octet-stream"
     assert got["a.tar.gz"] == "application/gzip"
+
+
+def test_detect_changes_all_null_metadata_presence(spark):
+    # round-1 audit fix: presence comes from the join side, not from
+    # all-NULL metadata (etag is always NULL via from_file_scan)
+    from rehiver_spark.operators.changes import detect_changes
+
+    schema = "key string, size bigint, etag string, last_modified timestamp"
+    prev = spark.createDataFrame([("a", None, None, None), ("b", None, None, None)], schema)
+    cur = spark.createDataFrame([("a", None, None, None), ("c", None, None, None)], schema)
+    got = {r["key"]: r["change_type"] for r in detect_changes(cur, prev).collect()}
+    assert got == {"a": "unchanged", "b": "deleted", "c": "added"}

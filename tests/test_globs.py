@@ -123,3 +123,13 @@ def test_capture_regex_groups():
     assert names == ("id", "postId")
     m = re.match(regex, "users/123/posts/456")
     assert m.groups() == ("123", "456")
+
+
+def test_negated_class_never_matches_separator():
+    # micromatch: a character class never matches '/'
+    from rehiver_spark.functions.globs import PathMatcher
+
+    m = PathMatcher()
+    assert m.is_match("a/x/c", "a/[!b]/c")
+    assert not m.is_match("a/x/y/c", "a/[!b]*/c")
+    assert not m.is_match("a//c", "a/[!b]/c")

@@ -159,3 +159,34 @@ def test_format_col(spark):
     df = spark.createDataFrame([(2023, 12, 25)], ["year", "month", "day"])
     got = df.select(DS.format_col().alias("p")).first()["p"]
     assert got == "year=2023/month=12/day=25"
+
+
+def test_extract_col_malformed_percent_and_plus(spark):
+    # round-1 audit fix: malformed % must not abort the job; '+' stays
+    # literal (urllib.parse.unquote parity), valid %hh decodes
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.partitions import PartitionField
+
+    f = PartitionField("app")
+    df = spark.createDataFrame(
+        [("app=50%off/x",), ("app=a+b/x",), ("app=sp%20ace/x",)], "key string"
+    )
+    got = [r[0] for r in df.select(f.extract_col(F.col("key"))).collect()]
+    assert got == ["50%off", "a+b", "sp ace"]
+    # and valid_col classifies rather than throws
+    ok = [r[0] for r in df.select(f.valid_col(F.col("key"))).collect()]
+    assert ok == [True, True, True]
+
+
+def test_typed_col_ansi_safe_invalid_int(spark):
+    # Spark 4 ANSI mode: plain cast throws on malformed input — validity
+    # must classify, not abort (try_cast)
+    from rehiver_spark.operators.partitions import date_schema
+
+    ks = spark.createDataFrame(
+        [("year=2024/month=01/day=15",), ("year=oops/month=1/day=1",)], "key string"
+    )
+    rows = {r["key"]: (r["_valid"], r["year"]) for r in date_schema().apply(ks).collect()}
+    assert rows["year=2024/month=01/day=15"] == (True, 2024)
+    assert rows["year=oops/month=1/day=1"] == (False, None)

@@ -118,3 +118,24 @@ def test_range_filter_prunes(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [" in plan
+
+
+def test_path_col_non_utc_parity(spark):
+    # round-1 audit fix: Column path must agree with driver path_for
+    # for non-UTC timezones (was to_utc_timestamp — inverted direction)
+    from datetime import datetime, timezone
+
+    from rehiver_spark.operators.timeparts import TimePartitioner
+
+    for tz in ("America/New_York", "Asia/Tokyo"):
+        tp = TimePartitioner(granularity="hourly", timezone=tz)
+        dts = [
+            datetime(2024, 1, 15, 2, 0, tzinfo=timezone.utc),
+            datetime(2024, 7, 1, 23, 30, tzinfo=timezone.utc),  # DST side
+        ]
+        expected = [tp.path_for(d) for d in dts]
+        df = spark.createDataFrame(
+            [(d.replace(tzinfo=None),) for d in dts], "ts timestamp"
+        )
+        got = [r[0] for r in df.select(tp.path_col("ts")).collect()]
+        assert got == expected, tz
