@@ -1,0 +1,214 @@
+"""Text analysis operators for LLM-data pipelines (SURVEY §2 X4/X5).
+
+Charter extension set (BASELINE.json north star) — the reference has no
+text operators (its `processor` callback, /root/reference/src/index.ts:1382,
+delegates content handling to the user); these are the Spark-native
+operators a 100 TB training-data pipeline runs over document tables.
+
+Everything here is built-in Column expressions (whole-stage codegen, no
+Python on executors). Formulas avoid ANSI-mode hazards: no division by a
+possibly-zero denominator, no lossy casts.
+
+Canonical tokenization is whitespace-split over lowercased text — chosen
+so every operator has an exact DuckDB twin for the correctness oracle.
+A BPE-ish regex tokenizer is provided for realistic token counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed stopword set (ordering matters only for docs)
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic; first-listed language wins score ties (deterministic)
+LANG_PROFILES: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "an", "and", "of", "to", "in", "is"]),
+    ("de", ["der", "die", "das", "und", "nicht", "ist", "ein"]),
+    ("fr", ["le", "la", "les", "et", "est", "une", "des"]),
+    ("es", ["el", "la", "los", "y", "es", "una", "que"]),
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _in_words(t: Column, words: list[str]) -> Column:
+    """Membership test usable inside higher-order-function lambdas.
+
+    OR-of-string-equality chain. NOTE: pyspark binds one lambda variable
+    per *parameter* of the Python lambda, so HOF lambdas must be
+    single-parameter — capture ``words`` via this closure, never via a
+    default argument (``lambda t, w=words: ...`` silently binds ``w`` to
+    the element-index variable).
+    """
+    cond = t == F.lit(words[0])
+    for w in words[1:]:
+        cond = cond | (t == F.lit(w))
+    return cond
+
+
+def _word_filter(words: list[str]):
+    return lambda t: _in_words(t, words)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical normal form: trim, collapse whitespace, lowercase."""
+    return F.lower(F.regexp_replace(F.trim(_c(col)), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """ARRAY<STRING> of whitespace tokens of the normalized text.
+    Empty text → empty array (never a [''] singleton)."""
+    t = normalize_text(col)
+    return F.filter(F.split(t, " "), lambda x: x != F.lit(""))
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Sub-word-ish tokenization: split on word/number/punct boundaries
+    (a GPT-2-style pre-tokenizer regex subset). For realistic token
+    counting when no tokenizer library is available."""
+    t = F.lower(F.trim(_c(col)))
+    return F.filter(
+        F.split(t, r"(?=[^a-z0-9])|(?<=[^a-z0-9])"),
+        lambda x: (x != F.lit("")) & (x != F.lit(" ")),
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_stats(col: Column | str) -> dict[str, Column]:
+    """Character-class counts over the raw text — alpha/digit/space/punct
+    plus total length. regexp_count is codegen'd; one pass per class."""
+    c = _c(col)
+    n_alpha = F.regexp_count(c, F.lit(r"[A-Za-z]"))
+    n_digit = F.regexp_count(c, F.lit(r"[0-9]"))
+    n_space = F.regexp_count(c, F.lit(r"\s"))
+    n = F.length(c)
+    return {
+        "n_chars": n,
+        "n_alpha": n_alpha,
+        "n_digit": n_digit,
+        "n_space": n_space,
+        "n_punct": n - n_alpha - n_digit - n_space,
+    }
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords; 0.0 for empty docs
+    (guarded denominator — ANSI mode would throw on /0)."""
+    toks = tokens(col)
+    sw = stopwords or STOPWORDS
+    hits = F.size(F.filter(toks, lambda t: _in_words(t, sw)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite heuristic quality score in [0,1]: rewards word-like
+    content, presence of stopwords, and reasonable mean token length.
+    Deterministic closed form (no ML), so it is oracle-checkable.
+
+        0.4 * alpha_ratio + 0.3 * min(stopword_ratio * 5, 1)
+      + 0.3 * (1 - |mean_token_len - 5| / 10 clamped to [0,1])
+    """
+    c = _c(col)
+    st = char_stats(c)
+    alpha_ratio = st["n_alpha"] / F.greatest(st["n_chars"], F.lit(1))
+    swr = stopword_ratio(c)
+    n_tok = F.greatest(token_count(c), F.lit(1))
+    # mean token length over normalized text (spaces removed)
+    norm = normalize_text(c)
+    mean_len = (F.length(norm) - (n_tok - F.lit(1))) / n_tok
+    len_term = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.abs(mean_len - F.lit(5.0)) / F.lit(10.0)
+    )
+    return (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * F.least(swr * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.3) * len_term
+    )
+
+
+def lang_id(col: Column | str, profiles: list[tuple[str, list[str]]] | None = None) -> Column:
+    """Stopword-profile language ID: score each language by the number
+    of profile-word occurrences; argmax with first-listed-wins ties.
+
+    Implemented as array_max over (score, priority, lang) structs —
+    struct comparison is lexicographic, so the max is the highest score
+    and, on ties, the earliest profile. Pure Column expression.
+    Returns 'und' when no profile word occurs at all.
+    """
+    toks = tokens(col)
+    profs = profiles or LANG_PROFILES
+    entries = []
+    for i, (lang, words) in enumerate(profs):
+        score = F.size(F.filter(toks, _word_filter(words)))
+        entries.append(F.struct(score.alias("s"), F.lit(len(profs) - i).alias("p"), F.lit(lang).alias("l")))
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full per-document analysis column set (X4)."""
+    c = F.col(text_col)
+    out = df.withColumns(char_stats(c))
+    return out.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_bpe_tokens": F.size(bpe_ish_tokens(c)),
+            "stopword_ratio": stopword_ratio(c),
+            "quality": quality_score(c),
+            "lang_pred": lang_id(c),
+        }
+    )
+
+
+def fingerprint(col: Column | str, bits: int = 64) -> Column:
+    """Deterministic document fingerprint: leading hex of sha256 over the
+    normalized text. Content-addressed ID for exact dedup & lineage."""
+    return F.substring(F.sha2(normalize_text(col), 256), 1, bits // 4)
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Exact TF-IDF token stats (X5).
+
+    Output grain: one row per (group, token) with
+      tf        total occurrences of token in the group
+      df_docs   number of documents (corpus-wide) containing the token
+      idf       ln(N_docs / df_docs)
+      tf_idf    tf * idf
+
+    Plan shape: explode(tokens) → two hash aggregations (per-group TF and
+    corpus DF) + one broadcast-sized join on token. The exploded relation
+    shuffles once per agg on (group, token)/(token) — both map-side
+    combinable, no row explosion survives the aggs. At 100 TB the DF agg
+    output is |vocab| rows → broadcast join, not sort-merge.
+    """
+    n_docs = df.select(F.countDistinct(doc_id_col)).first()[0]
+    toks = df.select(
+        doc_id_col,
+        *( [group_col] if group_col else [] ),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    group_keys = ([group_col] if group_col else []) + ["token"]
+    tf = toks.groupBy(*group_keys).agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct(doc_id_col).alias("df_docs"))
+    out = tf.join(F.broadcast(dfreq), "token")
+    idf = F.log(F.lit(float(n_docs)) / F.col("df_docs"))
+    return out.select(
+        *group_keys,
+        "tf",
+        "df_docs",
+        idf.alias("idf"),
+        (F.col("tf") * idf).alias("tf_idf"),
+    )

@@ -1,0 +1,294 @@
+"""Vector similarity operators over embedding columns (SURVEY §2 X3).
+
+Charter extension set: similarity search over ``array<float>`` embedding
+columns for near-dup detection and retrieval at training-data scale.
+
+Numeric determinism: arrays are cast to double and reduced with a
+sequential left fold (``aggregate``/``zip_with``) so the summation order
+is the array order — reproducible across runs and comparable to the
+DuckDB oracle (which also folds sequentially) after round(·, 6).
+
+Scale design:
+- top-k: the query side is small by construction → **broadcast** it and
+  stream the corpus; per-corpus-partition partial top-k via window only
+  after a broadcast join, no corpus shuffle.
+- near-dup: never all-pairs across the corpus. Within-group pairs for a
+  declared blocking column, or sign-LSH bucketing (fixed-seed random
+  hyperplanes embedded as literals) with exact verification.
+- IVF: coarse-quantize to the nearest of K centroids (broadcast), search
+  only the probe cell(s).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def as_double(vec: Column | str) -> Column:
+    return _c(vec).cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(vec: Column | str) -> Column:
+    v = as_double(vec)
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL when either side has zero norm."""
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb))
+
+
+def l2_normalize(vec: Column | str) -> Column:
+    """Unit-normalize so downstream cosine is a plain dot product —
+    normalize ONCE per row, not once per pair (the 100 TB version of
+    'hoist the invariant out of the join')."""
+    v = as_double(vec)
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when(n > 0, F.transform(v, lambda x: x / n))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query (the correctness
+    baseline every ANN variant is measured against).
+
+    Plan: pre-normalize both sides, **broadcast the query side** (small
+    by construction), score = dot, rank per query with a deterministic
+    (score DESC, corpus_id ASC) tiebreak. The corpus is never shuffled
+    until the (tiny) ranked output.
+    """
+    q = queries.select(
+        F.col(query_id).alias("_qid"), l2_normalize(query_vec).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"), l2_normalize(corpus_vec).alias("_cv")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        F.aggregate(
+            F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs with cosine ≥ threshold.
+
+    With ``block_col`` (e.g. a label, shard, or LSH bucket) pairs are
+    formed only within blocks — the declared semantics for grouped
+    dedup and the scale guard against all-pairs. Without it this IS
+    all-pairs (exact baseline; use only on bounded inputs or behind
+    ``sign_lsh_bucket`` blocking).
+    """
+    base = df.select(
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.col(id_col).alias("_id"),
+        l2_normalize(vec_col).alias("_v"),
+    )
+    a = base.withColumnsRenamed({"_id": "id_a", "_v": "_va"})
+    b = base.withColumnsRenamed({"_id": "id_b", "_v": "_vb"})
+    joined = a.join(b, ["_blk"] if block_col else None) if block_col else a.crossJoin(b)
+    out = (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("_va", "_vb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    cols = ([F.col("_blk").alias(block_col)] if block_col else []) + [
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("cosine"),
+    ]
+    return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Approximate scale paths (X6-class; candidates always exact-verified)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Fixed-seed random hyperplanes, generated driver-side and embedded
+    as literals (no runtime randomness — resumable, oracle-friendly)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def sign_lsh_bucket(vec: Column | str, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane (SimHash-for-cosine) bucket id: one sign bit
+    per plane, packed into a BIGINT. Vectors with high cosine land in
+    the same bucket with prob (1 - theta/pi)^n_planes."""
+    v = as_double(vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseXOR(b)  # disjoint bits: XOR == OR == sum
+    return out
+
+
+def lsh_cosine_neardup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN near-dup: union of per-table sign-LSH bucket collisions →
+    distinct candidates → exact cosine verification. Approximate
+    (recall < 1 possible); returned pairs ⊆ exact answer."""
+    base = df.select(F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v"))
+    cands = None
+    for t in range(n_tables):
+        bucketed = base.withColumn(
+            "_bkt", sign_lsh_bucket(F.col("_v"), dim, n_planes, seed + 1000 * t)
+        )
+        a = bucketed.select(F.col("_id").alias("id_a"), F.col("_bkt"))
+        b = bucketed.select(F.col("_id").alias("id_b"), F.col("_bkt"))
+        c = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    a = base.withColumnsRenamed({"_id": "id_a", "_v": "_va"})
+    b = base.withColumnsRenamed({"_id": "id_b", "_v": "_vb"})
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("_va", "_vb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN top-k: coarse-quantize the corpus to the nearest of
+    ``n_cells`` centroids (deterministic: the corpus vectors with the
+    smallest ids seed the centroids), then search only each query's
+    ``n_probe`` closest cells.
+
+    Approximate (X6-class). Plan: centroids are a broadcast literal-free
+    join (tiny DF); corpus assignment is one broadcast join; the search
+    join hits only matching cells → corpus scan cost / (n_cells/n_probe).
+    """
+    cents = (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(n_cells)
+        .select(
+            F.col(corpus_id).alias("cell_id"), l2_normalize(vec_col).alias("_centv")
+        )
+    )
+
+    def nearest_cells(side: DataFrame, sid: str, n: int) -> DataFrame:
+        scored = side.join(F.broadcast(cents)).withColumn(
+            "_cd",
+            F.aggregate(
+                F.zip_with("_v", "_centv", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        w = Window.partitionBy(sid).orderBy(F.col("_cd").desc(), F.col("cell_id").asc())
+        return (
+            scored.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= n)
+            .select(sid, "cell_id", "_v")
+        )
+
+    c = nearest_cells(
+        corpus.select(F.col(corpus_id).alias("_cid"), l2_normalize(vec_col).alias("_v")),
+        "_cid",
+        1,
+    ).withColumnRenamed("_v", "_cv")
+    q = nearest_cells(
+        queries.select(F.col(query_id).alias("_qid"), l2_normalize(vec_col).alias("_v")),
+        "_qid",
+        n_probe,
+    ).withColumnRenamed("_v", "_qv")
+    scored = c.join(F.broadcast(q), "cell_id").select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        F.aggregate(
+            F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

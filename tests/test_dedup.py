@@ -1,0 +1,100 @@
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_exact_dedup_marks_normalized_dups(spark):
+    from rehiver_spark.operators.dedup import dedup_exact, exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: (r["is_keeper"], r["dup_count"]) for r in exact_dedup(df).collect()}
+    assert out == {1: (True, 2), 2: (False, 2), 3: (True, 1)}
+    assert sorted(r["doc_id"] for r in dedup_exact(df).collect()) == [1, 3]
+
+
+def test_shingles_short_and_normal(spark):
+    from rehiver_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = [r[0] for r in df.select(shingles("text", 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b"]  # shorter than k → whole text
+
+
+def _exact_pairs_duckdb(sf_dir, threshold):
+    import duckdb
+
+    return {
+        (a, b): round(j, 6)
+        for a, b, j in duckdb.sql(
+            f"""
+            WITH t AS (
+              SELECT doc_id, list_distinct([array_to_string(toks[i:i+2],' ') FOR i IN range(1, greatest(len(toks)-2,1)+1)]) sh
+              FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),'\\s+'), x -> x <> '') toks
+                    FROM '{sf_dir}/documents.parquet')
+            )
+            SELECT a.doc_id, b.doc_id,
+                   len(list_intersect(a.sh,b.sh))::DOUBLE/(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) j
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh,b.sh))::DOUBLE/(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= {threshold}
+            """
+        ).fetchall()
+    }
+
+
+def test_jaccard_pairs_exact_vs_duckdb(docs, sf_dir):
+    from rehiver_spark.operators.dedup import jaccard_pairs, shingles
+
+    sh = docs.select("doc_id", shingles("text", 3).alias("shingles"))
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in jaccard_pairs(sh, threshold=0.8).collect()
+    }
+    exp = _exact_pairs_duckdb(sf_dir, 0.8)
+    assert got == exp
+    assert len(got) > 0  # planted near-dups exist
+
+
+def test_jaccard_plan_has_no_cartesian(docs):
+    from rehiver_spark.operators.dedup import jaccard_pairs, shingles
+
+    sh = docs.select("doc_id", shingles("text", 3).alias("shingles"))
+    plan = jaccard_pairs(sh, threshold=0.8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_lsh_subset_and_recall(docs, sf_dir):
+    from rehiver_spark.operators.dedup import minhash_neardup_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in minhash_neardup_pairs(docs, threshold=0.8).collect()
+    }
+    exp = _exact_pairs_duckdb(sf_dir, 0.8)
+    # exact-verified: every returned pair is a true pair with true score
+    for k, v in got.items():
+        assert k in exp and abs(v - exp[k]) < 1e-6
+    # recall on planted ~0.99-jaccard dups should be total at b=8,r=4
+    assert len(got) >= 0.9 * len(exp)
+
+
+def test_simhash_neardup_pairs(spark):
+    from rehiver_spark.operators.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine fast scan join window batch"),
+            (2, "spark query engine fast scan join window batch extra"),
+            (3, "completely different words entirely unrelated content here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_neardup_pairs(df, max_hamming=16).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs

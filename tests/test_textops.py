@@ -1,0 +1,84 @@
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_tokens_and_counts(spark):
+    from rehiver_spark.operators.textops import token_count, tokens
+
+    df = spark.createDataFrame(
+        [("  Hello   world  ",), ("",), ("one",), ("a b  c",)], "text string"
+    )
+    rows = df.select(tokens("text").alias("t"), token_count("text").alias("n")).collect()
+    assert rows[0]["t"] == ["hello", "world"] and rows[0]["n"] == 2
+    assert rows[1]["t"] == [] and rows[1]["n"] == 0
+    assert rows[3]["n"] == 3
+
+
+def test_char_stats_and_quality(spark):
+    from rehiver_spark.operators.textops import char_stats, quality_score
+
+    df = spark.createDataFrame([("ab1 ,x",)], "text string")
+    st = df.select(*[v.alias(k) for k, v in char_stats("text").items()]).first()
+    assert (st["n_alpha"], st["n_digit"], st["n_space"], st["n_punct"]) == (3, 1, 1, 1)
+    q = df.select(quality_score("text")).first()[0]
+    assert 0.0 <= q <= 1.0
+
+
+def test_stopword_ratio_empty_safe(spark):
+    from rehiver_spark.operators.textops import stopword_ratio
+
+    df = spark.createDataFrame([("the cat",), ("",)], "text string")
+    got = [r[0] for r in df.select(stopword_ratio("text")).collect()]
+    assert got[0] == 0.5 and got[1] == 0.0
+
+
+def test_lang_id_deterministic(spark):
+    from rehiver_spark.operators.textops import lang_id
+
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("der hund und die katze ist",), ("xyz qqq",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(lang_id("text")).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_text_stats_runs_on_real_docs(docs):
+    from rehiver_spark.operators.textops import text_stats
+
+    out = text_stats(docs)
+    row = out.orderBy("doc_id").first()
+    assert row["n_tokens"] > 0 and row["n_chars"] == row["n_chars"]
+    assert out.count() == docs.count()
+
+
+def test_tfidf_matches_duckdb(docs, sf_dir):
+    import duckdb
+
+    from rehiver_spark.operators.textops import tf_idf
+
+    got = {
+        (r["source"], r["token"]): (r["tf"], r["df_docs"], round(r["tf_idf"], 6))
+        for r in tf_idf(docs).collect()
+    }
+    exp = duckdb.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, source, unnest(list_filter(string_split_regex(lower(trim(text)),'\\s+'), x -> x <> '')) AS token
+          FROM '{sf_dir}/documents.parquet'
+        ), n AS (SELECT count(DISTINCT doc_id) nd FROM toks),
+        tf AS (SELECT source, token, count(*) tf FROM toks GROUP BY 1,2),
+        dfq AS (SELECT token, count(DISTINCT doc_id) dfd FROM toks GROUP BY 1)
+        SELECT source, token, tf, dfd, round(tf * ln((SELECT nd FROM n)::DOUBLE / dfd), 6)
+        FROM tf JOIN dfq USING (token)
+        """
+    ).fetchall()
+    assert len(exp) == len(got)
+    for src, tok, tf, dfd, tfidf in exp:
+        g = got[(src, tok)]
+        assert g[0] == tf and g[1] == dfd and abs(g[2] - tfidf) < 1e-6

@@ -1,0 +1,114 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(sf_dir):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    labels = np.array([r[2] for r in rows])
+    return ids, mat, labels
+
+
+def _np_topk(ids, mat, qids, k):
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qi in qids:
+        sims = normed @ normed[list(ids).index(qi)]
+        order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
+        out[qi] = [(i, -s) for s, i in order[:k]]
+    return out
+
+
+def test_cosine_topk_matches_numpy(emb, emb_np):
+    from rehiver_spark.operators.vectorops import cosine_topk
+
+    ids, mat, _ = emb_np
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(queries, emb, k=5).collect()
+    exp = _np_topk(ids, mat, range(5), 5)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for q in range(5):
+        for (gi, gs), (ei, es) in zip(by_q[q], exp[q]):
+            assert gi == ei and abs(gs - es) < 1e-9
+
+
+def test_topk_plan_broadcasts_queries(emb):
+    from rehiver_spark.operators.vectorops import cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = cosine_topk(queries, emb, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cosine_neardup_within_label_matches_numpy(emb, emb_np):
+    from rehiver_spark.operators.vectorops import cosine_neardup_pairs
+
+    ids, mat, labels = emb_np
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    exp = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if labels[i] == labels[j] and sims[i, j] >= 0.9:
+                exp.add((ids[i], ids[j]))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(emb, threshold=0.9, block_col="label").collect()
+    }
+    assert got == exp
+
+
+def test_lsh_cosine_neardup_subset(emb, emb_np):
+    from rehiver_spark.operators.vectorops import lsh_cosine_neardup
+
+    ids, mat, _ = emb_np
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    exp = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.9
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_cosine_neardup(emb, dim=64, threshold=0.9).collect()
+    }
+    assert got <= exp  # exact-verified candidates only
+
+
+def test_ivf_topk_reasonable(emb, emb_np):
+    from rehiver_spark.operators.vectorops import cosine_topk, ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in cosine_topk(queries, emb, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(queries, emb, k=3, n_cells=8, n_probe=4).collect()
+    }
+    # rank-1 self-hit must always survive (query is in the corpus)
+    for q in range(5):
+        assert approx[(q, 1)] == exact[(q, 1)] == q
