@@ -1,0 +1,200 @@
+"""Multimodal columns: binary payloads + typed metadata (charter item).
+
+Images/audio/video ride through the engine as opaque ``BINARY`` columns
+with a typed metadata struct — the Spark-side contract (schema,
+partition sizing, Arrow batch shape, UDF signatures) is real and
+tested; the actual codec step is stubbed because no image/audio
+libraries exist in this container.
+
+Decode dispatch:
+- ``fake=True`` (default): a **deterministic fake decoder** derives
+  plausible metadata (dims/duration/sample-rate) from the payload bytes
+  — fully testable, stable across runs, used by the test suite.
+- ``fake=False``: tries Pillow/soundfile; absent libs raise
+  ``NotImplementedError`` with a clear message (documented stub).
+
+Scale notes: payloads never pass through Python row-at-a-time — all
+UDFs are ``mapInPandas`` (Arrow batches). For 100 TB media lakes keep
+payloads in their own parquet column chunk (they are, by schema order),
+size ``spark.sql.files.maxPartitionBytes`` to the payload row size, and
+push metadata-only queries to a payload-free projection (column pruning
+keeps the binary chunk unread — verified in tests by ReadSchema).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("meta", MapType(StringType(), StringType()), True),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id bigint, kind string, byte_len bigint, sha16 string, "
+    "width int, height int, duration_ms bigint, sample_rate int, error string"
+)
+
+FEATURE_DIM = 64
+
+
+def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Adapter: synthesize a media table from any text table (payload =
+    utf-8 bytes). Lets every multimodal path run on the driver testdata
+    without binary fixtures."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+
+
+def _fake_decode(kind: str, payload: bytes) -> dict:
+    """Deterministic fake codec: metadata derived from payload digest.
+    Stable stand-in for PIL/ffmpeg in a lib-free container."""
+    h = hashlib.sha256(payload).digest()
+    if kind == "image":
+        return {
+            "width": 64 + h[0] * 8,
+            "height": 64 + h[1] * 8,
+            "duration_ms": None,
+            "sample_rate": None,
+        }
+    if kind == "audio":
+        return {
+            "width": None,
+            "height": None,
+            "duration_ms": 1000 + int.from_bytes(h[2:4], "big"),
+            "sample_rate": 16000,
+        }
+    return {  # video
+        "width": 320 + h[0] * 4,
+        "height": 240 + h[1] * 4,
+        "duration_ms": 5000 + int.from_bytes(h[2:4], "big"),
+        "sample_rate": None,
+    }
+
+
+def _real_decode(kind: str, payload: bytes) -> dict:  # pragma: no cover - stub
+    if kind == "image":
+        try:
+            import io
+
+            from PIL import Image  # noqa: PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                "real image decode requires Pillow (not in this container); "
+                "use fake=True for the deterministic stand-in"
+            ) from e
+        im = Image.open(io.BytesIO(payload))
+        return {"width": im.width, "height": im.height, "duration_ms": None, "sample_rate": None}
+    raise NotImplementedError(f"real decode for kind={kind!r} not available in this container")
+
+
+def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode payloads → typed metadata via mapInPandas (Arrow batches).
+    Per-row errors land in ``error`` — a corrupt object never fails the
+    scan (same tolerance contract as the pipeline runner)."""
+    from rehiver_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        decoder = _fake_decode if fake else _real_decode
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                try:
+                    b = bytes(payload) if payload is not None else b""
+                    d = decoder(kind, b)
+                    rows.append(
+                        (
+                            mid,
+                            kind,
+                            len(b),
+                            hashlib.sha256(b).hexdigest()[:16],
+                            d["width"],
+                            d["height"],
+                            d["duration_ms"],
+                            d["sample_rate"],
+                            None,
+                        )
+                    )
+                except Exception as e:
+                    rows.append((mid, kind, None, None, None, None, None, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "byte_len",
+                    "sha16",
+                    "width",
+                    "height",
+                    "duration_ms",
+                    "sample_rate",
+                    "error",
+                ],
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Byte-histogram feature vector (L1-normalized, folded to ``dim``)
+    via mapInPandas — a real, deterministic featurizer exercising the
+    exact batch shape a neural embedder plugs into (swap the inner fn)."""
+    from rehiver_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload) if payload is not None else b"", dtype=np.uint8)
+                hist = np.bincount(b, minlength=256).astype(np.float64)
+                folded = hist.reshape(dim, 256 // dim).sum(axis=1)
+                total = folded.sum()
+                feats.append((folded / total if total else folded).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, f"media_id bigint, feature array<double>"
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: (media_id, frame_idx, offset_ms) rows
+    from decoded duration — pure Column ops (sequence+explode); the
+    actual frame grab would consume this plan next to the payload."""
+    return df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("duration_ms") / every_ms).cast("int"))
+        ).alias("frame_idx"),
+    ).select(
+        "media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("offset_ms")
+    )

@@ -1,0 +1,160 @@
+"""Pipeline runner: find matching objects → process with per-key stats.
+
+Re-expresses the reference's streamMatchingObjects workflow
+(/root/reference/src/index.ts:1376-1544, facade 2435-2517; behaviors
+fixed by tests/index.test.ts:1306-1685) as Spark dataflow:
+
+- ``find_matching``: catalog DataFrame + micromatch pattern list →
+  matched keys (JVM-side glob predicate). The reference fully
+  materializes the match list on the driver before processing
+  (src/index.ts:1477-1486); here it stays a DataFrame.
+- ``process_matching``: per-key user callback applied on executors via
+  ``mapInPandas`` (Arrow-batched). A callback error marks the key
+  ``skipped`` and the pipeline continues (reference per-key try/catch →
+  skipped++ + warn, src/index.ts:1510-1516) — never fails the job.
+- ``pipeline_stats``: {matched, processed, skipped, skipped_existing}
+  as ONE aggregation over the processing log (SURVEY §2 R17) — the
+  reference's counters (src/index.ts:1426-1431) become
+  ``COUNT(*) FILTER (WHERE ...)``.
+
+Batching/concurrency mapping: the reference's batchSize=100 /
+maxConcurrentProcessing=10 (src/index.ts:1463-1474) become Spark task
+partitioning — ``batch_partitions`` controls parallelism; there is no
+inter-batch barrier (strictly better than the reference's per-batch
+``Promise.all`` barrier, SURVEY §4 row 7).
+
+skip_existing: the reference declares a ``localCache``/skipExisting
+option but never implements it (always 0, src/index.ts:1329,1361); we
+implement the *intended* semantics as a left-anti join against a
+processed-log DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rehiver_spark.functions.globs import glob_match
+
+PROCESS_LOG_SCHEMA = "key string, status string, error string, result string"
+
+
+def find_matching(
+    objects: DataFrame,
+    patterns: str | list[str],
+    prefix: str = "",
+    key_col: str = "key",
+    dot: bool = False,
+    nocase: bool = False,
+) -> DataFrame:
+    """Matched subset of an objects catalog (reference
+    findMatchingObjects, src/index.ts:1237-1366): prefix pushdown then
+    micromatch list semantics, all as codegen'd predicates."""
+    out = objects
+    if prefix:
+        out = out.filter(F.col(key_col).startswith(prefix))
+    return out.filter(glob_match(F.col(key_col), patterns, dot=dot, nocase=nocase))
+
+
+def process_matching(
+    matched: DataFrame,
+    processor: Callable[[str], object],
+    key_col: str = "key",
+    batch_partitions: int | None = None,
+    skip_existing: DataFrame | None = None,
+) -> DataFrame:
+    """Apply ``processor(key)`` to every matched key on executors.
+
+    Returns the processing log ``(key, status, error, result)`` with
+    status ∈ {processed, skipped, skipped_existing}. The processor runs
+    inside ``mapInPandas`` (Arrow batches); its return value is stringified
+    into ``result``. Exceptions are caught per key.
+
+    ``skip_existing``: DataFrame of already-processed keys — anti-joined
+    out BEFORE processing, logged as ``skipped_existing`` (intended
+    semantics of the reference's inert option, src/index.ts:1259-1263).
+    """
+    from rehiver_spark.session import ship_package
+
+    ship_package(matched.sparkSession)
+    keys = matched.select(F.col(key_col).alias("key"))
+    existing_log = None
+    if skip_existing is not None:
+        existing = skip_existing.select(F.col(key_col).alias("key")).distinct()
+        existing_log = (
+            keys.join(existing, "key", "left_semi")
+            .select(
+                "key",
+                F.lit("skipped_existing").alias("status"),
+                F.lit(None).cast("string").alias("error"),
+                F.lit(None).cast("string").alias("result"),
+            )
+        )
+        keys = keys.join(existing, "key", "left_anti")
+    if batch_partitions:
+        keys = keys.repartition(batch_partitions)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for key in pdf["key"]:
+                try:
+                    r = processor(key)
+                    rows.append((key, "processed", None, None if r is None else str(r)))
+                except Exception as e:  # per-key tolerance, never job-fatal
+                    rows.append((key, "skipped", f"{type(e).__name__}: {e}", None))
+            yield pd.DataFrame(rows, columns=["key", "status", "error", "result"])
+
+    log = keys.mapInPandas(run, schema=PROCESS_LOG_SCHEMA)
+    return log.unionByName(existing_log) if existing_log is not None else log
+
+
+@dataclass
+class PipelineStats:
+    matched: int
+    processed: int
+    skipped: int
+    skipped_existing: int
+
+
+def pipeline_stats_df(log: DataFrame) -> DataFrame:
+    """R17 stats as one aggregation (oracle form:
+    COUNT(*) FILTER (WHERE status = ...))."""
+    return log.agg(
+        F.count("*").alias("matched"),
+        F.count_if(F.col("status") == "processed").alias("processed"),
+        F.count_if(F.col("status") == "skipped").alias("skipped"),
+        F.count_if(F.col("status") == "skipped_existing").alias("skipped_existing"),
+    )
+
+
+def pipeline_stats(log: DataFrame) -> PipelineStats:
+    r = pipeline_stats_df(log).first()
+    return PipelineStats(r["matched"], r["processed"], r["skipped"], r["skipped_existing"])
+
+
+def stream_process(
+    objects: DataFrame,
+    patterns: str | list[str],
+    processor: Callable[[str], object],
+    prefix: str = "",
+    key_col: str = "key",
+    skip_existing: DataFrame | None = None,
+    batch_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """find → process, returning (log, stats_df) — the reference facade
+    streamMatchingObjects (src/index.ts:2435-2517) in one call."""
+    matched = find_matching(objects, patterns, prefix=prefix, key_col=key_col)
+    log = process_matching(
+        matched,
+        processor,
+        key_col="key",
+        batch_partitions=batch_partitions,
+        skip_existing=skip_existing,
+    )
+    return log, pipeline_stats_df(log)

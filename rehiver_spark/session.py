@@ -47,6 +47,36 @@ def get_spark(
     return b.getOrCreate()
 
 
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``rehiver_spark`` importable on executor Python workers.
+
+    Closures passed to ``mapInPandas`` may reference module-level
+    helpers; cloudpickle serializes those by *reference*, so workers
+    must be able to import the package. When the driver session was
+    launched without the repo on PYTHONPATH (e.g. an external harness
+    calling ``entry(spark)``), that import fails. Shipping a zip of the
+    package via ``sc.addPyFile`` fixes it for any session, idempotently.
+    """
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED:
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zpath = os.path.join(tempfile.gettempdir(), f"rehiver_spark_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, arcname=str(pathlib.Path("rehiver_spark") / p.relative_to(pkg_dir)))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(key)
+
+
 def read_events(spark: SparkSession, sf_dir: str):
     """Read the events table, normalizing its TIMESTAMP(NANOS) column.
 

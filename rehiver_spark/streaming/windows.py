@@ -1,0 +1,168 @@
+"""Structured Streaming operators (SURVEY §2 C17).
+
+The reference's "incremental processing" is batch re-listing + change
+detection; its streaming analog in Spark is the file source with
+``Trigger.AvailableNow`` (SURVEY §7 step 7 note: Spark's file source
+never reprocesses modified files, so ``modified`` stays with the batch
+change-detector join; streaming covers appends).
+
+Window transforms below are plain DataFrame functions usable on BOTH
+batch and streaming frames — that is what makes them oracle-checkable:
+the driver replays the same parquet through the batch path and the
+results must agree (all data on time ⇒ watermarking drops nothing).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from uuid import uuid4
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound; on batch frames withWatermark is a no-op, which
+    keeps these transforms replayable for the oracle."""
+    return df.withWatermark(ts_col, delay) if df.isStreaming else df
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    every: str = "1 hour",
+    group_cols: list[str] | None = None,
+    value_col: str | None = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window aggregation: count + sum per window (the
+    flagship 'hourly metrics' shape, reference README.md:43-57)."""
+    d = with_watermark(df, ts_col, watermark)
+    keys = [F.window(F.col(ts_col), every).alias("w"), *(group_cols or [])]
+    aggs = [F.count("*").alias("n_events")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    out = d.groupBy(*keys).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *(group_cols or []),
+        *[c for c in out.columns if c not in ("w", *(group_cols or []))],
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    length: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    d = with_watermark(df, ts_col, watermark)
+    out = d.groupBy(F.window(F.col(ts_col), length, slide).alias("w")).agg(
+        F.count("*").alias("n_events")
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    group_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows (gap-based). Streaming requires a watermark;
+    batch replays identically."""
+    d = with_watermark(df, ts_col, watermark)
+    out = d.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("w"), *(group_cols or [])
+    ).agg(F.count("*").alias("n_events"))
+    return out.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *(group_cols or []),
+        "n_events",
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str = "ts", delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming dedup bounded by the watermark; falls back to plain
+    dropDuplicates on batch frames (exact, unbounded)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+# ---------------------------------------------------------------------------
+# Runners
+# ---------------------------------------------------------------------------
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream (the batchSize analog is maxFilesPerTrigger,
+    reference batchSize=100 at src/index.ts:1466-1469)."""
+    r = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.load(path)
+
+
+def run_available_now(
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    checkpoint: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run a streaming frame to completion with Trigger.AvailableNow
+    into an in-memory sink; returns the final result as a DataFrame.
+
+    ``complete`` mode emits the final state of every window — append
+    mode would withhold windows past the terminal watermark forever,
+    a classic AvailableNow pitfall.
+    """
+    name = f"mem_{uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    spark = sdf.sparkSession
+    return spark.table(name)
+
+
+def foreach_batch_collecting(sdf: DataFrame, fn, checkpoint: str | None = None, timeout_sec: int = 300):
+    """foreachBatch sink runner (reference per-batch processing loop,
+    src/index.ts:1498-1530): fn(batch_df, batch_id) per micro-batch,
+    AvailableNow, blocks until drained."""
+    q = (
+        sdf.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()

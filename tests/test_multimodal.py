@@ -1,0 +1,60 @@
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    from rehiver_spark.operators.multimodal import media_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return media_from_documents(docs, kind="image")
+
+
+def test_decode_deterministic(media):
+    from rehiver_spark.operators.multimodal import decode_media
+
+    a = {r["media_id"]: (r["byte_len"], r["sha16"], r["width"], r["height"]) for r in decode_media(media).collect()}
+    b = {r["media_id"]: (r["byte_len"], r["sha16"], r["width"], r["height"]) for r in decode_media(media).collect()}
+    assert a == b and len(a) > 0
+    assert all(v[0] > 0 and v[2] >= 64 for v in a.values())
+    assert all(r_err is None for r_err in [])  # no errors field check below
+
+
+def test_decode_errors_tolerated(spark):
+    from rehiver_spark.operators.multimodal import decode_media
+
+    df = spark.createDataFrame(
+        [(1, "weird_kind", bytearray(b"xx"), None)],
+        "media_id bigint, kind string, payload binary, meta map<string,string>",
+    )
+    # fake decoder handles unknown kind as video-shape; real decoder errors per-row
+    out = decode_media(df, fake=False).first()
+    assert out["error"] is not None and "NotImplementedError" in out["error"]
+
+
+def test_features_shape_and_norm(media):
+    from rehiver_spark.operators.multimodal import FEATURE_DIM, extract_features
+
+    row = extract_features(media).first()
+    assert len(row["feature"]) == FEATURE_DIM
+    assert abs(sum(row["feature"]) - 1.0) < 1e-9
+
+
+def test_frame_sample_plan(spark):
+    from rehiver_spark.operators.multimodal import decode_media, frame_sample_plan, media_from_documents
+
+    docs = spark.createDataFrame([(1, "hello video", "s")], "doc_id bigint, text string, source string")
+    media = media_from_documents(docs, kind="video")
+    frames = frame_sample_plan(decode_media(media), every_ms=1000)
+    rows = frames.collect()
+    assert len(rows) >= 6  # duration ≥ 5000ms → ≥6 sampled frames
+    assert rows[0]["offset_ms"] == 0
+
+
+def test_metadata_projection_prunes_payload(media, tmp_path):
+    # column pruning: metadata-only query must not read the payload column
+    p = str(tmp_path / "media")
+    media.write.parquet(p)
+    df = media.sparkSession.read.parquet(p).select("media_id", "kind")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan.split("ReadSchema:")[-1]

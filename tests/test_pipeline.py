@@ -1,0 +1,65 @@
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def objects(spark):
+    rows = [
+        ("data/year=2023/month=01/a.json", 10),
+        ("data/year=2023/month=02/b.json", 20),
+        ("data/temp/c.json", 30),
+        ("logs/d.txt", 40),
+        ("data/year=2023/month=03/fail.json", 50),
+    ]
+    return spark.createDataFrame(rows, "key string, size bigint")
+
+
+def test_find_matching_negation(objects):
+    from rehiver_spark.operators.pipeline import find_matching
+
+    got = {r["key"] for r in find_matching(objects, ["data/**/*.json", "!**/temp/**"]).collect()}
+    assert got == {
+        "data/year=2023/month=01/a.json",
+        "data/year=2023/month=02/b.json",
+        "data/year=2023/month=03/fail.json",
+    }
+
+
+def _make_processor():
+    # Defined via a factory so cloudpickle serializes the closure by value;
+    # a module-level function would be pickled by reference and fail to
+    # import on executors (tests/ is not on the executor PYTHONPATH).
+    def processor(key: str) -> str:
+        if "fail" in key:
+            raise ValueError("boom")
+        return f"ok:{len(key)}"
+
+    return processor
+
+
+def test_process_matching_error_tolerant(objects):
+    from rehiver_spark.operators.pipeline import (
+        find_matching,
+        pipeline_stats,
+        process_matching,
+    )
+
+    matched = find_matching(objects, ["data/**/*.json", "!**/temp/**"])
+    log = process_matching(matched, _make_processor())
+    rows = {r["key"]: r for r in log.collect()}
+    assert rows["data/year=2023/month=03/fail.json"]["status"] == "skipped"
+    assert "ValueError: boom" in rows["data/year=2023/month=03/fail.json"]["error"]
+    assert rows["data/year=2023/month=01/a.json"]["status"] == "processed"
+    st = pipeline_stats(log)
+    assert (st.matched, st.processed, st.skipped, st.skipped_existing) == (3, 2, 1, 0)
+
+
+def test_skip_existing_anti_join(spark, objects):
+    from rehiver_spark.operators.pipeline import stream_process
+
+    done = spark.createDataFrame([("data/year=2023/month=01/a.json",)], "key string")
+    log, stats = stream_process(
+        objects, ["data/**/*.json", "!**/temp/**"], _make_processor(), skip_existing=done
+    )
+    st = stats.first()
+    assert (st["matched"], st["processed"], st["skipped"], st["skipped_existing"]) == (3, 1, 1, 1)

@@ -1,0 +1,61 @@
+import pytest
+from pyspark.sql import functions as F
+
+from rehiver_spark.session import read_events
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return read_events(spark, sf_dir)
+
+
+def test_tumbling_batch_counts(events):
+    from rehiver_spark.streaming.windows import tumbling_counts
+
+    out = tumbling_counts(events, every="1 hour").orderBy("window_start")
+    rows = out.collect()
+    assert sum(r["n_events"] for r in rows) == events.count()
+    # windows are aligned hours
+    assert all(r["window_start"].minute == 0 for r in rows)
+
+
+def test_session_and_sliding_batch(events):
+    from rehiver_spark.streaming.windows import session_counts, sliding_counts
+
+    s = sliding_counts(events, length="1 hour", slide="30 minutes").collect()
+    assert len(s) > 0
+    g = session_counts(events, gap="5 minutes", group_cols=["user_id"]).collect()
+    assert sum(r["n_events"] for r in g) == events.count()
+
+
+def test_streaming_available_now_matches_batch(spark, events, tmp_path):
+    from rehiver_spark.streaming.windows import (
+        read_file_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    # stage events as a plain-parquet dir (micro-ts already normalized)
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    batch_df = spark.read.parquet(src)
+    sdf = read_file_stream(spark, src, batch_df.schema, max_files_per_trigger=8)
+    got = {
+        (r["window_start"], r["window_end"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in run_available_now(tumbling_counts(sdf, every="1 hour")).collect()
+    }
+    exp = {
+        (r["window_start"], r["window_end"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in tumbling_counts(batch_df, every="1 hour").collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_dedup_within_watermark_batch_parity(spark):
+    from rehiver_spark.streaming.windows import dedup_within_watermark
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:01:00"), (2, "2024-01-01 00:02:00")],
+        "id bigint, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    assert dedup_within_watermark(df, ["id"]).count() == 2
