@@ -1,0 +1,58 @@
+"""Declared query set (SURVEY §2 Part B) with DuckDB oracle twins.
+
+Every operator the engine claims is registered here as a
+``(spark_query, oracle_sql)`` pair; the driver harness runs both at
+sf0.01 and hash-compares canonicalized results (CORRECTNESS gate).
+Registration happens at import via the ``@query`` decorator in each
+group module:
+
+- ``r_ops``  — reference-surface operators R1–R17
+- ``c_ops``  — relational core C1–C18
+- ``x_ops``  — charter extensions X1–X6 (+ multimodal)
+
+Conventions (FIXTURES.md determinism rules):
+- every aggregate/computed column is aliased IDENTICALLY in Spark and
+  SQL; the harness sorts columns by name before hashing;
+- DOUBLE outputs are ``round(x, 6)`` (or 2 for money) on BOTH sides;
+- timestamps are emitted as formatted strings, never raw;
+- int-ish outputs are cast to BIGINT on both sides (Spark ``year()``
+  is INT, DuckDB's is BIGINT — never leave that to chance);
+- approximate operators register with ``oracle=None`` → the driver
+  records a weaker rows-only check (SURVEY §2 X6 rule).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a declared query (and its DuckDB twin when exact)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import all group modules (idempotent) so the registry is full."""
+    from rehiver_spark.queries import c_ops, r_ops, x_ops  # noqa: F401
+
+
+def tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load testdata views with a pinned UTC session timezone so
+    date rendering matches DuckDB's naive timestamps regardless of how
+    the caller's session was configured."""
+    from rehiver_spark.session import load_tables
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_tables(spark, sf_dir, names)
