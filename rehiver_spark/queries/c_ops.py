@@ -1,1 +1,597 @@
-"""C1-C18 relational-core declared queries (placeholder, filled next)."""
+"""C1–C18: relational core declared queries (SURVEY §2 Part B).
+
+The reference implements none of these (SURVEY §2: "no relational
+operators") — they are Spark built-ins — but the declared contract
+requires each exercised as a verified query over the TPC-H-ish
+testdata, because every R*/X* query composes from them.
+
+Float discipline: raw column values pass through unrounded (bit-equal
+in both engines); aggregated sums are rounded (2 for money, 6 for
+ratios) because accumulation order differs between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from rehiver_spark.queries import query, tables
+
+# ---------------------------------------------------------------------------
+# C1–C2: projection / filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c1_projection",
+    """
+    SELECT p_partkey, upper(p_name) AS uname,
+      CAST(length(p_name) AS BIGINT) AS name_len,
+      concat_ws('|', p_brand, p_type) AS tag
+    FROM part
+    """,
+)
+def c1_projection(spark, sf_dir):
+    p = tables(spark, sf_dir, ["part"])["part"]
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("tag"),
+    )
+
+
+@query(
+    "c2_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IS NOT DISTINCT FROM 'R'
+      AND (l_discount < 0.02 OR l_tax > 0.05)
+    """,
+)
+def c2_filter(spark, sf_dir):
+    li = tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").eqNullSafe("R")
+        & ((F.col("l_discount") < 0.02) | (F.col("l_tax") > 0.05))
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# C3–C5: joins (equi multi-way, range, as-of)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c3_join",
+    """
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    """,
+)
+def c3_join(spark, sf_dir):
+    """Multi-way equi-join (Q5-ish): Catalyst broadcasts nation (25
+    rows) and picks shuffle strategy for the fact-fact join."""
+    t = tables(spark, sf_dir, ["customer", "nation", "orders", "lineitem"])
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+_BANDS = [("low", 0.0, 940.0), ("mid", 940.0, 975.0), ("high", 975.0, 10_000_000.0)]
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS band, {lo} AS lo, {hi} AS hi" for n, lo, hi in _BANDS
+)
+
+
+@query(
+    "c4_range_join",
+    f"""
+    SELECT band, CAST(count(*) AS BIGINT) AS n,
+      CAST(min(p_partkey) AS BIGINT) AS min_key
+    FROM part JOIN ({_BANDS_SQL}) b
+      ON p_retailprice >= b.lo AND p_retailprice < b.hi
+    GROUP BY band
+    """,
+)
+def c4_range_join(spark, sf_dir):
+    """Theta/range join: non-equi condition against a broadcast band
+    table (never a shuffled cartesian — tiny side broadcasts)."""
+    p = tables(spark, sf_dir, ["part"])["part"]
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.min("p_partkey").alias("min_key"))
+    )
+
+
+@query(
+    "c5_asof_join",
+    """
+    WITH sample_events AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0
+    ),
+    ranked AS (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        row_number() OVER (PARTITION BY e.event_id
+          ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+      FROM sample_events e
+      LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_day
+    FROM ranked WHERE rn = 1
+    """,
+)
+def c5_asof_join(spark, sf_dir):
+    """As-of join: nearest-past order per event (SURVEY §2 C5) —
+    time-bounded join + row_number keep-latest with full tiebreak."""
+    t = tables(spark, sf_dir, ["events", "orders"])
+    ev = t["events"].filter(F.col("event_id") % 20 == 0).select("event_id", "user_id", "ts")
+    o = t["orders"]
+    j = ev.join(
+        o,
+        (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6–C8: aggregation / rollup / windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c6_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(count(*) AS BIGINT) AS count_order,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+      round(avg(l_quantity), 6) AS avg_qty,
+      CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def c6_agg(spark, sf_dir):
+    """TPC-H Q1 shape: hash aggregate with partial (map-side) combine."""
+    li = tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+@query(
+    "c7_rollup",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      CAST(count(*) AS BIGINT) AS n_cust, round(sum(c_acctbal), 2) AS bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def c7_rollup(spark, sf_dir):
+    t = tables(spark, sf_dir, ["customer", "nation", "region"])
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_cust",
+            "bal",
+        )
+    )
+
+
+@query(
+    "c8_window",
+    """
+    SELECT o_custkey, o_orderkey,
+      CAST(row_number() OVER w AS BIGINT) AS rn,
+      lag(o_totalprice) OVER w AS prev_price,
+      round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        AS run_total,
+      CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT)
+        AS prio_rank
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def c8_window(spark, sf_dir):
+    """row_number / lag / running sum / rank over one partitioning
+    (single exchange reused across the window specs)."""
+    o = tables(spark, sf_dir, ["orders"])["orders"].filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.round(F.sum("o_totalprice").over(wrun), 2).alias("run_total"),
+        F.rank().over(wprio).cast("bigint").alias("prio_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C9–C10: top-k / set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c9_topk",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 15
+    """,
+)
+def c9_topk(spark, sf_dir):
+    """Deterministic top-k: full tiebreak key (C9 rule). Spark plans
+    this as TakeOrderedAndProject — no global sort materialization."""
+    li = tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(15)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@query(
+    "c10_setops",
+    """
+    SELECT custkey FROM (
+      (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       UNION
+       SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal < 100
+    )
+    """,
+)
+def c10_setops(spark, sf_dir):
+    t = tables(spark, sf_dir, ["customer", "orders"])
+    c = t["customer"]
+    a = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+        .union(
+            c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+                F.col("c_custkey").alias("custkey")
+            )
+        )
+        .distinct()
+    )
+    b = t["orders"].select(F.col("o_custkey").alias("custkey")).distinct()
+    neg = c.filter(F.col("c_acctbal") < 100).select(F.col("c_custkey").alias("custkey"))
+    return a.intersect(b).subtract(neg)
+
+
+# ---------------------------------------------------------------------------
+# C11–C15: scalar function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c11_string",
+    r"""
+    SELECT p_partkey,
+      CAST(length(p_name) AS BIGINT) AS name_len,
+      upper(p_name) AS up, lower(p_brand) AS lo,
+      substr(p_name, 1, 5) AS pre,
+      trim(' ' || p_name || ' ') AS trimmed,
+      string_split(p_name, ' ')[1] AS word1,
+      regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      replace(p_name, ' ', '_') AS snake,
+      (p_name LIKE '%red%') AS has_red,
+      regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words
+    FROM part
+    """,
+)
+def c11_string(spark, sf_dir):
+    p = tables(spark, sf_dir, ["part"])["part"]
+    return p.select(
+        "p_partkey",
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_name", 1, 5).alias("pre"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.element_at(F.split("p_name", " "), 1).alias("word1"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.col("p_name").like("%red%").alias("has_red"),
+        F.col("p_name").rlike(r"^[a-z]+ [a-z]+$").alias("two_words"),
+    )
+
+
+@query(
+    "c12_datetime",
+    """
+    SELECT o_orderkey,
+      CAST(year(o_orderdate) AS BIGINT) AS y,
+      CAST(month(o_orderdate) AS BIGINT) AS m,
+      CAST(day(o_orderdate) AS BIGINT) AS d,
+      CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
+        AS days_since,
+      CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+      strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+)
+def c12_datetime(spark, sf_dir):
+    o = tables(spark, sf_dir, ["orders"])["orders"]
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "c13_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+      round(sqrt(l_extendedprice), 6) AS sqrt_price,
+      CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+      CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+      round(abs(l_discount - 0.05), 6) AS abs_disc,
+      round(pow(l_quantity, 2), 6) AS qty_sq,
+      round(ln(l_extendedprice), 6) AS ln_price
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def c13_math(spark, sf_dir):
+    li = tables(spark, sf_dir, ["lineitem"])["lineitem"].filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.floor("l_extendedprice").cast("bigint").alias("floor_price"),
+        F.ceil("l_extendedprice").cast("bigint").alias("ceil_price"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+    )
+
+
+@query(
+    "c14_array",
+    """
+    SELECT p_brand,
+      array_to_string(list_sort(list(DISTINCT p_type)), ',') AS types,
+      CAST(len(list(DISTINCT p_type)) AS BIGINT) AS n_types,
+      list_contains(list(DISTINCT p_type), 'ECONOMY') AS has_eco
+    FROM part GROUP BY p_brand
+    """,
+)
+def c14_array(spark, sf_dir):
+    p = tables(spark, sf_dir, ["part"])["part"]
+    types = F.sort_array(F.collect_set("p_type"))
+    return p.groupBy("p_brand").agg(
+        F.array_join(types, ",").alias("types"),
+        F.size(types).cast("bigint").alias("n_types"),
+        F.array_contains(types, "ECONOMY").alias("has_eco"),
+    )
+
+
+@query(
+    "c15_json",
+    """
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def c15_json(spark, sf_dir):
+    ev = tables(spark, sf_dir, ["events"])["events"]
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C16–C18: dedup / streaming windows / UDF surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c16_dedup",
+    """
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_day
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def c16_dedup(spark, sf_dir):
+    """Deterministic dedup: keep earliest order per customer with a
+    full tiebreak (C16 rule: row_number, never bare dropDuplicates)."""
+    o = tables(spark, sf_dir, ["orders"])["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_day"),
+        )
+    )
+
+
+@query(
+    "c17_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
+      CAST(count(*) AS BIGINT) AS n_events,
+      round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def c17_tumbling_window(spark, sf_dir):
+    """Tumbling windows via the SAME transform the streaming path runs
+    (rehiver_spark.streaming.windows.tumbling_counts) — batch-replayable
+    per C17; the streaming execution is covered in tests/test_streaming."""
+    from rehiver_spark.streaming.windows import tumbling_counts
+
+    ev = tables(spark, sf_dir, ["events"])["events"]
+    t = tumbling_counts(ev, "ts", "1 hour")
+    return t.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "n_events",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "c17_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+      strftime(min(ts)::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS session_start,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def c17_session_window(spark, sf_dir):
+    """Gap-based session windows (session_window merges events strictly
+    within the gap; the oracle reproduces that with island detection)."""
+    from rehiver_spark.streaming.windows import session_counts
+
+    ev = tables(spark, sf_dir, ["events"])["events"]
+    s = session_counts(ev, "ts", gap="5 minutes", group_cols=["user_id"])
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+@query(
+    "c18_pandas_udf",
+    r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+    FROM documents
+    """,
+)
+def c18_pandas_udf(spark, sf_dir):
+    """Arrow-batched scalar pandas UDF (C18) — deterministic whitespace
+    token count so the Python path itself is oracle-checked."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ptok(s):
+        return s.str.split().str.len().astype("int64")
+
+    # annotations set as real objects: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf's signature inspection
+    # cannot resolve for a function-local import of pandas
+    _ptok.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    ptok = pandas_udf(_ptok, "bigint")
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    return d.select("doc_id", ptok("text").alias("n_tok"))
