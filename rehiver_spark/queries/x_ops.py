@@ -1,1 +1,418 @@
-"""X1-X6 extension declared queries (placeholder, filled next)."""
+"""X1–X6 + multimodal: LLM-pipeline extension queries (SURVEY §2).
+
+Exact operators carry full DuckDB oracles; approximate operators
+(MinHash-LSH, SimHash, sign-LSH, IVF, approx_count_distinct) register
+without one per the X6 rule — their exactness contract (returned pairs
+⊆ exact answer) is asserted in tests instead.
+
+Dedup corpora are synthesized in BOTH engines from ``documents``: the
+table has no natural duplicates, so noisy copies (case/whitespace
+mutations for exact dedup, token-tail mutations for near-dup) are
+derived deterministically from fixed doc_id residues.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rehiver_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_neardup_pairs,
+    shingles,
+    simhash_neardup_pairs,
+)
+from rehiver_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    frame_sample_plan,
+    media_from_documents,
+)
+from rehiver_spark.operators.textops import tf_idf, text_stats
+from rehiver_spark.operators.vectorops import cosine_topk, ivf_topk, lsh_cosine_neardup
+from rehiver_spark.queries import query, tables
+
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '')"
+
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup by normalized content hash
+# ---------------------------------------------------------------------------
+
+
+def _noisy_corpus(spark, sf_dir):
+    """documents ∪ whitespace/case-mutated copies (doc_id+100000) that
+    normalize to identical text — the exact-dedup fixture."""
+    d = tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+    )
+    return d.unionByName(copies)
+
+
+_NOISY_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, '  ' || upper(text) || '   ' AS text
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+@query(
+    "x1_exact_dedup",
+    f"""
+    WITH corpus AS ({_NOISY_SQL}),
+    hashed AS (SELECT doc_id, sha256({_NORM_SQL}) AS sha FROM corpus)
+    SELECT doc_id, substr(sha, 1, 16) AS sha16,
+      (row_number() OVER (PARTITION BY sha ORDER BY doc_id ASC) = 1) AS is_keeper,
+      CAST(count(*) OVER (PARTITION BY sha) AS BIGINT) AS dup_count
+    FROM hashed
+    """,
+)
+def x1_exact_dedup(spark, sf_dir):
+    """X1: sha256(normalized) + deterministic keep-min-id (C16 rule)."""
+    out = exact_dedup(_noisy_corpus(spark, sf_dir), "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.substring("content_sha", 1, 16).alias("sha16"),
+        "is_keeper",
+        F.col("dup_count").cast("bigint").alias("dup_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — near-dup pairs: exact shingle-Jaccard (blocking join, no all-pairs)
+# ---------------------------------------------------------------------------
+
+
+def _neardup_corpus(spark, sf_dir):
+    """documents ∪ token-tail-mutated copies: J(copy, original) ≈ 0.95."""
+    d = tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
+    )
+    return d.unionByName(copies)
+
+
+_NEARDUP_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text || ' zz yy xx' AS text
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+@query(
+    "x2_jaccard_pairs",
+    f"""
+    WITH corpus AS ({_NEARDUP_SQL}),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM corpus),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(tk) - 2, 1) + 1),
+        i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+      CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.8
+    """,
+)
+def x2_jaccard_pairs(spark, sf_dir):
+    """X2 exact form: above-threshold Jaccard via shingle-blocking join
+    (a pair with J > 0 shares ≥1 shingle — blocking is lossless)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh = corpus.select("doc_id", shingles("text", k=3).alias("shingles"))
+    pairs = jaccard_pairs(sh, "doc_id", "shingles", threshold=0.8)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — cosine top-k (exact brute force; ANN variants below are X6-class)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x3_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+      SELECT query_id, e.vec_id,
+        list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS c
+      FROM q CROSS JOIN embeddings e
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, c,
+        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(c, 6) AS cos_sim, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def x3_cosine_topk(spark, sf_dir):
+    """X3: exact top-k, query side broadcast, (score DESC, vec_id ASC)
+    tiebreak — the baseline every ANN variant is measured against."""
+    emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(queries, emb, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cos_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — text analysis
+# ---------------------------------------------------------------------------
+
+_SW = "['the','a','an','and','or','of','to','in','is','it']"
+_LANG_SQL = """
+      CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+           WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           WHEN s_fr >= s_es THEN 'fr'
+           ELSE 'es' END
+"""
+
+
+@query(
+    "x4_text_stats",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS tk, {_NORM_SQL} AS norm,
+        length(text) AS n,
+        length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space
+      FROM documents
+    ),
+    scored AS (
+      SELECT *,
+        len(tk) AS n_tokens,
+        greatest(len(tk), 1) AS n_tok1,
+        len(list_filter(tk, t -> list_contains({_SW}, t))) AS sw_hits,
+        len(list_filter(tk, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) AS s_en,
+        len(list_filter(tk, t -> list_contains(['der','die','das','und','nicht','ist','ein'], t))) AS s_de,
+        len(list_filter(tk, t -> list_contains(['le','la','les','et','est','une','des'], t))) AS s_fr,
+        len(list_filter(tk, t -> list_contains(['el','la','los','y','es','una','que'], t))) AS s_es
+      FROM base
+    )
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_chars, CAST(n_alpha AS BIGINT) AS n_alpha,
+      CAST(n_digit AS BIGINT) AS n_digit,
+      CAST(n - n_alpha - n_digit - n_space AS BIGINT) AS n_punct,
+      CAST(n_tokens AS BIGINT) AS n_tokens,
+      round(sw_hits / greatest(n_tokens, 1), 6) AS stopword_ratio,
+      {_LANG_SQL} AS lang_pred,
+      round(0.4 * (n_alpha / greatest(n, 1))
+        + 0.3 * least(sw_hits / greatest(n_tokens, 1) * 5.0, 1.0)
+        + 0.3 * greatest(0.0, 1.0 - abs((length(norm) - (n_tok1 - 1)) / n_tok1 - 5.0) / 10.0),
+        6) AS quality
+    FROM scored
+    """,
+)
+def x4_text_stats(spark, sf_dir):
+    """X4: char classes, token counts, stopword ratio, language ID,
+    composite quality — all codegen'd Column expressions."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    out = text_stats(d.select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_alpha").cast("bigint").alias("n_alpha"),
+        F.col("n_digit").cast("bigint").alias("n_digit"),
+        F.col("n_punct").cast("bigint").alias("n_punct"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "lang_pred",
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — TF-IDF per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x5_tf_idf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT token, count(DISTINCT doc_id) AS df_docs FROM toks GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT source, token, CAST(tf AS BIGINT) AS tf, CAST(df_docs AS BIGINT) AS df_docs,
+      round(ln(n_docs::DOUBLE / df_docs), 6) AS idf,
+      round(tf * ln(n_docs::DOUBLE / df_docs), 6) AS tf_idf
+    FROM tf JOIN dfq USING (token) CROSS JOIN nd
+    """,
+)
+def x5_tf_idf(spark, sf_dir):
+    """X5: explode → two map-side-combinable aggs → broadcast join on
+    the |vocab|-sized DF relation."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    out = tf_idf(d, "text", "doc_id", "source")
+    return out.select(
+        "source",
+        "token",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df_docs").cast("bigint").alias("df_docs"),
+        F.round("idf", 6).alias("idf"),
+        F.round("tf_idf", 6).alias("tf_idf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary payload plumbing; oracle via content-addressed fakes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_decode",
+    """
+    SELECT doc_id AS media_id,
+      CAST(strlen(text) AS BIGINT) AS byte_len,
+      substr(sha256(text), 1, 16) AS sha16,
+      CAST(64 + ('0x' || substr(sha256(text), 1, 2))::INT * 8 AS BIGINT) AS width,
+      CAST(64 + ('0x' || substr(sha256(text), 3, 2))::INT * 8 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def mm_decode(spark, sf_dir):
+    """Multimodal decode plumbing: Arrow-batched mapInPandas over binary
+    payloads; the deterministic fake codec derives metadata from the
+    payload digest, so even the stubbed decode is oracle-checked."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    media = media_from_documents(d, kind="image")
+    dec = decode_media(media, fake=True)
+    return dec.select(
+        "media_id",
+        "byte_len",
+        "sha16",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+    )
+
+
+@query(
+    "mm_frame_plan",
+    """
+    WITH dec AS (
+      SELECT doc_id AS media_id,
+        5000 + ('0x' || substr(sha256(text), 5, 4))::INT AS duration_ms
+      FROM documents
+    )
+    SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      CAST(frame_idx * 1000 AS BIGINT) AS offset_ms
+    FROM dec, unnest(range(0, CAST(floor(duration_ms / 1000) AS INT) + 1)) AS t(frame_idx)
+    """,
+)
+def mm_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: sequence+explode over decoded
+    duration — pure Column ops downstream of the decode."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    media = media_from_documents(d, kind="video")
+    dec = decode_media(media, fake=True)
+    plan = frame_sample_plan(dec, every_ms=1000)
+    return plan.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("offset_ms").cast("bigint").alias("offset_ms"),
+    )
+
+
+@query("mm_features")  # rows-only: array<double> output, UDF featurizer
+def mm_features(spark, sf_dir):
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    media = media_from_documents(d, kind="image")
+    ft = extract_features(media)
+    return ft.select("media_id", F.size("feature").alias("dim"), "feature")
+
+
+# ---------------------------------------------------------------------------
+# X6-class approximate operators (declared non-oracle; rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+@query("x6_approx")  # approximate by design — excluded from hash-match
+def x6_approx(spark, sf_dir):
+    t = tables(spark, sf_dir, ["lineitem", "events"])
+    return t["lineitem"].agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("x7_minhash_pairs")  # LSH-blocked candidates, exact-verified subset
+def x7_minhash_pairs(spark, sf_dir):
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = minhash_neardup_pairs(corpus, "doc_id", "text", k=3, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("x8_simhash_pairs")  # hamming-bucketed candidates
+def x8_simhash_pairs(spark, sf_dir):
+    corpus = _noisy_corpus(spark, sf_dir)
+    return simhash_neardup_pairs(corpus, "doc_id", "text", max_hamming=3)
+
+
+@query("x9_lsh_cosine_neardup")  # sign-LSH bucketed, exact-verified
+def x9_lsh_cosine_neardup(spark, sf_dir):
+    """Testdata embeddings are near-orthogonal (max pairwise cosine
+    ≈ 0.51), so near-dups are synthesized: perturbed copies
+    (vec_id+100000) with cosine ≈ 0.998 to their originals."""
+    emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    perturbed = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x + 0.02).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(
+        perturbed
+    )
+    out = lsh_cosine_neardup(corpus, dim=64, threshold=0.9)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@query("x10_ivf_topk")  # IVF-flat ANN
+def x10_ivf_topk(spark, sf_dir):
+    emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(queries, emb, k=5, n_cells=16, n_probe=4)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
