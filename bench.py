@@ -1,0 +1,62 @@
+"""Bench harness (SURVEY §7 step 9).
+
+Times every declared query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]; forces full evaluation through the noop sink
+(count() would let Catalyst prune columns and under-report). Prints ONE
+JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"r1_glob_match": sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    import __spark_entry__ as E
+    from rehiver_spark.session import get_spark
+
+    spark = get_spark(app_name="rehiver-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in E.queries().items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # a failing query records -1, never kills the run
+            print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ok = [v for v in timings.values() if v >= 0]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(ok), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": len(timings) - len(ok),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -656,7 +656,7 @@ def r17_stream_process(spark, sf_dir):
     matched = objects.filter(glob_match("key", _R17_PATS, dot=True))
     from rehiver_spark.operators.pipeline import process_matching, pipeline_stats_df
 
-    log = process_matching(matched, _r17_processor, skip_existing=done)
+    log = process_matching(matched, _r17_processor, skip_existing=done, batch_partitions=32)
     return pipeline_stats_df(log)
 
 

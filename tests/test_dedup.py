@@ -98,3 +98,47 @@ def test_simhash_neardup_pairs(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in simhash_neardup_pairs(df, max_hamming=16).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_signatures_matches_column_form(spark):
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.dedup import simhash, simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "totally different words"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    rel = simhash_signatures(df)
+    col = df.select("doc_id", simhash("text").alias("sig"))
+    joined = rel.join(col.withColumnRenamed("sig", "sig_col"), "doc_id")
+    assert joined.filter(F.col("sig") != F.col("sig_col")).count() == 0
+    rows = {r["doc_id"]: r["sig"] for r in rel.collect()}
+    assert rows[1] == rows[2] and rows[1] != rows[3] and rows[4] == 0
+
+
+def test_jaccard_prefix_equals_blocking(spark):
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.dedup import jaccard_pairs, shingles
+
+    texts = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),
+        (3, "a b c d e f g h"),
+        (4, "q r s t u v w z"),
+        (5, "q r s t u v w z extra tail"),
+        (6, "completely unrelated words here now"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    sh = df.select("doc_id", shingles("text", 3).alias("shingles"))
+    for t in (0.5, 0.8):
+        p = {
+            (r["id_a"], r["id_b"], r["n_common"])
+            for r in jaccard_pairs(sh, threshold=t, method="prefix").collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"], r["n_common"])
+            for r in jaccard_pairs(sh, threshold=t, method="blocking").collect()
+        }
+        assert p == b and p, f"threshold {t}: prefix={p} blocking={b}"
