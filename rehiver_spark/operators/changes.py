@@ -179,22 +179,38 @@ class ChangeDetector:
     src/index.ts:2265-2267): accumulate a current snapshot, diff against
     stored previous, commit current → previous."""
 
+    #: after this many incremental adds, the accumulated union is
+    #: lineage-truncated via localCheckpoint — an unbounded unionByName
+    #: chain grows the logical plan linearly and analysis cost
+    #: quadratically under many adds
+    CHECKPOINT_EVERY = 50
+
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
         self.store = SnapshotStore(spark, state_dir)
-        self._current: DataFrame | None = None
+        self._parts: list[DataFrame] = []
 
     def add_objects(self, df: DataFrame) -> None:
         """Upsert rows into the current snapshot (reference addObjects,
-        src/index.ts:471-477; last-wins per key applied at detect time)."""
-        self._current = df if self._current is None else self._current.unionByName(df)
+        src/index.ts:471-477; last-wins per key applied at detect time).
+        Parts union lazily at detect/commit; lineage is checkpointed
+        every CHECKPOINT_EVERY adds."""
+        self._parts.append(df)
+        if len(self._parts) >= self.CHECKPOINT_EVERY:
+            self._parts = [self._union().localCheckpoint(eager=False)]
+
+    def _union(self) -> DataFrame:
+        if not self._parts:
+            raise ValueError("no current snapshot; call add_objects first")
+        out = self._parts[0]
+        for d in self._parts[1:]:
+            out = out.unionByName(d)
+        return out
 
     def _current_dedup(self) -> DataFrame:
         from rehiver_spark.sources.catalog import dedup_catalog
 
-        if self._current is None:
-            raise ValueError("no current snapshot; call add_objects first")
-        return dedup_catalog(self._current)
+        return dedup_catalog(self._union())
 
     def detect(self, mode: str = "full", track_deleted: bool = True) -> DataFrame:
         prev = self.store.load()
@@ -209,4 +225,4 @@ class ChangeDetector:
         return self.store.save(self._current_dedup())
 
     def reset_current(self) -> None:
-        self._current = None
+        self._parts = []

@@ -1,0 +1,97 @@
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def test_write_partitioned_layout_and_file_count(spark):
+    from rehiver_spark.sources.writer import write_partitioned
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("year"),
+        (F.col("id") % 4).alias("month"),
+    )
+    out = tempfile.mkdtemp(prefix="wp_")
+    write_partitioned(df, out, ["year", "month"], files_per_partition=1)
+    dirs = sorted(
+        os.path.relpath(os.path.join(dp), out)
+        for dp, _, files in os.walk(out)
+        if any(f.endswith(".parquet") for f in files)
+    )
+    assert len(dirs) == 12  # 3 years x 4 months
+    assert all(d.startswith("year=") and "/month=" in d for d in dirs)
+    # one file per leaf dir (repartition on partition cols)
+    for dp, _, files in os.walk(out):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if pq:
+            assert len(pq) == 1, (dp, pq)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+
+
+def test_write_partitioned_files_per_partition(spark):
+    from rehiver_spark.sources.writer import write_partitioned
+
+    df = spark.range(2000).select(F.col("id"), (F.col("id") % 2).alias("year"))
+    out = tempfile.mkdtemp(prefix="wp2_")
+    write_partitioned(df, out, ["year"], files_per_partition=3)
+    for dp, _, files in os.walk(out):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if pq:
+            assert len(pq) <= 3
+    assert spark.read.parquet(out).count() == 2000
+
+
+def test_put_object_local_and_bulk(spark):
+    from rehiver_spark.sources.writer import put_object, put_objects_df
+
+    d = tempfile.mkdtemp(prefix="put_")
+    etag = put_object(d, "a/b/c.json", b'{"x": 1}')
+    assert len(etag) == 32
+    with open(os.path.join(d, "a/b/c.json"), "rb") as f:
+        assert f.read() == b'{"x": 1}'
+
+    df = spark.createDataFrame(
+        [(f"bulk/k{i}.txt", f"body{i}".encode()) for i in range(10)],
+        "key string, body binary",
+    )
+    log = put_objects_df(df, d)
+    rows = log.collect()
+    assert len(rows) == 10 and all(r["error"] is None for r in rows)
+    assert os.path.exists(os.path.join(d, "bulk/k3.txt"))
+
+
+def test_list_distributed_local(spark):
+    from rehiver_spark.sources.catalog import list_distributed, local_lister_factory
+
+    base = tempfile.mkdtemp(prefix="lst_")
+    for p in ["a/x1.json", "a/x2.csv", "b/y1.txt", "c/z1.parquet"]:
+        full = os.path.join(base, p)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "w") as f:
+            f.write("data")
+    df = list_distributed(spark, ["a", "b", "c"], local_lister_factory(base))
+    rows = {r["key"]: r for r in df.collect()}
+    assert set(rows) == {"a/x1.json", "a/x2.csv", "b/y1.txt", "c/z1.parquet"}
+    assert rows["a/x1.json"]["content_type"] == "application/json"
+    assert rows["a/x1.json"]["size"] == 4
+    assert rows["a/x1.json"]["last_modified"] is not None
+
+
+def test_change_detector_many_adds_bounded_lineage(spark):
+    from rehiver_spark.operators.changes import ChangeDetector
+
+    det = ChangeDetector(spark, tempfile.mkdtemp(prefix="cd_"))
+    det.CHECKPOINT_EVERY = 10
+    for i in range(25):
+        det.add_objects(
+            spark.createDataFrame(
+                [(f"k{i}", i, f"e{i}", None)],
+                "key string, size bigint, etag string, last_modified timestamp",
+            )
+        )
+    changes = det.detect()
+    assert changes.filter(F.col("change_type") == "added").count() == 25
+    det.commit()
+    assert det.store.load().count() == 25
