@@ -1,0 +1,106 @@
+"""Physical-plan audits: the queries must not merely be correct — the
+plans must be the ones a 100 TB run needs (pushdown, broadcast, no
+cartesian product, partial aggregation, pruned reads)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from rehiver_spark.queries import QUERIES, load_all
+
+    load_all()
+    return QUERIES
+
+
+def test_c3_join_broadcasts_dimension(spark, queries):
+    p = plan_of(queries["c3_join"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_c6_agg_partial_aggregation_and_pushdown(spark, queries):
+    df = queries["c6_agg"](spark, SF)
+    p = plan_of(df)
+    # map-side partial + final aggregate
+    assert p.count("HashAggregate") >= 2
+    # the shipdate filter must reach the parquet scan
+    assert "PushedFilters: [" in p and "l_shipdate" in p.split("PushedFilters")[1][:200]
+
+
+def test_c1_projection_prunes_read_schema(spark, queries):
+    p = plan_of(queries["c1_projection"](spark, SF))
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_name" in read and "p_retailprice" not in read
+
+
+def test_x2_jaccard_no_cartesian(spark, queries):
+    p = plan_of(queries["x2_jaccard_pairs"](spark, SF))
+    assert "CartesianProduct" not in p
+
+
+def test_x3_topk_broadcasts_queries_not_corpus(spark, queries):
+    p = plan_of(queries["x3_cosine_topk"](spark, SF))
+    # query side joins via broadcast (nested-loop on no-condition join);
+    # the corpus is never shuffled before scoring
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_c9_topk_is_take_ordered(spark, queries):
+    p = plan_of(queries["c9_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in p  # no full global sort materialization
+
+
+def test_r6_prune_reaches_scan_on_hive_layout(spark):
+    """The same prune_filter predicate drives directory pruning on a
+    real partitioned read (PartitionFilters, not a post-scan filter)."""
+    from rehiver_spark.flagship import partitioned_events_dir
+    from rehiver_spark.operators.partitions import PartitionField, PartitionSchema
+
+    base = partitioned_events_dir(spark, SF)
+    sch = PartitionSchema(
+        [PartitionField("year", "int"), PartitionField("month", "int"), PartitionField("day", "int")]
+    )
+    df = spark.read.parquet(base).filter(sch.prune_filter({"year": 2024, "day": 15}))
+    p = plan_of(df)
+    scan = p.split("PartitionFilters:")[1].splitlines()[0]
+    assert "year" in scan and "day" in scan
+    assert df.count() > 0
+
+
+def test_flagship_prunes_partitions(spark):
+    from datetime import datetime
+
+    from rehiver_spark.flagship import hourly_metrics
+
+    from rehiver_spark.flagship import partitioned_events_dir
+
+    df = hourly_metrics(spark, SF, end=datetime(2024, 1, 30, 23), hours=24)
+    p = plan_of(df)
+    part = p.split("PartitionFilters:")[1].splitlines()[0]
+    assert "year" in part  # predicate reached the scan (string truncates)
+    # and it actually prunes: the 24h query reads ~1/30th of the files
+    total = len(spark.read.parquet(partitioned_events_dir(spark, SF)).inputFiles())
+    assert len(df.inputFiles()) <= max(26, total // 10)
+
+
+def test_r17_pipeline_stats_single_aggregate(spark, queries):
+    p = plan_of(queries["r17_stream_process"](spark, SF))
+    # stats computed in one aggregation over the log, not four scans
+    assert p.count("ArrowEvalPython") + p.count("MapInPandas") <= 1
+
+
+def test_x5_tfidf_broadcasts_df_relation(spark, queries):
+    p = plan_of(queries["x5_tf_idf"](spark, SF))
+    assert "BroadcastHashJoin" in p
