@@ -90,9 +90,17 @@ def test_flagship_prunes_partitions(spark):
     p = plan_of(df)
     part = p.split("PartitionFilters:")[1].splitlines()[0]
     assert "year" in part  # predicate reached the scan (string truncates)
-    # and it actually prunes: the 24h query reads ~1/30th of the files
+    # and it actually prunes: FileSourceScanExec selects ~24 hour dirs
+    # out of the table's full partition count (inputFiles() reports the
+    # unpruned FileIndex, so interrogate the scan node through AQE)
+    adaptive = df._jdf.queryExecution().executedPlan()
+    scan = adaptive.executedPlan().collectLeaves().apply(0)
+    # selectedPartitions is a JVM array — measure through reflection
+    jvm = spark.sparkContext._gateway.jvm
+    selected = jvm.java.lang.reflect.Array.getLength(scan.selectedPartitions())
     total = len(spark.read.parquet(partitioned_events_dir(spark, SF)).inputFiles())
-    assert len(df.inputFiles()) <= max(26, total // 10)
+    assert selected <= 26, (selected, total)
+    assert total > 400  # the table really has hundreds of hour dirs
 
 
 def test_r17_pipeline_stats_single_aggregate(spark, queries):
