@@ -95,9 +95,8 @@ def test_flagship_prunes_partitions(spark):
     # unpruned FileIndex, so interrogate the scan node through AQE)
     adaptive = df._jdf.queryExecution().executedPlan()
     scan = adaptive.executedPlan().collectLeaves().apply(0)
-    # selectedPartitions is a JVM array — measure through reflection
-    jvm = spark.sparkContext._gateway.jvm
-    selected = jvm.java.lang.reflect.Array.getLength(scan.selectedPartitions())
+    # Spark 4 scan listing: file count AFTER partition pruning
+    selected = scan.selectedPartitions().totalNumberOfFiles()
     total = len(spark.read.parquet(partitioned_events_dir(spark, SF)).inputFiles())
     assert selected <= 26, (selected, total)
     assert total > 400  # the table really has hundreds of hour dirs
