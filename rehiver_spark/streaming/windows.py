@@ -151,12 +151,20 @@ def run_available_now(
     return spark.table(name)
 
 
-def foreach_batch_collecting(sdf: DataFrame, fn, checkpoint: str | None = None, timeout_sec: int = 300):
+def foreach_batch_collecting(
+    sdf: DataFrame,
+    fn,
+    checkpoint: str | None = None,
+    timeout_sec: int = 300,
+    output_mode: str = "append",
+):
     """foreachBatch sink runner (reference per-batch processing loop,
     src/index.ts:1498-1530): fn(batch_df, batch_id) per micro-batch,
-    AvailableNow, blocks until drained."""
+    AvailableNow, blocks until drained. Stateful update-mode operators
+    need ``output_mode='update'``."""
     q = (
         sdf.writeStream.foreachBatch(fn)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()

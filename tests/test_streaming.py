@@ -59,3 +59,40 @@ def test_dedup_within_watermark_batch_parity(spark):
         "id bigint, ts_s string",
     ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
     assert dedup_within_watermark(df, ["id"]).count() == 2
+
+
+def test_running_totals_stateful(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from rehiver_spark.session import read_events
+    from rehiver_spark.streaming.stateful import running_totals_stateful
+    from rehiver_spark.streaming.windows import foreach_batch_collecting, read_file_stream
+
+    ev = read_events(spark, "/root/testdata/sf0.001").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
+    out = running_totals_stateful(sdf)
+
+    finals = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            finals[r["key"]] = (r["n_events"], r["sum_value"])  # latest update wins
+
+    foreach_batch_collecting(out, sink, checkpoint=str(tmp_path / "ckpt"), output_mode="update")
+
+    expected = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(finals) == set(expected)
+    for k, (n, s) in expected.items():
+        assert finals[k][0] == n
+        assert abs(finals[k][1] - s) < 1e-6
