@@ -89,6 +89,33 @@ def put_object(
     return hashlib.md5(body).hexdigest()
 
 
+def create_bucket_if_not_exists(bucket: str, region: str | None = None, s3: bool = True) -> bool:
+    """Head-then-create (reference createBucketIfNotExists,
+    src/index.ts:2042-2157): True if created, False if it existed.
+    boto3-gated; retries delegate to boto3's retry config (the
+    reference's retryWithBackoff is not re-implemented — SURVEY §4)."""
+    if not s3:
+        os.makedirs(bucket, exist_ok=True)
+        return True
+    try:
+        import boto3  # noqa: PLC0415
+        from botocore.exceptions import ClientError  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("boto3 not available in this environment") from e
+    client = boto3.client("s3")
+    try:
+        client.head_bucket(Bucket=bucket)
+        return False
+    except ClientError as e:  # pragma: no cover - needs live S3
+        if e.response["ResponseMetadata"]["HTTPStatusCode"] != 404:
+            raise
+    kwargs = (
+        {"CreateBucketConfiguration": {"LocationConstraint": region}} if region else {}
+    )
+    client.create_bucket(Bucket=bucket, **kwargs)  # pragma: no cover
+    return True  # pragma: no cover
+
+
 def put_objects_df(
     df: DataFrame,
     bucket_or_dir: str,
