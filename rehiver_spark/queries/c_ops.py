@@ -240,6 +240,30 @@ def c7_rollup(spark, sf_dir):
 
 
 @query(
+    "c7b_cube",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      coalesce(o_orderpriority, 'ALL') AS priority,
+      CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def c7b_cube(spark, sf_dir):
+    o = tables(spark, sf_dir, ["orders"])["orders"]
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
     "c8_window",
     """
     SELECT o_custkey, o_orderkey,
@@ -330,6 +354,25 @@ def c10_setops(spark, sf_dir):
     b = t["orders"].select(F.col("o_custkey").alias("custkey")).distinct()
     neg = c.filter(F.col("c_acctbal") < 100).select(F.col("c_custkey").alias("custkey"))
     return a.intersect(b).subtract(neg)
+
+
+@query(
+    "c10b_except_all",
+    """
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def c10b_except_all(spark, sf_dir):
+    """Multiset EXCEPT ALL (C10): per-customer order multiplicities
+    minus their 'F'-status multiplicities — duplicates preserved."""
+    o = tables(spark, sf_dir, ["orders"])["orders"]
+    a = o.select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)
 
 
 # ---------------------------------------------------------------------------
