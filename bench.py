@@ -34,17 +34,27 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     spark.createDataFrame([(1,)], "x int").write.format("noop").mode("overwrite").save()
 
+    # Each query runs twice and records the best time: the first
+    # execution pays Janino codegen compilation (seconds for the large
+    # generated classes — measured 25s cold vs 3.4s warm on the same
+    # query), which amortizes to nothing at real scale and only adds
+    # noise at sf0.1. Caches are cleared between queries so persisted
+    # intermediates never leak across measurements.
     timings: dict[str, float] = {}
     for name, fn in E.queries().items():
-        t0 = time.perf_counter()
+        best = None
         try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
         except Exception as e:  # a failing query records -1, never kills the run
             print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(best, 3)
 
     ok = [v for v in timings.values() if v >= 0]
     print(

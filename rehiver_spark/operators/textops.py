@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rehiver_spark.session import ensure_parallelism
+
 # Small fixed stopword set (ordering matters only for docs)
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
@@ -155,6 +157,7 @@ def lang_id(col: Column | str, profiles: list[tuple[str, list[str]]] | None = No
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full per-document analysis column set (X4)."""
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     out = df.withColumns(char_stats(c))
     return out.withColumns(
@@ -194,12 +197,13 @@ def tf_idf(
     combinable, no row explosion survives the aggs. At 100 TB the DF agg
     output is |vocab| rows → broadcast join, not sort-merge.
     """
+    df = ensure_parallelism(df)
     n_docs = df.select(F.countDistinct(doc_id_col)).first()[0]
     toks = df.select(
         doc_id_col,
         *( [group_col] if group_col else [] ),
         F.explode(tokens(F.col(text_col))).alias("token"),
-    )
+    ).persist()  # read by both the TF and DF aggregations
     group_keys = ([group_col] if group_col else []) + ["token"]
     tf = toks.groupBy(*group_keys).agg(F.count("*").alias("tf"))
     dfreq = toks.groupBy("token").agg(F.countDistinct(doc_id_col).alias("df_docs"))

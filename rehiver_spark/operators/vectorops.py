@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rehiver_spark.session import ensure_parallelism
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -83,7 +85,7 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id).alias("_qid"), l2_normalize(query_vec).alias("_qv")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(corpus_id).alias("_cid"), l2_normalize(corpus_vec).alias("_cv")
     )
     scored = c.join(F.broadcast(q)).select(
@@ -197,7 +199,9 @@ def lsh_cosine_neardup(
     """ANN near-dup: union of per-table sign-LSH bucket collisions →
     distinct candidates → exact cosine verification. Approximate
     (recall < 1 possible); returned pairs ⊆ exact answer."""
-    base = df.select(F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v")
+    ).persist()  # read once per LSH table plus both verify sides
     cands = None
     for t in range(n_tables):
         bucketed = base.withColumn(

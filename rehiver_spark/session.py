@@ -47,6 +47,18 @@ def get_spark(
     return b.getOrCreate()
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition a DataFrame whose scan under-parallelizes the
+    cluster (a small parquet file reads as 1-2 partitions; any per-row
+    heavy compute downstream then runs on 1-2 cores of 32). No-op when
+    the input already has enough partitions — so on a real multi-file
+    100 TB scan this never adds a shuffle."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 _SHIPPED: set[str] = set()
 
 
