@@ -1,0 +1,83 @@
+"""Engine facade: the reference ``Rehiver`` class surface
+(src/index.ts:2209-2620 — facade methods + static factories) as a thin
+session wrapper. Every method delegates to the operator modules; the
+facade exists for API parity and discoverability, not logic.
+
+    eng = Engine(spark)
+    eng.find_matching_objects(objects_df, ["data/**/*.json", "!**/tmp/**"])
+    eng.stream_matching_objects(objects_df, patterns, processor)
+    eng.partition_parser(date_schema()).apply(df, "key")
+    eng.time_partitioner("hourly").path_col("ts")
+    eng.change_detector("/state/dir").detect()
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rehiver_spark.functions.globs import PathMatcher
+from rehiver_spark.operators.changes import ChangeDetector
+from rehiver_spark.operators.partitions import PartitionSchema
+from rehiver_spark.operators.pipeline import find_matching, stream_process
+from rehiver_spark.operators.timeparts import TimePartitioner
+
+
+class Engine:
+    """Session-scoped facade (reference Rehiver, src/index.ts:2209+)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # -- factories (reference partitionParser/timePartitioner/
+    # changeDetector, src/index.ts:1987-2033, 2249-2267) --------------
+    def partition_parser(self, schema: PartitionSchema) -> PartitionSchema:
+        return schema
+
+    def time_partitioner(self, granularity: str = "daily", **kw) -> TimePartitioner:
+        return TimePartitioner(granularity=granularity, **kw)
+
+    def change_detector(self, state_dir: str) -> ChangeDetector:
+        return ChangeDetector(self.spark, state_dir)
+
+    def path_matcher(self, dot: bool = False, nocase: bool = False) -> PathMatcher:
+        return PathMatcher(dot=dot, nocase=nocase)
+
+    # -- object workflows (facade findMatchingObjects /
+    # streamMatchingObjects, src/index.ts:2343-2517) -------------------
+    def find_matching_objects(
+        self, objects: DataFrame, patterns: str | list[str], prefix: str = "", **kw
+    ) -> DataFrame:
+        return find_matching(objects, patterns, prefix=prefix, **kw)
+
+    def stream_matching_objects(
+        self,
+        objects: DataFrame,
+        patterns: str | list[str],
+        processor: Callable[[str], object],
+        **kw,
+    ):
+        return stream_process(objects, patterns, processor, **kw)
+
+    # -- catalog sources ----------------------------------------------
+    def objects_from_local(self, base: str, prefix: str = "") -> DataFrame:
+        from rehiver_spark.sources.catalog import list_local
+
+        return list_local(self.spark, base, prefix)
+
+    def objects_from_scan(self, df: DataFrame) -> DataFrame:
+        from rehiver_spark.sources.catalog import from_file_scan
+
+        return from_file_scan(df)
+
+    def objects_distributed(self, prefixes: list[str], lister_factory) -> DataFrame:
+        from rehiver_spark.sources.catalog import list_distributed
+
+        return list_distributed(self.spark, prefixes, lister_factory)
+
+    # -- write path ---------------------------------------------------
+    def write_partitioned(self, df: DataFrame, path: str, partition_cols: list[str], **kw):
+        from rehiver_spark.sources.writer import write_partitioned
+
+        return write_partitioned(df, path, partition_cols, **kw)

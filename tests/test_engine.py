@@ -1,0 +1,44 @@
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def test_engine_facade_roundtrip(spark):
+    from rehiver_spark.engine import Engine
+    from rehiver_spark.operators.partitions import date_schema
+
+    eng = Engine(spark)
+    objects = spark.createDataFrame(
+        [("data/year=2024/month=01/a.json", 5), ("tmp/b.json", 6), ("data/c.txt", 7)],
+        "key string, size bigint",
+    )
+    got = {r["key"] for r in eng.find_matching_objects(objects, ["data/**/*.json", "!tmp/**"]).collect()}
+    assert got == {"data/year=2024/month=01/a.json"}
+
+    def make():
+        def p(key):
+            return len(key)
+        return p
+
+    log, stats = eng.stream_matching_objects(objects, "**/*.json", make())
+    st = stats.first()
+    assert (st["matched"], st["processed"]) == (2, 2)
+
+    parsed = eng.partition_parser(date_schema()).parse("year=2024/month=01/day=05")
+    assert parsed == {"year": 2024, "month": 1, "day": 5}
+
+    tp = eng.time_partitioner("hourly", fmt="hive")
+    from datetime import datetime
+
+    assert tp.path_for(datetime(2024, 1, 2, 3)) == "year=2024/month=01/day=02/hour=03"
+
+    det = eng.change_detector(tempfile.mkdtemp())
+    det.add_objects(
+        spark.createDataFrame(
+            [("k1", 1, "e", None)],
+            "key string, size bigint, etag string, last_modified timestamp",
+        )
+    )
+    assert det.detect().filter(F.col("change_type") == "added").count() == 1
+
+    assert eng.path_matcher().is_match("a/b.txt", "**/*.txt")
