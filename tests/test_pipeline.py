@@ -63,3 +63,46 @@ def test_skip_existing_anti_join(spark, objects):
     )
     st = stats.first()
     assert (st["matched"], st["processed"], st["skipped"], st["skipped_existing"]) == (3, 1, 1, 1)
+
+
+def test_stream_process_incremental(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from rehiver_spark.operators.pipeline import stream_process_incremental
+
+    src = str(tmp_path / "src")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("part")
+    )
+    df.write.partitionBy("part").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    log, stats = stream_process_incremental(
+        spark,
+        src,
+        schema,
+        ["part=1/**", "part=2/**"],
+        _make_processor(),
+        log_dir=str(tmp_path / "log"),
+        checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+    )
+    st = stats.first()
+    n_matched_files = len(
+        [f for f in spark.read.parquet(src).inputFiles() if "part=1" in f or "part=2" in f]
+    )
+    assert st["matched"] == n_matched_files
+    assert st["processed"] == n_matched_files  # no 'fail' in parquet names
+    assert log.select("batch_id").distinct().count() > 1  # really incremental
+
+    # second run with same checkpoint: nothing new to process
+    log2, stats2 = stream_process_incremental(
+        spark,
+        src,
+        schema,
+        ["part=1/**", "part=2/**"],
+        _make_processor(),
+        log_dir=str(tmp_path / "log"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert stats2.first()["matched"] == st["matched"]  # log unchanged
