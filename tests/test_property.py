@@ -1,0 +1,121 @@
+"""Property-based dual-rail tests (hypothesis): every operator that
+exists at BOTH driver level (Python re/urllib) and Column level (Java
+regex / url_encode) must agree on arbitrary inputs — the two dialects
+diverging silently was a round-1 audit finding.
+
+Spark calls are batched: hypothesis generates a case LIST per example
+and each example runs ONE collect, keeping runtime sane.
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SEG = st.text(alphabet=list(string.ascii_lowercase + string.digits) + [".", "-", "_"], min_size=1, max_size=6)
+PATH = st.lists(SEG, min_size=1, max_size=5).map("/".join)
+
+PATTERNS = st.sampled_from(
+    [
+        "**/*.txt",
+        "*",
+        "**",
+        "a/**/b",
+        "**/*.{txt,json}",
+        "data/*/x?",
+        "[abc]*/**",
+        "[!abc]*/**",
+        "!**/tmp/**",
+        "**/x*",
+        "a?c",
+    ]
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(PATH, PATTERNS), min_size=1, max_size=40))
+def test_glob_driver_column_agree(spark, cases):
+    from rehiver_spark.functions.globs import PathMatcher, glob_match
+
+    m = PathMatcher()
+    df = spark.createDataFrame(
+        [(p, pat) for p, pat in cases], "path string, pattern string"
+    )
+    # per distinct pattern, one Column predicate (pattern is a plan-time arg)
+    for pat in {pat for _, pat in cases}:
+        sub = df.filter(F.col("pattern") == pat)
+        got = {
+            r["path"]: r["m"]
+            for r in sub.select("path", glob_match("path", pat).alias("m")).collect()
+        }
+        for p, want in ((p, m.is_match(p, pat)) for p, pp in cases if pp == pat):
+            assert got[p] == want, (p, pat, want)
+
+
+DATEDICT = st.fixed_dictionaries(
+    {
+        "year": st.integers(2000, 2100),
+        "month": st.integers(1, 12),
+        "day": st.integers(1, 31),
+    }
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(DATEDICT)
+def test_partition_format_parse_roundtrip(data):
+    from rehiver_spark.operators.partitions import date_schema
+
+    sch = date_schema()
+    assert sch.parse(sch.format(data)) == data
+
+
+KEYSEG = st.text(
+    alphabet=list(string.ascii_letters + string.digits) + [" ", "%", "+", "=", "#", "&", "é", "日"],
+    min_size=1,
+    max_size=8,
+)
+KEY = st.lists(KEYSEG, min_size=1, max_size=4).map("/".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(KEY, min_size=1, max_size=30, unique=True))
+def test_s3key_codec_roundtrip_both_rails(spark, keys):
+    from rehiver_spark.sources.catalog import (
+        decode_s3_key,
+        decode_s3_key_col,
+        encode_s3_key,
+        encode_s3_key_col,
+    )
+
+    # driver rail
+    for k in keys:
+        assert decode_s3_key(encode_s3_key(k)) == k
+    # column rail agrees with the driver encoder AND round-trips
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    rows = df.select(
+        "key",
+        encode_s3_key_col("key").alias("enc"),
+        decode_s3_key_col(encode_s3_key_col("key")).alias("rt"),
+    ).collect()
+    for r in rows:
+        assert r["rt"] == r["key"], r
+        assert r["enc"] == encode_s3_key(r["key"]), r
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(PATH, min_size=1, max_size=30))
+def test_segment_glob_driver_column_agree(spark, paths):
+    from rehiver_spark.functions.globs import segment_glob_match
+    from rehiver_spark.operators.partitions import PartitionSchema
+
+    pattern = "year=*/month=*"
+    sch = PartitionSchema([])
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    got = {
+        r["path"]: r["m"]
+        for r in df.select("path", segment_glob_match("path", pattern).alias("m")).collect()
+    }
+    for p in paths:
+        assert got[p] == sch.matches_glob(p, pattern), p
