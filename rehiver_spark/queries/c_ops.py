@@ -212,6 +212,27 @@ def c6_agg(spark, sf_dir):
 
 
 @query(
+    "c6b_percentile",
+    """
+    SELECT l_returnflag,
+      round(quantile_cont(l_extendedprice, 0.5), 6) AS med,
+      round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+      round(quantile_cont(l_quantity, 0.25), 6) AS q1_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def c6b_percentile(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, both linear interpolation)."""
+    li = tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("med"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q1_qty"),
+    )
+
+
+@query(
     "c7_rollup",
     """
     SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,

@@ -478,7 +478,8 @@ def r11_changes_filter(spark, sf_dir):
         ORDER BY last_modified DESC NULLS LAST, etag DESC NULLS LAST) AS rn
       FROM dup
     )
-    SELECT count(*) AS n, sum(size) AS total_size FROM kept WHERE rn = 1
+    SELECT count(*) AS n, CAST(sum(size) AS BIGINT) AS total_size
+    FROM kept WHERE rn = 1
     """,
 )
 def r12_snapshot_commit(spark, sf_dir):

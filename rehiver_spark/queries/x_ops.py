@@ -374,6 +374,16 @@ def x6_approx(spark, sf_dir):
     )
 
 
+@query("x6b_sampling")  # seeded sample — partition-layout dependent, rows-only
+def x6b_sampling(spark, sf_dir):
+    li = tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    s = li.sample(fraction=0.1, seed=42)
+    return s.agg(
+        F.count("*").alias("sample_rows"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
+
+
 @query("x7_minhash_pairs")  # LSH-blocked candidates, exact-verified subset
 def x7_minhash_pairs(spark, sf_dir):
     corpus = _neardup_corpus(spark, sf_dir)
