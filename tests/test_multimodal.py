@@ -58,3 +58,36 @@ def test_metadata_projection_prunes_payload(media, tmp_path):
     df = media.sparkSession.read.parquet(p).select("media_id", "kind")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan.split("ReadSchema:")[-1]
+
+
+def test_decode_audio_and_video_kinds(spark):
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.multimodal import decode_media, media_from_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    for kind, present, absent in [
+        ("audio", ["duration_ms", "sample_rate"], ["width", "height"]),
+        ("video", ["width", "height", "duration_ms"], ["sample_rate"]),
+    ]:
+        dec = decode_media(media_from_documents(docs, kind=kind))
+        rows = dec.collect()
+        assert len(rows) == 20
+        assert all(r["error"] is None for r in rows)
+        for col in present:
+            assert all(r[col] is not None for r in rows), (kind, col)
+        for col in absent:
+            assert all(r[col] is None for r in rows), (kind, col)
+    # determinism: same payload -> same decoded metadata
+    d1 = decode_media(media_from_documents(docs, kind="audio")).collect()
+    d2 = decode_media(media_from_documents(docs, kind="audio")).collect()
+    assert sorted(map(str, d1)) == sorted(map(str, d2))
+
+
+def test_real_decode_stub_raises(spark):
+    import pytest
+
+    from rehiver_spark.operators.multimodal import _real_decode
+
+    with pytest.raises(NotImplementedError):
+        _real_decode("audio", b"xx")
