@@ -1,0 +1,110 @@
+"""pyrehiver — PySpark-native data-lake analytics engine.
+
+Public API (see README.md for the module map; everything re-exported
+here is stable surface a reference user would reach for):
+
+    from rehiver_spark import Engine, get_spark
+    from rehiver_spark import glob_match, PartitionSchema, TimePartitioner
+"""
+
+from rehiver_spark.engine import Engine
+from rehiver_spark.functions.globs import (
+    PathMatcher,
+    glob_all,
+    glob_match,
+    glob_to_regex,
+    path_capture,
+    segment_glob_match,
+)
+from rehiver_spark.operators.changes import (
+    ChangeDetector,
+    SnapshotStore,
+    detect_changes,
+    filter_changes,
+)
+from rehiver_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_neardup_pairs,
+    shingles,
+    simhash_neardup_pairs,
+    simhash_signatures,
+)
+from rehiver_spark.operators.partitions import (
+    PartitionField,
+    PartitionSchema,
+    analytics_schema,
+    date_schema,
+    log_schema,
+)
+from rehiver_spark.operators.pipeline import (
+    find_matching,
+    process_matching,
+    stream_process,
+    stream_process_incremental,
+)
+from rehiver_spark.operators.skew import salted_join
+from rehiver_spark.operators.textops import text_stats, tf_idf
+from rehiver_spark.operators.timeparts import TimePartitioner
+from rehiver_spark.operators.vectorops import cosine_topk, ivf_topk, lsh_cosine_neardup
+from rehiver_spark.session import ensure_parallelism, get_spark, read_events
+from rehiver_spark.sources.catalog import (
+    from_file_scan,
+    list_distributed,
+    list_local,
+    local_lister_factory,
+    s3_lister_factory,
+)
+from rehiver_spark.sources.reader import read_matching, read_path_glob
+from rehiver_spark.sources.writer import put_object, put_objects_df, write_partitioned
+
+__version__ = "0.2.0"
+
+__all__ = [
+    "ChangeDetector",
+    "Engine",
+    "PartitionField",
+    "PartitionSchema",
+    "PathMatcher",
+    "SnapshotStore",
+    "TimePartitioner",
+    "analytics_schema",
+    "cosine_topk",
+    "date_schema",
+    "detect_changes",
+    "ensure_parallelism",
+    "exact_dedup",
+    "filter_changes",
+    "find_matching",
+    "from_file_scan",
+    "get_spark",
+    "glob_all",
+    "glob_match",
+    "glob_to_regex",
+    "ivf_topk",
+    "jaccard_pairs",
+    "list_distributed",
+    "list_local",
+    "local_lister_factory",
+    "log_schema",
+    "lsh_cosine_neardup",
+    "minhash_neardup_pairs",
+    "path_capture",
+    "process_matching",
+    "put_object",
+    "put_objects_df",
+    "read_events",
+    "read_matching",
+    "read_path_glob",
+    "s3_lister_factory",
+    "salted_join",
+    "segment_glob_match",
+    "shingles",
+    "simhash_neardup_pairs",
+    "simhash_signatures",
+    "stream_process",
+    "stream_process_incremental",
+    "text_stats",
+    "tf_idf",
+    "write_partitioned",
+]

@@ -635,6 +635,43 @@ def c17_session_window(spark, sf_dir):
 
 
 @query(
+    "c17c_streaming_exec",
+    """
+    SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
+      CAST(count(*) AS BIGINT) AS n_events,
+      round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def c17c_streaming_exec(spark, sf_dir):
+    """C17 through the REAL streaming engine: file-source stream →
+    tumbling window agg → Trigger.AvailableNow → memory sink. The
+    returned DataFrame is the sink table, so the oracle verifies the
+    streaming execution itself, not just a batch replay."""
+    import tempfile
+
+    from rehiver_spark.streaming.windows import (
+        read_file_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    ev = tables(spark, sf_dir, ["events"])["events"]
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    ev.withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
+    res = run_available_now(tumbling_counts(sdf, "ts", "1 hour"))
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "n_events",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+    )
+
+
+@query(
     "c18_pandas_udf",
     r"""
     SELECT doc_id,
