@@ -25,7 +25,6 @@ from rehiver_spark.functions.globs import (
 )
 from rehiver_spark.operators.changes import ChangeDetector, detect_changes, filter_changes
 from rehiver_spark.operators.partitions import date_schema
-from rehiver_spark.operators.pipeline import stream_process
 from rehiver_spark.operators.timeparts import TimePartitioner
 from rehiver_spark.queries import query, tables
 from rehiver_spark.sources.catalog import (
@@ -679,5 +678,4 @@ def r17_stream_process(spark, sf_dir):
     return pipeline_stats_df(log)
 
 
-# re-export for __spark_entry__
-__all__ = ["glob_sql", "stream_process"]
+__all__ = ["glob_sql"]
