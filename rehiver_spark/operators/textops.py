@@ -171,6 +171,83 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-embedding shaping step of a training/RAG pipeline.
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last chunk may be short; a doc
+    shorter than one chunk yields exactly one chunk. Pure Column ops
+    (sequence → transform slice → posexplode), fully parallel, no UDF.
+
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    df = ensure_parallelism(df)
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks: ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.ceil(F.greatest(n - F.lit(overlap), F.lit(1)) / F.lit(stride)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_chunk_toks"),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.array_join("_chunk_toks", " ").alias("chunk_text"),
+        F.size("_chunk_toks").alias("n_chunk_tokens"),
+    )
+
+
+# PII patterns shared by the Column and oracle forms (RE2+Java-safe)
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}"),
+]
+
+
+def redact_pii(col: Column | str, replacement: str = "[PII]") -> Column:
+    """Scrub common PII shapes (email/phone/SSN) — chained
+    regexp_replace, codegen'd, same patterns usable by any RE2 oracle."""
+    c = _c(col)
+    for _, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, replacement)
+    return c
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    n_per_group: int = 10,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group head sample (data-mixing step): first
+    ``n_per_group`` rows per group under a total order — row_number,
+    never TABLESAMPLE, so it is exact and oracle-checkable (C16 rule)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
 def fingerprint(col: Column | str, bits: int = 64) -> Column:
     """Deterministic document fingerprint: leading hex of sha256 over the
     normalized text. Content-addressed ID for exact dedup & lineage."""

@@ -410,6 +410,7 @@ def r9_time_range_paths(spark, sf_dir):
     sequence()+explode, never a driver loop."""
     from datetime import datetime
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # no tables() call here
     tp = TimePartitioner(granularity="daily", fmt="hive", prefix="logs")
     df = tp.paths_df(spark, datetime(2023, 11, 25), datetime(2024, 2, 3))
     return df.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "path")

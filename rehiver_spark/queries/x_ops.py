@@ -294,6 +294,107 @@ def x5_tf_idf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# X11–X13: pipeline shaping (chunking, PII redaction, stratified sampling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x11_chunking",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sel AS (
+      SELECT doc_id, tk,
+        CAST(ceil(greatest(len(tk) - 8, 1) / 56.0) AS INT) AS nc
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, tk, unnest(range(0, nc)) AS ci FROM sel)
+    SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+      array_to_string(tk[ci*56+1 : ci*56+64], ' ') AS chunk_text,
+      CAST(len(tk[ci*56+1 : ci*56+64]) AS BIGINT) AS n_chunk_tokens
+    FROM ex
+    """,
+)
+def x11_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (chunk=64, overlap=8) — the
+    pre-embedding shaping step of a training/RAG pipeline."""
+    from rehiver_spark.operators.textops import chunk_documents
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    out = chunk_documents(d, chunk_tokens=64, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+_PII_TAIL_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id "
+    "|| '@example.com or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "ELSE text END"
+)
+
+
+@query(
+    "x12_redact_pii",
+    f"""
+    WITH seeded AS (SELECT doc_id, {_PII_TAIL_SQL} AS text FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+        '\\+?\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}', '[PII]', 'g'),
+        '\\d{{3}}-\\d{{2}}-\\d{{4}}', '[PII]', 'g') AS clean
+    FROM seeded
+    """,
+)
+def x12_redact_pii(spark, sf_dir):
+    """PII scrubbing (emails/phones/SSNs) over documents seeded with
+    deterministic synthetic contacts — same regexes both engines."""
+    from rehiver_spark.operators.textops import PII_PATTERNS, redact_pii
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    tail = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, tail).otherwise(F.col("text")).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_PATTERNS[0][1])).cast("bigint").alias("n_email"),
+        redact_pii("text").alias("clean"),
+    )
+
+
+@query(
+    "x13_stratified_sample",
+    """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def x13_stratified_sample(spark, sf_dir):
+    """Deterministic per-source sample (data-mixing step)."""
+    from rehiver_spark.operators.textops import stratified_sample
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    return stratified_sample(d, "source", 10, "doc_id").select(
+        "source", "doc_id", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal (binary payload plumbing; oracle via content-addressed fakes)
 # ---------------------------------------------------------------------------
 

@@ -82,3 +82,49 @@ def test_tfidf_matches_duckdb(docs, sf_dir):
     for src, tok, tf, dfd, tfidf in exp:
         g = got[(src, tok)]
         assert g[0] == tf and g[1] == dfd and abs(g[2] - tfidf) < 1e-6
+
+
+def test_chunk_documents_shapes(spark):
+    from rehiver_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(150))), (2, "short doc"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 150 tokens, stride 56: ceil((150-8)/56) = 3 chunks
+    assert len(by_doc[1]) == 3
+    assert by_doc[1][0]["n_chunk_tokens"] == 64
+    # overlap: chunk1 starts at token 56 (0-based), overlapping 8 tokens
+    c0 = by_doc[1][0]["chunk_text"].split()
+    c1 = by_doc[1][1]["chunk_text"].split()
+    assert c0[-8:] == c1[:8]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 2
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chunk_tokens"] == 0
+
+
+def test_redact_pii(spark):
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@foo.org or call 555-123-4567 ssn 123-45-6789 ok")],
+        "id bigint, text string",
+    )
+    got = df.select(redact_pii("text").alias("c")).first()["c"]
+    assert got == "mail me at [PII] or call [PII] ssn [PII] ok"
+
+
+def test_stratified_sample_deterministic(spark):
+    from rehiver_spark.operators.textops import stratified_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = sorted(map(str, stratified_sample(d, "source", 3).collect()))
+    s2 = sorted(map(str, stratified_sample(d, "source", 3).collect()))
+    assert s1 == s2
+    per = stratified_sample(d, "source", 3).groupBy("source").count().collect()
+    assert all(r["count"] <= 3 for r in per)
