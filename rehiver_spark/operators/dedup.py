@@ -14,9 +14,11 @@ the workhorse of LLM training-data pipelines. Design rules for 100 TB:
 - Deterministic keeps: row_number over an explicit total order, never
   dropDuplicates (C16 rule).
 
-All hashing is Spark's xxhash64 (JVM-side, seeded) — used only inside
-approximate operators (MinHash/SimHash), never in oracle-checked exact
-paths.
+Hashing inside the approximate operators (MinHash/SimHash) defaults to
+Spark's xxhash64 (JVM-side, fastest) and accepts ``hash_fn="md5"`` —
+the portable 60-bit hash (functions/hashing.py) any SQL engine computes
+bit-identically, which makes even the sketches oracle-checkable.
+Exact paths never hash at all (dictionary-encoded ids, sha256 keys).
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rehiver_spark.functions.hashing import md5_hash60
 from rehiver_spark.operators.textops import normalize_text, tokens
 from rehiver_spark.session import ensure_parallelism
 
@@ -227,14 +230,26 @@ def _jaccard_pairs_prefix(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingle_col: Column | str, num_hashes: int = 32, seed: int = 42) -> Column:
+def minhash_signature(
+    shingle_col: Column | str,
+    num_hashes: int = 32,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> Column:
     """ARRAY<BIGINT> MinHash signature: per hash function i, the minimum
-    xxhash64(seed, i, shingle) over the shingle set. All JVM-side."""
+    hash(seed, i, shingle) over the shingle set. All JVM-side.
+
+    ``hash_fn="xxhash64"`` (default) is the fast path; ``"md5"`` uses the
+    portable 60-bit md5 hash (functions/hashing.py) so the signature is
+    bit-identical in any SQL engine — the oracle-checkable form.
+    """
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
 
     # single-parameter lambda per hash fn: pyspark binds a lambda var per
     # Python parameter, so `lambda s, i=i` would bind i to the index var
     def hash_i(i: int):
+        if hash_fn == "md5":
+            return lambda s: md5_hash60(F.concat(F.lit(f"{seed}:{i}:"), s))
         return lambda s: F.xxhash64(F.lit(seed), F.lit(i), s)
 
     mins = [F.array_min(F.transform(sh, hash_i(i))) for i in range(num_hashes)]
@@ -248,18 +263,21 @@ def lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs whose MinHash signatures collide in ≥1 LSH band.
 
     bands=b over r=num_hashes/b rows → collision prob ≈ 1-(1-J^r)^b.
     Plan: explode to (band, band_hash) keys → self-join on the band
     bucket → distinct pairs. One shuffle on the bucket key; hot buckets
-    are bounded by band width (r rows hashed together).
+    are bounded by band width (r rows hashed together). The band bucket
+    key is xxhash64 of the band's signature values in either hash mode —
+    it is an internal join key, so only tuple equality matters.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = minhash_signature(shingle_col, num_hashes, seed)
+    sig = minhash_signature(shingle_col, num_hashes, seed, hash_fn)
     banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
         "_id",
         F.explode(
@@ -293,6 +311,7 @@ def minhash_neardup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH-blocked, exact-verified near-dup pairs: generate candidates by
     MinHash banding, then compute TRUE Jaccard on candidates only and
@@ -300,11 +319,15 @@ def minhash_neardup_pairs(
     by (num_hashes, bands) vs threshold. This is the 100 TB plan — the
     shingle-blocking join in ``jaccard_pairs`` touches every co-shingle
     pair, LSH touches only banding collisions.
+
+    ``hash_fn="md5"`` makes the MinHash sketch itself portable (see
+    functions/hashing.py) so the whole pipeline — candidates included —
+    is reproducible in a SQL oracle, not just the verification step.
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
     ).persist()  # read by banding AND both verify sides
-    cand = lsh_candidates(sh, "_id", "_sh", num_hashes, bands, seed)
+    cand = lsh_candidates(sh, "_id", "_sh", num_hashes, bands, seed, hash_fn)
     a = sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sha"})
     b = sh.withColumnsRenamed({"_id": "id_b", "_sh": "_shb"})
     verified = (
@@ -367,7 +390,11 @@ def simhash(col: Column | str, seed: int = 42) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed: int = 42
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig) via the RELATIONAL formulation: explode tokens, hash
     each once, 64 columnar ±1 sums in ONE hash aggregate (map-side
@@ -377,10 +404,19 @@ def simhash_signatures(
     path: the Column fold allocates per-token arrays and cannot
     partial-aggregate; this is a single explode+groupBy whose state is
     64 longs per document. Empty documents get sig 0 in both forms.
+
+    ``hash_fn="md5"`` hashes tokens with the portable 60-bit md5 hash
+    (functions/hashing.py): bits 60–63 of the token hash are then always
+    0 → their ±1 sums are ≤ 0 → signature bits 60–63 are always 0. The
+    signature is effectively 60-bit but bit-identical in any SQL engine.
     """
     ex = ensure_parallelism(df).select(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_tok")
-    ).withColumn("_h", F.xxhash64(F.lit(seed), F.col("_tok")))
+    )
+    if hash_fn == "md5":
+        ex = ex.withColumn("_h", md5_hash60(F.concat(F.lit(f"{seed}:"), F.col("_tok"))))
+    else:
+        ex = ex.withColumn("_h", F.xxhash64(F.lit(seed), F.col("_tok")))
     aggs = []
     for b in range(64):
         contrib = F.when(F.col("_tok").isNull(), 0).otherwise(
@@ -404,6 +440,7 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidates with hamming(simhash) ≤ max_hamming.
 
@@ -413,6 +450,10 @@ def simhash_neardup_pairs(
     is lossless and never all-pairs. Verification = bit_count(xor).
     Wider budgets → narrower chunks → bigger collision buckets; at
     corpus scale keep max_hamming small (≤7) or pre-block by shard.
+
+    Because the blocking is LOSSLESS, the result equals "all pairs with
+    hamming ≤ budget" exactly — so with ``hash_fn="md5"`` the output is
+    fully oracle-checkable (the oracle may verify all-pairs at sf scale).
     """
     if not 0 <= max_hamming <= 31:
         raise ValueError("max_hamming must be in [0, 31]")
@@ -424,7 +465,7 @@ def simhash_neardup_pairs(
         w = base + (1 if i < rem else 0)
         chunk_specs.append((off, w))
         off += w
-    sigs = simhash_signatures(df, id_col, text_col, seed).select(
+    sigs = simhash_signatures(df, id_col, text_col, seed, hash_fn).select(
         F.col(id_col).alias("_id"), F.col("sig").alias("_sig")
     ).persist()  # chunk explode is read by both join sides
     chunks = sigs.select(

@@ -254,6 +254,49 @@ def fingerprint(col: Column | str, bits: int = 64) -> Column:
     return F.substring(F.sha2(normalize_text(col), 256), 1, bits // 4)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram of the
+    normalized text, slide a window of ``window`` consecutive gram
+    hashes, keep the minimum of each window, and emit the DISTINCT
+    selected hashes per document. Guarantees: any shared substring of
+    length ≥ k + window − 1 produces ≥ 1 shared fingerprint, so
+    fingerprint overlap is a containment detector that exact-dedup
+    hashes (whole-document) cannot provide.
+
+    Gram hashing uses the portable 60-bit md5 hash (functions/
+    hashing.py) so the selection — mins included — is bit-identical in
+    a SQL oracle. Pure Column ops: sequence → transform → slice →
+    array_min → explode; no UDF, fully parallel, no shuffle until the
+    final distinct on (id, fingerprint).
+
+    Output: (id, fp) — one row per distinct selected fingerprint.
+    """
+    from rehiver_spark.functions.hashing import md5_hash60
+
+    df = ensure_parallelism(df)
+    norm = normalize_text(F.col(text_col))
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.substring(norm, i, k)
+    )
+    hashes = F.transform(grams, md5_hash60)
+    n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(hashes, j, window)),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
 def tf_idf(
     df: DataFrame,
     text_col: str = "text",

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rehiver_spark.functions.hashing import rademacher_planes
 from rehiver_spark.session import ensure_parallelism
 
 
@@ -184,6 +185,87 @@ def sign_lsh_bucket(vec: Column | str, dim: int, n_planes: int = 16, seed: int =
     for b in bits[1:]:
         out = out.bitwiseXOR(b)  # disjoint bits: XOR == OR == sum
     return out
+
+
+def sign_lsh_bucket_quantized(
+    vec: Column | str,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    scale: int = 10000,
+) -> Column:
+    """PORTABLE sign-LSH bucket: quantize coordinates to integers
+    (round(x·scale)) and dot them with deterministic Rademacher ±1
+    planes (functions/hashing.py) in exact integer arithmetic. Signs —
+    and therefore buckets — are bit-identical in any engine, which makes
+    the whole ANN pipeline oracle-checkable (sign is scale-invariant, so
+    quantization only perturbs vectors near a plane by < 1/scale).
+    """
+    v = as_double(vec)
+    q = F.transform(v, lambda x: F.round(x * scale, 0).cast("bigint"))
+    planes = rademacher_planes(dim, n_planes, seed)
+    out = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(q, F.array(*[F.lit(x).cast("bigint") for x in p]), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        out = out.bitwiseXOR(  # disjoint bits: XOR == sum
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return out
+
+
+def lsh_cosine_neardup_portable(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    scale: int = 10000,
+) -> DataFrame:
+    """``lsh_cosine_neardup`` with quantized Rademacher bucketing — the
+    oracle-checkable form. Candidates = union of per-table bucket
+    collisions; verification = exact cosine. Same plan shape and shuffle
+    count as the float-plane version."""
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        as_double(vec_col).alias("_raw"),
+        l2_normalize(vec_col).alias("_v"),
+    ).persist()  # read once per LSH table plus both verify sides
+    cands = None
+    for t in range(n_tables):
+        bucketed = base.withColumn(
+            "_bkt",
+            sign_lsh_bucket_quantized(F.col("_raw"), dim, n_planes, seed + 1000 * t, scale),
+        )
+        a = bucketed.select(F.col("_id").alias("id_a"), F.col("_bkt"))
+        b = bucketed.select(F.col("_id").alias("id_b"), F.col("_bkt"))
+        c = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("_va", "_vb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def lsh_cosine_neardup(

@@ -1,9 +1,11 @@
 """X1–X6 + multimodal: LLM-pipeline extension queries (SURVEY §2).
 
-Exact operators carry full DuckDB oracles; approximate operators
-(MinHash-LSH, SimHash, sign-LSH, IVF, approx_count_distinct) register
-without one per the X6 rule — their exactness contract (returned pairs
-⊆ exact answer) is asserted in tests instead.
+Exact operators carry full DuckDB oracles. Approximate operators come
+in two forms: the xxhash64 fast path registers rows-only per the X6
+rule (subset-of-exact asserted in tests), and a portable-md5 twin
+(x7p/x8p/x9p — functions/hashing.py) whose sketch reproduces
+bit-identically in DuckDB, so the full approximate pipeline is
+oracle-verified as well.
 
 Dedup corpora are synthesized in BOTH engines from ``documents``: the
 table has no natural duplicates, so noisy copies (case/whitespace
@@ -28,8 +30,14 @@ from rehiver_spark.operators.multimodal import (
     frame_sample_plan,
     media_from_documents,
 )
-from rehiver_spark.operators.textops import tf_idf, text_stats
-from rehiver_spark.operators.vectorops import cosine_topk, ivf_topk, lsh_cosine_neardup
+from rehiver_spark.functions.hashing import md5_hash60_sql, rademacher_planes
+from rehiver_spark.operators.textops import tf_idf, text_stats, winnow_fingerprints
+from rehiver_spark.operators.vectorops import (
+    cosine_topk,
+    ivf_topk,
+    lsh_cosine_neardup,
+    lsh_cosine_neardup_portable,
+)
 from rehiver_spark.queries import query, tables
 
 _NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
@@ -515,6 +523,211 @@ def x9_lsh_cosine_neardup(spark, sf_dir):
     )
     out = lsh_cosine_neardup(corpus, dim=64, threshold=0.9)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash approximate ops: the md5-based 60-bit hash
+# (functions/hashing.py) is bit-identical in Spark and DuckDB, so the
+# SKETCHES themselves — MinHash signatures, LSH bands, SimHash bits,
+# sign-LSH buckets — reproduce exactly in the oracle. These are the
+# oracle-verified twins of x7/x8/x9 (which keep xxhash64, the fast path).
+# ---------------------------------------------------------------------------
+
+_MH_HASH = md5_hash60_sql("'42:' || i || ':' || shingle")
+
+
+@query(
+    "x7p_minhash_lsh",
+    f"""
+    WITH corpus AS ({_NEARDUP_SQL}),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM corpus),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(tk) - 2, 1) + 1),
+        i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    hashed AS (
+      SELECT doc_id, i, min({_MH_HASH}) AS h
+      FROM ex CROSS JOIN range(0, 32) t(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band, string_agg(h::TEXT, ',' ORDER BY i) AS bh
+      FROM hashed GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) AS n_common,
+        len(sa.s) AS n_a, len(sb.s) AS n_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+      CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      round(n_common::DOUBLE / (n_a + n_b - n_common), 6) AS jaccard
+    FROM ver WHERE n_common::DOUBLE / (n_a + n_b - n_common) >= 0.8
+    """,
+)
+def x7p_minhash_lsh(spark, sf_dir):
+    """X2 scale path, oracle-verified end-to-end: md5-portable MinHash
+    signatures → LSH banding (8 bands × 4 rows) → exact verification.
+    The oracle recomputes the identical sketch, so the candidate set —
+    not just the verified pairs — is cross-checked."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = minhash_neardup_pairs(
+        corpus, "doc_id", "text", k=3, threshold=0.8, num_hashes=32, bands=8,
+        hash_fn="md5",
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+_SH_HASH = md5_hash60_sql("'42:' || tok")
+
+
+@query(
+    "x8p_simhash",
+    f"""
+    WITH corpus AS ({_NOISY_SQL}),
+    toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM corpus),
+    hashed AS (SELECT doc_id, tok, {_SH_HASH} AS h FROM toks),
+    sums AS (
+      SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed CROSS JOIN range(0, 60) t(b)
+      GROUP BY doc_id, b
+    ),
+    sigs0 AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+      FROM sums GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT c.doc_id, coalesce(sig, 0) AS sig
+      FROM corpus c LEFT JOIN sigs0 ON c.doc_id = sigs0.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+)
+def x8p_simhash(spark, sf_dir):
+    """SimHash near-dup, oracle-verified: md5-portable token hashes →
+    64-bit signature → pigeonhole chunk blocking (LOSSLESS, so the
+    result equals all-pairs hamming ≤ 3 — which is what the oracle
+    computes at sf scale; the engine never materializes all pairs)."""
+    corpus = _noisy_corpus(spark, sf_dir)
+    out = simhash_neardup_pairs(corpus, "doc_id", "text", max_hamming=3, hash_fn="md5")
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+def _x9p_oracle() -> str:
+    """Oracle for the quantized sign-LSH: the Rademacher ±1 planes are
+    md5-derived literals, embedded verbatim; buckets use exact integer
+    arithmetic (doubles holding integers), so signs match Spark's
+    BIGINT fold bit-for-bit."""
+    tables_sql = []
+    for t in range(4):
+        planes = rademacher_planes(64, 12, 42 + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(qv, "
+            f"[{', '.join(f'{x}.0' for x in p)}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        tables_sql.append(
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM "
+            f"(SELECT vec_id, {bits} AS bkt FROM q) a JOIN "
+            f"(SELECT vec_id, {bits} AS bkt FROM q) b "
+            f"ON a.bkt = b.bkt AND a.vec_id < b.vec_id"
+        )
+    union = " UNION ALL ".join(tables_sql)
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+        list_transform(embedding::DOUBLE[], x -> x + 0.02) AS v
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    q AS (SELECT vec_id, list_transform(v, x -> round(x * 10000)) AS qv FROM corpus),
+    cand AS (SELECT DISTINCT id_a, id_b FROM ({union})),
+    ver AS (
+      SELECT id_a, id_b, list_cosine_similarity(a.v, b.v) AS c
+      FROM cand
+      JOIN corpus a ON a.vec_id = id_a
+      JOIN corpus b ON b.vec_id = id_b
+    )
+    SELECT id_a, id_b, round(c, 6) AS cosine FROM ver WHERE c >= 0.9
+    """
+
+
+@query("x9p_lsh_cosine", _x9p_oracle())
+def x9p_lsh_cosine(spark, sf_dir):
+    """Sign-LSH ANN near-dup, oracle-verified end-to-end: quantized
+    Rademacher bucketing (4 tables × 12 planes) → exact cosine verify.
+    Same synthesized near-dup corpus as x9 (embeddings are naturally
+    near-orthogonal, max pairwise cosine ≈ 0.51)."""
+    emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    perturbed = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x + 0.02).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(perturbed)
+    out = lsh_cosine_neardup_portable(
+        corpus, dim=64, threshold=0.9, n_planes=12, n_tables=4
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+_WG_HASH = md5_hash60_sql("substr(nt, i, 5)")
+
+
+@query(
+    "x14_winnow_fingerprints",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    g AS (
+      SELECT doc_id, list_transform(
+        range(1, greatest(length(nt) - 4, 1) + 1),
+        i -> {_WG_HASH}) AS hs
+      FROM norm
+    ),
+    w AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(hs) - 3, 1) + 1),
+        j -> list_min(hs[j:j+3]))) AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def x14_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints: char 5-grams, window
+    of 4 gram hashes, distinct window-min hashes per doc — the standard
+    substring-containment fingerprint for plagiarism/contamination
+    detection, fully oracle-checked via the portable md5 hash."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    return winnow_fingerprints(d.select("doc_id", "text"), k=5, window=4)
 
 
 @query("x10_ivf_topk")  # IVF-flat ANN

@@ -1,0 +1,196 @@
+"""Portable md5-based hashing (functions/hashing.py) and the
+oracle-checkable approximate operators built on it."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_md5_hash60_three_way_parity(spark):
+    """Spark, DuckDB, and the driver twin agree bit-for-bit."""
+    import duckdb
+
+    from rehiver_spark.functions.hashing import md5_hash60, md5_hash60_py, md5_hash60_sql
+
+    samples = ["", "a", "hello world", "42:7:foo bar", "ünïcode"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got_spark = [r[0] for r in df.select(md5_hash60("s")).collect()]
+    got_py = [md5_hash60_py(s) for s in samples]
+    got_duck = [
+        duckdb.sql(f"SELECT {md5_hash60_sql('?')}", params=[s]).fetchone()[0]
+        for s in samples
+    ]
+    assert got_spark == got_py == got_duck
+    assert all(0 <= h < 1 << 60 for h in got_py)
+
+
+def test_rademacher_planes_deterministic():
+    from rehiver_spark.functions.hashing import rademacher_planes
+
+    p1 = rademacher_planes(8, 4, 42)
+    p2 = rademacher_planes(8, 4, 42)
+    p3 = rademacher_planes(8, 4, 43)
+    assert p1 == p2 and p1 != p3
+    assert all(x in (-1, 1) for row in p1 for x in row)
+
+
+def test_minhash_md5_pairs_subset_of_exact_with_recall(docs, sf_dir):
+    """md5-mode LSH pairs ⊆ exact Jaccard pairs; planted near-dups found."""
+    from rehiver_spark.operators.dedup import jaccard_pairs, minhash_neardup_pairs, shingles
+
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zz yy")).alias("text"),
+        )
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_neardup_pairs(
+            corpus, threshold=0.8, hash_fn="md5"
+        ).collect()
+    }
+    sh = corpus.select("doc_id", shingles("text", 3).alias("shingles"))
+    exact = {
+        (r["id_a"], r["id_b"]) for r in jaccard_pairs(sh, threshold=0.8).collect()
+    }
+    planted = {
+        (r["doc_id"], r["doc_id"] + 100000)
+        for r in docs.filter(F.col("doc_id") % 4 == 0).select("doc_id").collect()
+    }
+    assert got <= exact
+    assert len(got & planted) >= 0.9 * len(planted)  # J≈0.95 ⇒ recall ≈ 1
+
+
+def _simhash_py(text: str, seed: int = 42) -> int:
+    toks = [t for t in " ".join(text.strip().lower().split()).split(" ") if t]
+    sums = [0] * 64
+    for t in toks:
+        h = int(hashlib.md5(f"{seed}:{t}".encode()).hexdigest()[:15], 16)
+        for b in range(64):
+            sums[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(64) if sums[b] > 0)
+
+
+def test_simhash_md5_matches_driver_twin(spark):
+    from rehiver_spark.operators.dedup import simhash_signatures
+
+    rows = [(1, "the quick brown fox"), (2, "lorem ipsum dolor"), (3, "a"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in simhash_signatures(df, hash_fn="md5").collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == _simhash_py(text), text
+        assert got[doc_id] < 1 << 60  # md5 mode: top 4 bits always clear
+
+
+def test_simhash_md5_blocking_equals_all_pairs(docs):
+    """Pigeonhole blocking is lossless: engine result == all-pairs hamming."""
+    from rehiver_spark.operators.dedup import simhash_neardup_pairs, simhash_signatures
+
+    sub = docs.select("doc_id", "text").filter(F.col("doc_id") < 120)
+    corpus = sub.unionByName(
+        sub.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(corpus, max_hamming=3, hash_fn="md5").collect()
+    }
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in simhash_signatures(corpus, hash_fn="md5").collect()
+    }
+    ids = sorted(sigs)
+    exp = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == exp and exp  # non-trivial: upper() copies are hamming-0
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length ≥ k + w − 1 share a fingerprint."""
+    from rehiver_spark.operators.textops import winnow_fingerprints
+
+    common = "the common shared passage lives here"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {common} gamma delta"),
+            (2, f"unrelated prefix text {common} and a different tail"),
+            (3, "completely different content with no overlap at all xyz"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = winnow_fingerprints(df, k=5, window=4)
+    fps = {i: set() for i in (1, 2, 3)}
+    for r in out.collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2]  # shared passage ⇒ shared fingerprint
+    assert out.groupBy("doc_id", "fp").count().filter("count > 1").count() == 0
+
+
+def test_winnow_short_doc_single_gram(spark):
+    from rehiver_spark.functions.hashing import md5_hash60_py
+    from rehiver_spark.operators.textops import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id bigint, text string")
+    rows = winnow_fingerprints(df, k=5, window=4).collect()
+    assert [(r["doc_id"], r["fp"]) for r in rows] == [(1, md5_hash60_py("ab"))]
+
+
+def test_quantized_sign_lsh_matches_driver_twin(spark):
+    from rehiver_spark.functions.hashing import rademacher_planes
+    from rehiver_spark.operators.vectorops import sign_lsh_bucket_quantized
+
+    vecs = [(1, [0.5, -0.25, 0.125, 0.9]), (2, [-0.1, 0.2, -0.3, 0.4])]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", sign_lsh_bucket_quantized("embedding", 4, 8, 42).alias("b")
+        ).collect()
+    }
+    planes = rademacher_planes(4, 8, 42)
+    for vid, v in vecs:
+        q = [round(x * 10000) for x in v]
+        exp = sum(
+            1 << i
+            for i, p in enumerate(planes)
+            if sum(a * b for a, b in zip(q, p)) > 0
+        )
+        assert got[vid] == exp
+
+
+def test_lsh_cosine_portable_subset_and_recall(spark, sf_dir):
+    from rehiver_spark.operators.vectorops import lsh_cosine_neardup_portable
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    perturbed = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + 0.02).alias("embedding"),
+    )
+    corpus = base.unionByName(perturbed)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_cosine_neardup_portable(corpus, dim=64, threshold=0.9).collect()
+    }
+    planted = {
+        (r["vec_id"], r["vec_id"] + 100000)
+        for r in base.filter(F.col("vec_id") % 5 == 0).select("vec_id").collect()
+    }
+    assert got <= planted  # only planted pairs clear cosine ≥ 0.9
+    assert len(got) >= 0.9 * len(planted)  # 4 tables × 12 planes ⇒ recall ≈ 1
