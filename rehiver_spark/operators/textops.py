@@ -16,7 +16,7 @@ A BPE-ish regex tokenizer is provided for realistic token counting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rehiver_spark.session import ensure_parallelism
@@ -272,9 +272,16 @@ def winnow_fingerprints(
 
     Gram hashing uses the portable 60-bit md5 hash (functions/
     hashing.py) so the selection — mins included — is bit-identical in
-    a SQL oracle. Pure Column ops: sequence → transform → slice →
-    array_min → explode; no UDF, fully parallel, no shuffle until the
-    final distinct on (id, fingerprint).
+    a SQL oracle.
+
+    RELATIONAL formulation: explode gram positions → hash each gram
+    ONCE → sliding-window min via a ROWS frame → distinct. The
+    array-HOF formulation (slice of a transform-computed array inside
+    another transform) re-evaluates the whole hash array per window —
+    O(n²) md5 calls per document, measured 270s vs ~4s at sf0.1. Rows
+    also beat per-row megabyte arrays at 100 TB: the frame min is
+    streaming state of ``window`` longs, map-side explodable, and the
+    only shuffle is the window partition by id.
 
     Output: (id, fp) — one row per distinct selected fingerprint.
     """
@@ -283,17 +290,29 @@ def winnow_fingerprints(
     df = ensure_parallelism(df)
     norm = normalize_text(F.col(text_col))
     n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.substring(norm, i, k)
+    ex = df.select(
+        F.col(id_col),
+        norm.alias("_nt"),
+        n_grams.alias("_ng"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("_pos"),
     )
-    hashes = F.transform(grams, md5_hash60)
-    n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(hashes, j, window)),
+    hashed = ex.select(
+        id_col,
+        "_ng",
+        "_pos",
+        md5_hash60(F.col("_nt").substr(F.col("_pos"), F.lit(k))).alias("_h"),
     )
-    return df.select(
-        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    n_windows = F.greatest(F.col("_ng") - F.lit(window - 1), F.lit(1))
+    return (
+        hashed.withColumn("fp", F.min("_h").over(frame))
+        .filter(F.col("_pos") <= n_windows)
+        .select(id_col, "fp")
+        .distinct()
     )
 
 

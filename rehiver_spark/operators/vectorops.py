@@ -171,8 +171,8 @@ def sign_lsh_bucket(vec: Column | str, dim: int, n_planes: int = 16, seed: int =
     planes = _hyperplanes(dim, n_planes, seed)
     bits = []
     for i, p in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in p]), lambda x, y: x * y),
+        d = F.aggregate(  # F.lit(list) = ONE array literal, not dim py4j calls
+            F.zip_with(v, F.lit(p), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -206,8 +206,8 @@ def sign_lsh_bucket_quantized(
     planes = rademacher_planes(dim, n_planes, seed)
     out = F.lit(0).cast("bigint")
     for i, p in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(q, F.array(*[F.lit(x).cast("bigint") for x in p]), lambda x, y: x * y),
+        d = F.aggregate(  # F.lit(list) = ONE array literal, not dim py4j calls
+            F.zip_with(q, F.lit(p), lambda x, y: x * y),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
@@ -231,30 +231,42 @@ def lsh_cosine_neardup_portable(
     scale: int = 10000,
 ) -> DataFrame:
     """``lsh_cosine_neardup`` with quantized Rademacher bucketing — the
-    oracle-checkable form. Candidates = union of per-table bucket
-    collisions; verification = exact cosine. Same plan shape and shuffle
-    count as the float-plane version."""
+    oracle-checkable form. Candidates = per-table bucket collisions;
+    verification = exact cosine. All tables' buckets are computed in
+    ONE projection and candidates come from ONE self-join on
+    (table, bucket) — not n_tables joins + union."""
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         as_double(vec_col).alias("_raw"),
         l2_normalize(vec_col).alias("_v"),
-    ).persist()  # read once per LSH table plus both verify sides
-    cands = None
-    for t in range(n_tables):
-        bucketed = base.withColumn(
-            "_bkt",
-            sign_lsh_bucket_quantized(F.col("_raw"), dim, n_planes, seed + 1000 * t, scale),
-        )
-        a = bucketed.select(F.col("_id").alias("id_a"), F.col("_bkt"))
-        b = bucketed.select(F.col("_id").alias("id_b"), F.col("_bkt"))
-        c = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
-    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    ).persist()  # read by the bucketing pass plus both verify sides
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                sign_lsh_bucket_quantized(
+                    F.col("_raw"), dim, n_planes, seed + 1000 * t, scale
+                ).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    bucketed = base.select("_id", F.explode(buckets).alias("_tb")).select(
+        "_id", F.col("_tb.t").alias("t"), F.col("_tb.bkt").alias("bkt")
+    )
+    a = bucketed.select(F.col("_id").alias("id_a"), "t", "bkt")
+    b = bucketed.select(F.col("_id").alias("id_b"), "t", "bkt")
+    cands = (
+        a.join(b, ["t", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    av = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    bv = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        cands.join(av, "id_a")
+        .join(bv, "id_b")
         .withColumn(
             "cosine",
             F.aggregate(
@@ -278,22 +290,34 @@ def lsh_cosine_neardup(
     n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """ANN near-dup: union of per-table sign-LSH bucket collisions →
-    distinct candidates → exact cosine verification. Approximate
-    (recall < 1 possible); returned pairs ⊆ exact answer."""
+    """ANN near-dup: per-table sign-LSH bucket collisions → distinct
+    candidates → exact cosine verification. Approximate (recall < 1
+    possible); returned pairs ⊆ exact answer. All tables' buckets come
+    from ONE projection + ONE self-join on (table, bucket) — not
+    n_tables joins + union."""
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v")
-    ).persist()  # read once per LSH table plus both verify sides
-    cands = None
-    for t in range(n_tables):
-        bucketed = base.withColumn(
-            "_bkt", sign_lsh_bucket(F.col("_v"), dim, n_planes, seed + 1000 * t)
-        )
-        a = bucketed.select(F.col("_id").alias("id_a"), F.col("_bkt"))
-        b = bucketed.select(F.col("_id").alias("id_b"), F.col("_bkt"))
-        c = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+    ).persist()  # read by the bucketing pass plus both verify sides
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                sign_lsh_bucket(F.col("_v"), dim, n_planes, seed + 1000 * t).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    bucketed = base.select("_id", F.explode(buckets).alias("_tb")).select(
+        "_id", F.col("_tb.t").alias("t"), F.col("_tb.bkt").alias("bkt")
+    )
+    ca = bucketed.select(F.col("_id").alias("id_a"), "t", "bkt")
+    cb = bucketed.select(F.col("_id").alias("id_b"), "t", "bkt")
+    cands = (
+        ca.join(cb, ["t", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     a = base.withColumnsRenamed({"_id": "id_a", "_v": "_va"})
     b = base.withColumnsRenamed({"_id": "id_b", "_v": "_vb"})
     return (
