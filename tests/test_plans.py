@@ -111,3 +111,24 @@ def test_r17_pipeline_stats_single_aggregate(spark, queries):
 def test_x5_tfidf_broadcasts_df_relation(spark, queries):
     p = plan_of(queries["x5_tf_idf"](spark, SF))
     assert "BroadcastHashJoin" in p
+
+
+def test_x9p_lsh_single_candidate_join(spark, queries):
+    p = plan_of(queries["x9p_lsh_cosine"](spark, SF))
+    assert "CartesianProduct" not in p
+    # all LSH tables bucket in one projection → ONE (table, bucket)
+    # self-join, not n_tables joins + union
+    assert p.count("Generate explode") <= 2
+
+
+def test_x14_winnow_no_cartesian_single_window(spark, queries):
+    p = plan_of(queries["x14_winnow_fingerprints"](spark, SF))
+    assert "CartesianProduct" not in p
+    # relational formulation: exactly one Window (sliding frame min) —
+    # the array-HOF form would show none but pay O(n²) hash evaluation
+    assert p.count("Window") == 1
+
+
+def test_x7p_minhash_no_cartesian(spark, queries):
+    p = plan_of(queries["x7p_minhash_lsh"](spark, SF))
+    assert "CartesianProduct" not in p
