@@ -219,6 +219,42 @@ def sign_lsh_bucket_quantized(
     return out
 
 
+def _plane_buckets_udf(planes, input_dtype: str):
+    """Vectorized sign-LSH bucketing: ONE Arrow-batched matmul against
+    all tables' planes at once, returning ``array<bigint>`` of one
+    packed bucket per table.
+
+    Replaces n_tables × n_planes interpreted ``aggregate(zip_with(...))``
+    expression trees (higher-order functions never enter codegen, and
+    48 of them over a 128-dim array make the analyzed plan big enough
+    that optimizer passes alone cost seconds). Integer inputs make the
+    matmul exact (int64), so portable-bucket parity with a SQL oracle
+    is preserved bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64 if input_dtype == "float64" else np.int64)
+    n_tables, n_planes, dim = P.shape
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    flat = np.ascontiguousarray(P.reshape(n_tables * n_planes, dim).T)
+
+    def _buckets(s):
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        q = np.vstack(s.to_numpy()).astype(flat.dtype)
+        dots = q @ flat
+        bits = (dots > 0).reshape(len(q), n_tables, n_planes)
+        bkts = (bits * weights).sum(axis=2, dtype=np.int64)
+        return pd.Series(list(bkts))
+
+    # inline hints are strings under `from __future__ import annotations`;
+    # pandas_udf's signature inspection needs real objects
+    _buckets.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_buckets, "array<bigint>")
+
+
 def lsh_cosine_neardup_portable(
     df: DataFrame,
     dim: int,
@@ -235,24 +271,20 @@ def lsh_cosine_neardup_portable(
     verification = exact cosine. All tables' buckets are computed in
     ONE projection and candidates come from ONE self-join on
     (table, bucket) — not n_tables joins + union."""
+    # quantization stays a Spark expression (F.round == oracle round,
+    # proven parity); only the plane dots move to the batched matmul
+    quant = F.transform(
+        as_double(vec_col), lambda x: F.round(x * scale, 0).cast("bigint")
+    )
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
-        as_double(vec_col).alias("_raw"),
+        quant.alias("_q"),
         l2_normalize(vec_col).alias("_v"),
     ).persist()  # read by the bucketing pass plus both verify sides
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                sign_lsh_bucket_quantized(
-                    F.col("_raw"), dim, n_planes, seed + 1000 * t, scale
-                ).alias("bkt"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    bucketed = base.select("_id", F.explode(buckets).alias("_tb")).select(
-        "_id", F.col("_tb.t").alias("t"), F.col("_tb.bkt").alias("bkt")
+    planes = [rademacher_planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    bkts = _plane_buckets_udf(planes, input_dtype="int64")
+    bucketed = base.select("_id", F.posexplode(bkts("_q"))).withColumnsRenamed(
+        {"pos": "t", "col": "bkt"}
     )
     a = bucketed.select(F.col("_id").alias("id_a"), "t", "bkt")
     b = bucketed.select(F.col("_id").alias("id_b"), "t", "bkt")
@@ -298,17 +330,10 @@ def lsh_cosine_neardup(
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v")
     ).persist()  # read by the bucketing pass plus both verify sides
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                sign_lsh_bucket(F.col("_v"), dim, n_planes, seed + 1000 * t).alias("bkt"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    bucketed = base.select("_id", F.explode(buckets).alias("_tb")).select(
-        "_id", F.col("_tb.t").alias("t"), F.col("_tb.bkt").alias("bkt")
+    planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    bkts = _plane_buckets_udf(planes, input_dtype="float64")
+    bucketed = base.select("_id", F.posexplode(bkts("_v"))).withColumnsRenamed(
+        {"pos": "t", "col": "bkt"}
     )
     ca = bucketed.select(F.col("_id").alias("id_a"), "t", "bkt")
     cb = bucketed.select(F.col("_id").alias("id_b"), "t", "bkt")
