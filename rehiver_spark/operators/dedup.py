@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from rehiver_spark.functions.hashing import md5_hash60
+from rehiver_spark.functions.hashing import md5_hash60, md5_hash60_py
 from rehiver_spark.operators.textops import normalize_text, tokens
 from rehiver_spark.session import ensure_parallelism
 
@@ -249,6 +249,19 @@ def _jaccard_pairs_prefix(
 # ---------------------------------------------------------------------------
 
 
+_MH_P = 2147483647  # 2^31 - 1 (Mersenne prime, the affine modulus)
+_MH_DOMAIN = 1 << 30  # base-hash domain; a*h + c stays < 2^61 (exact int64)
+
+
+def minhash_affine_consts(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, c_i) for the universal-hash family
+    h_i(x) = (a_i·base(x) + c_i) mod P — md5-derived, no RNG state, so
+    the same literals embed in a SQL oracle."""
+    a = [md5_hash60_py(f"mh-a:{seed}:{i}") % (_MH_P - 1) + 1 for i in range(num_hashes)]
+    c = [md5_hash60_py(f"mh-c:{seed}:{i}") % _MH_P for i in range(num_hashes)]
+    return a, c
+
+
 def minhash_signature(
     shingle_col: Column | str,
     num_hashes: int = 32,
@@ -256,19 +269,58 @@ def minhash_signature(
     hash_fn: str = "xxhash64",
 ) -> Column:
     """ARRAY<BIGINT> MinHash signature: per hash function i, the minimum
-    hash(seed, i, shingle) over the shingle set. All JVM-side.
+    h_i(shingle) over the shingle set.
 
-    ``hash_fn="xxhash64"`` (default) is the fast path; ``"md5"`` uses the
-    portable 60-bit md5 hash (functions/hashing.py) so the signature is
-    bit-identical in any SQL engine — the oracle-checkable form.
+    ``hash_fn="xxhash64"`` (default, JVM-side) hashes each shingle
+    num_hashes times — xxhash64 is cheap enough that this stays fast.
+
+    ``hash_fn="md5"`` is the portable, oracle-checkable form
+    (Broder-style): ONE md5 base hash per shingle reduced to 2^30,
+    then num_hashes affine universal hashes (a_i·h + c_i) mod (2^31-1)
+    in exact int64 arithmetic — any SQL engine reproduces the sketch
+    bit-for-bit, and the md5 count drops num_hashes-fold vs hashing
+    per (i, shingle). Computed in one Arrow batch (hashlib md5 ==
+    JVM/DuckDB md5; numpy int64 == BIGINT). Requires non-empty shingle
+    arrays (shingles() guarantees [""] minimum).
     """
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+
+    if hash_fn == "md5":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        a_co, c_co = minhash_affine_consts(num_hashes, seed)
+        a_np = np.asarray(a_co, dtype=np.int64)
+        c_np = np.asarray(c_co, dtype=np.int64)
+        prefix = f"{seed}:".encode()
+
+        def _sigs(s):
+            import hashlib
+
+            if len(s) == 0:
+                return pd.Series([], dtype=object)
+            lens = np.fromiter((len(arr) for arr in s), dtype=np.int64, count=len(s))
+            base = np.fromiter(
+                (
+                    int(hashlib.md5(prefix + x.encode()).hexdigest()[:15], 16) % _MH_DOMAIN
+                    for arr in s
+                    for x in arr
+                ),
+                dtype=np.int64,
+                count=int(lens.sum()),
+            )
+            prods = (base[:, None] * a_np + c_np) % _MH_P
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            mins = np.minimum.reduceat(prods, offsets, axis=0)
+            return pd.Series(list(mins))
+
+        _sigs.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(_sigs, "array<bigint>")(sh)
 
     # single-parameter lambda per hash fn: pyspark binds a lambda var per
     # Python parameter, so `lambda s, i=i` would bind i to the index var
     def hash_i(i: int):
-        if hash_fn == "md5":
-            return lambda s: md5_hash60(F.concat(F.lit(f"{seed}:{i}:"), s))
         return lambda s: F.xxhash64(F.lit(seed), F.lit(i), s)
 
     mins = [F.array_min(F.transform(sh, hash_i(i))) for i in range(num_hashes)]

@@ -533,13 +533,26 @@ def x9_lsh_cosine_neardup(spark, sf_dir):
 # oracle-verified twins of x7/x8/x9 (which keep xxhash64, the fast path).
 # ---------------------------------------------------------------------------
 
-_MH_HASH = md5_hash60_sql("'42:' || i || ':' || shingle")
+_MH_BASE = md5_hash60_sql("'42:' || shingle")
+
+
+def _mh_consts_sql() -> str:
+    """Literal (a, c) affine constants matching
+    dedup.minhash_affine_consts(32, 42) — one md5 base hash per shingle,
+    then 32 exact-int64 universal hashes, in any engine."""
+    from rehiver_spark.operators.dedup import minhash_affine_consts
+
+    a, c = minhash_affine_consts(32, 42)
+    return (
+        f"SELECT {a}::BIGINT[] AS aa, {c}::BIGINT[] AS cc"
+    )
 
 
 @query(
     "x7p_minhash_lsh",
     f"""
     WITH corpus AS ({_NEARDUP_SQL}),
+    consts AS ({_mh_consts_sql()}),
     toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM corpus),
     sh AS (
       SELECT doc_id, list_distinct(list_transform(
@@ -548,9 +561,10 @@ _MH_HASH = md5_hash60_sql("'42:' || i || ':' || shingle")
       FROM toks
     ),
     ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    based AS (SELECT doc_id, {_MH_BASE} % 1073741824 AS hb FROM ex),
     hashed AS (
-      SELECT doc_id, i, min({_MH_HASH}) AS h
-      FROM ex CROSS JOIN range(0, 32) t(i)
+      SELECT doc_id, i, min((aa[i + 1] * hb + cc[i + 1]) % 2147483647) AS h
+      FROM based CROSS JOIN consts CROSS JOIN range(0, 32) t(i)
       GROUP BY doc_id, i
     ),
     bands AS (
