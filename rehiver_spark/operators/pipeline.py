@@ -83,6 +83,10 @@ def process_matching(
     keys = matched.select(F.col(key_col).alias("key"))
     existing_log = None
     if skip_existing is not None:
+        # keys feeds BOTH the semi join (skipped_existing log) and the
+        # anti join (work set); persist so the matched relation — often
+        # a full catalog scan + glob filter — is derived once
+        keys = keys.persist()
         existing = skip_existing.select(F.col(key_col).alias("key")).distinct()
         existing_log = (
             keys.join(existing, "key", "left_semi")
