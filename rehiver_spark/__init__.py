@@ -23,6 +23,7 @@ from rehiver_spark.operators.changes import (
     filter_changes,
 )
 from rehiver_spark.operators.dedup import (
+    containment_pairs,
     exact_dedup,
     jaccard_pairs,
     minhash_neardup_pairs,
@@ -44,7 +45,7 @@ from rehiver_spark.operators.pipeline import (
     stream_process_incremental,
 )
 from rehiver_spark.operators.skew import salted_join
-from rehiver_spark.operators.textops import text_stats, tf_idf
+from rehiver_spark.operators.textops import repetition_stats, text_stats, tf_idf, word_ngrams
 from rehiver_spark.operators.timeparts import TimePartitioner
 from rehiver_spark.operators.vectorops import cosine_topk, ivf_topk, lsh_cosine_neardup
 from rehiver_spark.session import ensure_parallelism, get_spark, read_events
@@ -73,6 +74,7 @@ __all__ = [
     "date_schema",
     "detect_changes",
     "ensure_parallelism",
+    "containment_pairs",
     "exact_dedup",
     "filter_changes",
     "find_matching",
@@ -104,7 +106,9 @@ __all__ = [
     "simhash_signatures",
     "stream_process",
     "stream_process_incremental",
+    "repetition_stats",
     "text_stats",
     "tf_idf",
+    "word_ngrams",
     "write_partitioned",
 ]

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rehiver_spark.functions.hashing import md5_hash60, md5_hash60_py
-from rehiver_spark.operators.textops import normalize_text, tokens
+from rehiver_spark.operators.textops import normalize_text, tokens, word_ngrams
 from rehiver_spark.session import ensure_parallelism
 
 
@@ -79,19 +79,11 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     sequence as a single shingle (so no document is unshingled; an
     empty document yields the single empty shingle [""]).
 
-    Built from k-1 zip_with passes over shifted copies of the token
-    array (each O(n), null tail skipped by concat_ws) instead of one
-    slice+concat per position — ~5x cheaper than the per-index
-    transform(slice(...)) form at k=3, identical output.
+    The distinct-set form of textops.word_ngrams (which documents the
+    zip_with construction — ~5x cheaper than per-position slices).
     """
-    toks = tokens(col)
-    n = F.size(toks)
-    out = toks
-    for i in range(1, k):
-        shifted = F.slice(toks, i + 1, F.greatest(n - F.lit(i), F.lit(0)))
-        out = F.zip_with(out, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    full = F.array_distinct(F.slice(out, 1, F.greatest(n - F.lit(k - 1), F.lit(1))))
-    return F.when(n == 0, F.array(F.lit(""))).otherwise(full)
+    full = F.array_distinct(word_ngrams(col, k))
+    return F.when(F.size(tokens(col)) == 0, F.array(F.lit(""))).otherwise(full)
 
 
 def jaccard_pairs(
@@ -240,6 +232,58 @@ def _jaccard_pairs_prefix(
     )
     return verified.filter(F.col("jaccard") >= F.lit(threshold)).select(
         "id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    bench: DataFrame,
+    doc_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: (document, benchmark item) pairs that
+    share ≥ ``min_shared`` distinct word k-grams, with the containment
+    score |D ∩ B| / |B| — the standard train/test-overlap check run
+    before training (near-dup Jaccard is symmetric; contamination is
+    asymmetric: a 10-line benchmark item buried in a 10-page document
+    has tiny Jaccard but containment 1.0).
+
+    Scale shape: the benchmark side is small by construction, so its
+    exploded k-grams BROADCAST; the corpus streams through one
+    broadcast join and only matching (doc, bench, gram) rows reach the
+    pair aggregation — the 100 TB corpus is never shuffled. Blocking is
+    lossless (containment > 0 ⟺ ≥ 1 shared k-gram).
+
+    Output: (doc_id, bench_id, n_shared, n_bench, containment).
+    """
+    dgx = docs.select(
+        F.col(doc_id).alias("id_doc"),
+        F.explode(shingles(F.col(text_col), k)).alias("_g"),
+    )
+    bg = bench.select(
+        F.col(bench_id).alias("id_bench"), shingles(F.col(text_col), k).alias("_bg")
+    )
+    sizes = bg.select("id_bench", F.size("_bg").alias("n_bench"))
+    bgx = bg.select("id_bench", F.explode("_bg").alias("_g"))
+    shared = (
+        dgx.join(F.broadcast(bgx), "_g")
+        .groupBy("id_doc", "id_bench")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(F.broadcast(sizes), "id_bench")
+        .withColumn("containment", F.col("n_shared") / F.col("n_bench"))
+        .select(
+            F.col("id_doc").alias(doc_id),
+            F.col("id_bench").alias(bench_id),
+            "n_shared",
+            "n_bench",
+            "containment",
+        )
     )
 
 

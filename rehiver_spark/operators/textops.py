@@ -69,6 +69,24 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(t, " "), lambda x: x != F.lit(""))
 
 
+def word_ngrams(col: Column | str, k: int = 3) -> Column:
+    """ARRAY<STRING> of word k-grams of the normalized text, in order,
+    WITH duplicates (dedup.shingles is the distinct-set form).
+
+    Texts shorter than k tokens contribute their whole token sequence
+    as one gram; empty text → empty array. Built from k-1 zip_with
+    passes over shifted copies of the token array (each O(n), null tail
+    skipped by concat_ws) — no per-position slice calls.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    out = toks
+    for i in range(1, k):
+        shifted = F.slice(toks, i + 1, F.greatest(n - F.lit(i), F.lit(0)))
+        out = F.zip_with(out, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(out, 1, F.greatest(n - F.lit(k - 1), F.lit(1)))
+
+
 def bpe_ish_tokens(col: Column | str) -> Column:
     """Sub-word-ish tokenization: split on word/number/punct boundaries
     (a GPT-2-style pre-tokenizer regex subset). For realistic token
@@ -168,6 +186,51 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "quality": quality_score(c),
             "lang_pred": lang_id(c),
         }
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``n_tokens``, ``distinct_token_ratio`` (distinct/total),
+    - ``top_token_frac`` (most frequent token's share),
+    - ``top_bigram_frac`` (most frequent word bigram's share).
+
+    High top-gram fractions flag boilerplate/spam (repeated nav text,
+    keyword stuffing) — the standard pre-training repetition filters.
+
+    Relational formulation: explode grams → count per (doc, gram) →
+    per-doc max/sum/count. Both aggregations are map-side combinable;
+    state per doc is O(distinct grams), never the text. Documents with
+    zero tokens produce no output row (nothing to measure).
+    """
+    df = ensure_parallelism(df)
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+
+    def gram_agg(gram_col: Column, out_prefix: str) -> DataFrame:
+        per_gram = (
+            base.select("_id", F.explode(gram_col).alias("_g"))
+            .groupBy("_id", "_g")
+            .agg(F.count("*").alias("_c"))
+        )
+        return per_gram.groupBy("_id").agg(
+            F.sum("_c").alias(f"{out_prefix}_total"),
+            F.count("*").alias(f"{out_prefix}_distinct"),
+            F.max("_c").alias(f"{out_prefix}_top"),
+        )
+    t = gram_agg(tokens(F.col("_t")), "tok")
+    b = gram_agg(word_ngrams(F.col("_t"), 2), "big")
+    return (
+        t.join(b, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("tok_total").alias("n_tokens"),
+            (F.col("tok_distinct") / F.col("tok_total")).alias("distinct_token_ratio"),
+            (F.col("tok_top") / F.col("tok_total")).alias("top_token_frac"),
+            (F.col("big_top") / F.col("big_total")).alias("top_bigram_frac"),
+        )
     )
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rehiver_spark.operators.dedup import (
+    containment_pairs,
     exact_dedup,
     jaccard_pairs,
     minhash_neardup_pairs,
@@ -31,7 +32,13 @@ from rehiver_spark.operators.multimodal import (
     media_from_documents,
 )
 from rehiver_spark.functions.hashing import md5_hash60_sql, rademacher_planes
-from rehiver_spark.operators.textops import tf_idf, text_stats, winnow_fingerprints
+from rehiver_spark.operators.textops import (
+    repetition_stats,
+    text_stats,
+    tf_idf,
+    tokens,
+    winnow_fingerprints,
+)
 from rehiver_spark.operators.vectorops import (
     cosine_topk,
     ivf_topk,
@@ -753,4 +760,103 @@ def x10_ivf_topk(spark, sf_dir):
     out = ivf_topk(queries, emb, k=5, n_cells=16, n_probe=4)
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X15 — benchmark decontamination (n-gram containment)
+# X16 — repetition quality signals
+# ---------------------------------------------------------------------------
+
+_X15_SH5 = (
+    "list_distinct(list_transform(range(1, greatest(len({0}) - 4, 1) + 1), "
+    "i -> array_to_string({0}[i:i+4], ' ')))"
+)
+
+
+@query(
+    "x15_contamination",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    bench AS (
+      SELECT doc_id + 500000 AS bench_id, tk[11:22] AS btk
+      FROM toks WHERE doc_id % 7 = 0 AND len(tk) >= 22
+    ),
+    dsh AS (SELECT doc_id, {_X15_SH5.format('tk')} AS s FROM toks),
+    bsh AS (SELECT bench_id, {_X15_SH5.format('btk')} AS s FROM bench),
+    dgx AS (SELECT doc_id, unnest(s) AS g FROM dsh),
+    bgx AS (SELECT bench_id, unnest(s) AS g FROM bsh),
+    sizes AS (SELECT bench_id, len(s) AS n_bench FROM bsh),
+    shared AS (
+      SELECT doc_id, bench_id, count(*) AS n_shared
+      FROM dgx JOIN bgx USING (g) GROUP BY 1, 2
+    )
+    SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared,
+      CAST(n_bench AS BIGINT) AS n_bench,
+      round(n_shared::DOUBLE / n_bench, 6) AS containment
+    FROM shared JOIN sizes USING (bench_id)
+    """,
+)
+def x15_contamination(spark, sf_dir):
+    """X-ext: train/test decontamination — every document sharing a
+    word 5-gram with a benchmark item, scored by containment |D∩B|/|B|.
+    Benchmark items are synthesized as 12-token snippets cut from every
+    7th document, so each planted item maps back to its source with
+    containment 1.0. Corpus side never shuffles (benchmark broadcast)."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    toks = tokens(F.col("text"))
+    bench = d.filter((F.col("doc_id") % 7 == 0) & (F.size(toks) >= 22)).select(
+        (F.col("doc_id") + 500000).alias("bench_id"),
+        F.concat_ws(" ", F.slice(toks, 11, 12)).alias("text"),
+    )
+    out = containment_pairs(d, bench, k=5, min_shared=1)
+    return out.select(
+        "doc_id",
+        "bench_id",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.col("n_bench").cast("bigint").alias("n_bench"),
+        F.round("containment", 6).alias("containment"),
+    )
+
+
+@query(
+    "x16_repetition",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    tok_counts AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest(tk) AS g FROM toks) GROUP BY 1, 2
+    ),
+    tstats AS (
+      SELECT doc_id, sum(c) AS total, count(*) AS dst, max(c) AS top
+      FROM tok_counts GROUP BY 1
+    ),
+    big_counts AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(tk) - 1, 1) + 1),
+          i -> array_to_string(tk[i:i+1], ' '))) AS g
+        FROM toks
+      ) GROUP BY 1, 2
+    ),
+    bstats AS (SELECT doc_id, sum(c) AS btotal, max(c) AS btop FROM big_counts GROUP BY 1)
+    SELECT t.doc_id, CAST(t.total AS BIGINT) AS n_tokens,
+      round(t.dst::DOUBLE / t.total, 6) AS distinct_token_ratio,
+      round(t.top::DOUBLE / t.total, 6) AS top_token_frac,
+      round(b.btop::DOUBLE / b.btotal, 6) AS top_bigram_frac
+    FROM tstats t JOIN bstats b ON t.doc_id = b.doc_id
+    """,
+)
+def x16_repetition(spark, sf_dir):
+    """X-ext: Gopher-style repetition filters — distinct-token ratio and
+    top token/bigram fractions flag boilerplate and keyword stuffing."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    out = repetition_stats(d.select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("distinct_token_ratio", 6).alias("distinct_token_ratio"),
+        F.round("top_token_frac", 6).alias("top_token_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
     )

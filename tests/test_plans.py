@@ -132,3 +132,18 @@ def test_x14_winnow_no_cartesian_single_window(spark, queries):
 def test_x7p_minhash_no_cartesian(spark, queries):
     p = plan_of(queries["x7p_minhash_lsh"](spark, SF))
     assert "CartesianProduct" not in p
+
+
+def test_x15_contamination_broadcasts_benchmark(spark, queries):
+    p = plan_of(queries["x15_contamination"](spark, SF))
+    assert "CartesianProduct" not in p
+    # the benchmark side must broadcast — the corpus never shuffles
+    # through the gram join
+    assert "BroadcastHashJoin" in p
+
+
+def test_x16_repetition_partial_aggregates(spark, queries):
+    p = plan_of(queries["x16_repetition"](spark, SF))
+    assert "CartesianProduct" not in p
+    # both gram aggregations are map-side combinable hash aggregates
+    assert "partial_count" in p or "HashAggregate" in p
