@@ -23,6 +23,7 @@ from rehiver_spark.operators.changes import (
     filter_changes,
 )
 from rehiver_spark.operators.dedup import (
+    connected_components,
     containment_pairs,
     exact_dedup,
     jaccard_pairs,
@@ -74,6 +75,7 @@ __all__ = [
     "date_schema",
     "detect_changes",
     "ensure_parallelism",
+    "connected_components",
     "containment_pairs",
     "exact_dedup",
     "filter_changes",

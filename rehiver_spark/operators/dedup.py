@@ -461,6 +461,77 @@ def minhash_neardup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: assign every node appearing in the
+    pair list its component's minimum id as ``cluster_id``.
+
+    Near-dup detection yields PAIRS; dedup policy needs CLUSTERS (keep
+    one representative per transitive group — A~B, B~C must retire two
+    of {A,B,C} even if A~C was never emitted). This is min-label
+    propagation: each round every node takes the smallest label among
+    itself and its neighbors, converging in O(component diameter)
+    rounds (bounded by ``max_iter``; raises if not converged so an
+    incomplete clustering can never be silently returned).
+
+    Scale notes: per round = one shuffle join (edges × labels) + one
+    map-side-combinable min-aggregation; the only driver-side value is
+    a scalar convergence aggregate — node/edge data never leaves
+    executors. Rounds are ``localCheckpoint``-ed: persist() alone keeps
+    the logical lineage, and each round's plan then embeds every prior
+    round's (analysis cost compounds until rounds take seconds);
+    checkpointing physically truncates it. localCheckpoint stores
+    blocks on executors — on a cluster where executor loss must not
+    fail the job, swap in reliable ``checkpoint()`` with a checkpoint
+    dir; the algorithm is unchanged.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    raw = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # size the round topology to the GRAPH, not the cluster: dedup
+    # graphs are tiny relative to the corpus (only docs with a near-dup
+    # appear), and per-round latency is dominated by task count
+    n_edges = raw.count()
+    spark = pairs.sparkSession
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
+    edges = raw.repartition(parts, "a").localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    # convergence via the MONOTONE label sum: labels only ever decrease,
+    # so the total is strictly smaller iff any node changed — one scalar
+    # aggregate per round instead of a join against the previous round
+    dec = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(dec).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels, edges["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), "label")
+        labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(dec).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
 # ---------------------------------------------------------------------------
 # SimHash (approximate; 64-bit signature + hamming-distance candidates)
 # ---------------------------------------------------------------------------

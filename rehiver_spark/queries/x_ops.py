@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rehiver_spark.operators.dedup import (
+    connected_components,
     containment_pairs,
     exact_dedup,
     jaccard_pairs,
@@ -859,4 +860,65 @@ def x16_repetition(spark, sf_dir):
         F.round("distinct_token_ratio", 6).alias("distinct_token_ratio"),
         F.round("top_token_frac", 6).alias("top_token_frac"),
         F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X17 — duplicate-cluster resolution (connected components over pairs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x17_dedup_clusters",
+    f"""
+    WITH RECURSIVE corpus AS ({_NEARDUP_SQL}),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM corpus),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(tk) - 2, 1) + 1),
+        i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def x17_dedup_clusters(spark, sf_dir):
+    """X-ext: duplicate-CLUSTER resolution — transitive closure of the
+    exact near-dup pairs, each node labeled with its component's min id.
+    Pair lists alone can't drive retention policy (A~B, B~C retires two
+    of three even when A~C was never emitted); this is the step between
+    pair detection and keeper selection in a dedup pipeline. Oracle =
+    DuckDB recursive CTE; Spark = bounded min-label propagation whose
+    per-round work is one shuffle join + a min-aggregation."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh = corpus.select("doc_id", shingles("text", k=3).alias("shingles"))
+    pairs = jaccard_pairs(sh, "doc_id", "shingles", threshold=0.8)
+    out = connected_components(pairs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
     )

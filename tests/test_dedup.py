@@ -142,3 +142,27 @@ def test_jaccard_prefix_equals_blocking(spark):
             for r in jaccard_pairs(sh, threshold=t, method="blocking").collect()
         }
         assert p == b and p, f"threshold {t}: prefix={p} blocking={b}"
+
+
+def test_connected_components_transitive_chain(spark):
+    from rehiver_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_empty_pairs(spark):
+    from rehiver_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
