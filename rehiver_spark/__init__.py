@@ -46,7 +46,7 @@ from rehiver_spark.operators.pipeline import (
     stream_process_incremental,
 )
 from rehiver_spark.operators.skew import salted_join
-from rehiver_spark.operators.textops import repetition_stats, text_stats, tf_idf, word_ngrams
+from rehiver_spark.operators.textops import pack_sequences, repetition_stats, text_stats, tf_idf, word_ngrams
 from rehiver_spark.operators.timeparts import TimePartitioner
 from rehiver_spark.operators.vectorops import cosine_topk, ivf_topk, lsh_cosine_neardup
 from rehiver_spark.session import ensure_parallelism, get_spark, read_events
@@ -108,6 +108,7 @@ __all__ = [
     "simhash_signatures",
     "stream_process",
     "stream_process_incremental",
+    "pack_sequences",
     "repetition_stats",
     "text_stats",
     "tf_idf",

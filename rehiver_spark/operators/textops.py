@@ -234,6 +234,39 @@ def repetition_stats(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): documents are
+    concatenated in deterministic ``id_col`` order within each
+    ``group_col`` shard and sliced into fixed ``budget``-token training
+    windows; each document is assigned the window containing its first
+    token.
+
+    Returns (id, group, n_tokens, start_offset, bin_id). One window
+    cumsum partitioned by shard — shards pack independently and in
+    parallel, which is how packing actually runs at corpus scale
+    (a global greedy order would serialize the corpus).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = token_count(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.col(group_col), n.alias("n_tokens"))
+        .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("bin_id", F.floor(F.col("start_offset") / F.lit(budget)))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -34,6 +34,7 @@ from rehiver_spark.operators.multimodal import (
 )
 from rehiver_spark.functions.hashing import md5_hash60_sql, rademacher_planes
 from rehiver_spark.operators.textops import (
+    pack_sequences,
     repetition_stats,
     text_stats,
     tf_idf,
@@ -921,4 +922,44 @@ def x17_dedup_clusters(spark, sf_dir):
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X18 — sequence packing (concat-and-chunk training windows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x18_sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS start_offset
+      FROM toks
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(start_offset AS BIGINT) AS start_offset,
+      CAST(start_offset // 512 AS BIGINT) AS bin_id
+    FROM packed
+    """,
+)
+def x18_sequence_packing(spark, sf_dir):
+    """X-ext: GPT-style sequence packing — per-shard concat order,
+    fixed 512-token training windows, each doc labeled with the window
+    holding its first token. One window cumsum per shard; shards pack
+    in parallel."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    out = pack_sequences(d, budget=512)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("start_offset").cast("bigint").alias("start_offset"),
+        F.col("bin_id").cast("bigint").alias("bin_id"),
     )

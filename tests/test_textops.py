@@ -128,3 +128,19 @@ def test_stratified_sample_deterministic(spark):
     assert s1 == s2
     per = stratified_sample(d, "source", 3).groupBy("source").count().collect()
     assert all(r["count"] <= 3 for r in per)
+
+
+def test_pack_sequences_bins_respect_order_and_budget(spark):
+    from rehiver_spark.operators.textops import pack_sequences
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "s0", " ".join(["w"] * 100)) for i in range(10)]
+        + [(20, "s1", " ".join(["w"] * 600))],
+        "doc_id long, source string, text string",
+    )
+    got = {r.doc_id: (r.start_offset, r.bin_id) for r in pack_sequences(docs, budget=256).collect()}
+    # s0: 100-token docs at offsets 0,100,...,900 -> bins 0,0,0,1,1,1,2,2,3,3
+    assert [got[i][1] for i in range(10)] == [0, 0, 0, 1, 1, 1, 2, 2, 3, 3]
+    # shards pack independently: s1's single doc starts at offset 0
+    assert got[20] == (0, 0)
