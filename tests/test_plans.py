@@ -147,3 +147,15 @@ def test_x16_repetition_partial_aggregates(spark, queries):
     assert "CartesianProduct" not in p
     # both gram aggregations are map-side combinable hash aggregates
     assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_x18_packing_single_window_no_join(spark, queries):
+    p = plan_of(queries["x18_sequence_packing"](spark, SF))
+    assert "CartesianProduct" not in p and "Join" not in p
+    # one running-sum window per shard is the whole plan
+    assert p.count("Window") == 1
+
+
+def test_x19_pipeline_no_cartesian(spark, queries):
+    p = plan_of(queries["x19_pipeline"](spark, SF))
+    assert "CartesianProduct" not in p
