@@ -754,7 +754,48 @@ def x14_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(d.select("doc_id", "text"), k=5, window=4)
 
 
-@query("x10_ivf_topk")  # IVF-flat ANN
+@query(
+    "x10_ivf_topk",
+    """
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[],
+        x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id % 25 = 0),
+    cents AS (SELECT vec_id AS cell_id, v AS cv FROM corpus ORDER BY vec_id ASC LIMIT 16),
+    corp_cell AS (
+      SELECT vec_id, cell_id, v FROM (
+        SELECT c.vec_id, ct.cell_id, c.v,
+          row_number() OVER (PARTITION BY c.vec_id
+            ORDER BY list_dot_product(c.v, ct.cv) DESC, ct.cell_id ASC) AS rn
+        FROM corpus c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    q_cell AS (
+      SELECT query_id, cell_id, qv FROM (
+        SELECT q.query_id, ct.cell_id, q.qv,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY list_dot_product(q.qv, ct.cv) DESC, ct.cell_id ASC) AS rn
+        FROM q CROSS JOIN cents ct
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT query_id, vec_id, list_dot_product(qv, v) AS c
+      FROM q_cell JOIN corp_cell USING (cell_id)
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, c,
+        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(c, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)  # IVF-flat ANN — approximate vs exact top-k, but the IVF procedure
+# itself is deterministic (min-id centroid seeding, fixed tiebreaks),
+# so the oracle recomputes the identical cells/probes and the whole
+# pipeline hash-matches
 def x10_ivf_topk(spark, sf_dir):
     emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
