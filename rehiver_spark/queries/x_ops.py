@@ -471,12 +471,43 @@ def mm_frame_plan(spark, sf_dir):
     )
 
 
-@query("mm_features")  # rows-only: array<double> output, UDF featurizer
+@query(
+    "mm_features",
+    """
+    WITH chars AS (
+      SELECT doc_id AS media_id,
+        unnest(list_transform(range(1, length(text) + 1),
+          i -> unicode(substring(text, CAST(i AS INT), 1)) // 4)) AS b
+      FROM documents
+    ),
+    counts AS (SELECT media_id, b, count(*) AS cnt FROM chars GROUP BY 1, 2),
+    totals AS (SELECT media_id, sum(cnt) AS total FROM counts GROUP BY 1),
+    grid AS (
+      SELECT d.doc_id AS media_id, r.range AS b
+      FROM documents d CROSS JOIN range(0, 64) r
+    )
+    SELECT g.media_id, CAST(g.b AS BIGINT) AS bucket,
+      round(coalesce(c.cnt, 0)::DOUBLE / t.total, 6) AS weight
+    FROM grid g
+    JOIN totals t USING (media_id)
+    LEFT JOIN counts c ON c.media_id = g.media_id AND c.b = g.b
+    """,
+)
 def mm_features(spark, sf_dir):
+    """Arrow-batched featurizer (byte histogram folded to 64 buckets,
+    L1-normalized) through the REAL mapInPandas path; the fake codec's
+    payload is the utf-8 text bytes (pure-ASCII corpus), so a SQL twin
+    recomputes the identical histogram — the UDF plumbing itself is
+    oracle-verified. Output exploded to (media_id, bucket, weight) so
+    doubles round stably."""
     d = tables(spark, sf_dir, ["documents"])["documents"]
     media = media_from_documents(d, kind="image")
     ft = extract_features(media)
-    return ft.select("media_id", F.size("feature").alias("dim"), "feature")
+    return ft.select("media_id", F.posexplode("feature")).select(
+        "media_id",
+        F.col("pos").cast("bigint").alias("bucket"),
+        F.round("col", 6).alias("weight"),
+    )
 
 
 # ---------------------------------------------------------------------------
