@@ -502,10 +502,11 @@ def connected_components(
     spark = pairs.sparkSession
     parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
     edges = raw.repartition(parts, "a").localCheckpoint()
+    # initial labels already fold in one propagation round: each node
+    # starts at min(self, neighbors) straight from the edge aggregation
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.min(F.least("a", "b")).alias("label"))
         .localCheckpoint()
     )
     # convergence via the MONOTONE label sum: labels only ever decrease,
