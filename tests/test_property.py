@@ -119,3 +119,50 @@ def test_segment_glob_driver_column_agree(spark, paths):
     }
     for p in paths:
         assert got[p] == sch.matches_glob(p, pattern), p
+
+
+TEXT = st.text(
+    alphabet=list(string.ascii_lowercase + string.digits) + [" ", "\t", "\n", "."],
+    min_size=0,
+    max_size=60,
+)
+
+
+def _py_tokens(t: str) -> list[str]:
+    return [x for x in " ".join(t.strip().split()).lower().split(" ") if x]
+
+
+def _py_ngrams(t: str, k: int) -> list[str]:
+    tk = _py_tokens(t)
+    if not tk:
+        return []
+    return [" ".join(tk[i : i + k]) for i in range(max(len(tk) - k + 1, 1))]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=40), st.integers(min_value=2, max_value=5))
+def test_word_ngrams_matches_python_reference(spark, texts, k):
+    from rehiver_spark.operators.textops import word_ngrams
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r.i: list(r.g)
+        for r in df.select("i", word_ngrams("t", k).alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_ngrams(t, k), (t, k)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=40))
+def test_shingles_are_distinct_ngrams_with_empty_fallback(spark, texts):
+    from rehiver_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r.i: list(r.g) for r in df.select("i", shingles("t", 3).alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        ng = _py_ngrams(t, 3)
+        expected = list(dict.fromkeys(ng)) if ng else [""]
+        assert got[i] == expected, t
