@@ -763,3 +763,47 @@ def c17d_stream_join(spark, sf_dir):
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.round(F.col("p_value").cast("double"), 2).alias("purchase_value"),
     )
+
+
+@query(
+    "c17e_stream_static_join",
+    """
+    SELECT o_orderpriority AS priority,
+      CAST(count(*) AS BIGINT) AS n_items,
+      round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def c17e_stream_static_join(spark, sf_dir):
+    """C17 stream-static enrichment: a lineitem file stream joined to
+    the static orders dimension (broadcast per micro-batch), aggregated
+    in complete mode under AvailableNow — the standard streaming
+    dimension-enrichment pattern, oracle-verified against the batch
+    join."""
+    import tempfile
+
+    from rehiver_spark.streaming.windows import read_file_stream, run_available_now
+
+    t = tables(spark, sf_dir, ["lineitem", "orders"])
+    src = tempfile.mkdtemp(prefix="stream_dim_src_")
+    t["lineitem"].select("l_orderkey", "l_extendedprice").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sdf = read_file_stream(spark, src, schema)
+        dim = F.broadcast(t["orders"].select("o_orderkey", "o_orderpriority"))
+        enriched = sdf.join(dim, sdf["l_orderkey"] == dim["o_orderkey"])
+        agg = enriched.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        res = run_available_now(agg, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return res.select(
+        "priority", F.col("n_items").cast("bigint").alias("n_items"), "revenue"
+    )

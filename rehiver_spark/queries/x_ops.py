@@ -33,7 +33,7 @@ from rehiver_spark.operators.multimodal import (
     frame_sample_plan,
     media_from_documents,
 )
-from rehiver_spark.functions.hashing import md5_hash60_sql, rademacher_planes
+from rehiver_spark.functions.hashing import md5_hash60, md5_hash60_sql, rademacher_planes
 from rehiver_spark.operators.textops import (
     pack_sequences,
     repetition_stats,
@@ -1112,4 +1112,36 @@ def x19_pipeline(spark, sf_dir):
         "source",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("bin_id").cast("bigint").alias("bin_id"),
+    )
+
+
+@query(
+    "x6c_portable_sample",
+    f"""
+    WITH sampled AS (
+      SELECT * FROM lineitem
+      WHERE {md5_hash60_sql("'smp:' || l_orderkey || '-' || l_linenumber")} % 10 = 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+      round(sum(l_extendedprice), 2) AS sum_price,
+      CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM sampled
+    """,
+)
+def x6c_portable_sample(spark, sf_dir):
+    """X6 portable twin: deterministic ~10% Bernoulli sample keyed by
+    the portable 60-bit hash of the row key — unlike seeded sample()
+    (partition-layout dependent, rows-only), this reproduces
+    bit-identically in any engine and is stable under repartitioning,
+    which is what a resumable 100 TB sampling job actually needs."""
+    li = tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    key = F.concat(
+        F.lit("smp:"), F.col("l_orderkey").cast("string"),
+        F.lit("-"), F.col("l_linenumber").cast("string"),
+    )
+    s = li.filter(md5_hash60(key) % 10 == 0)
+    return s.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
     )
