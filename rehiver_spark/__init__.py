@@ -46,7 +46,7 @@ from rehiver_spark.operators.pipeline import (
     stream_process_incremental,
 )
 from rehiver_spark.operators.skew import salted_join
-from rehiver_spark.operators.textops import pack_sequences, repetition_stats, text_stats, tf_idf, word_ngrams
+from rehiver_spark.operators.textops import pack_sequences, repetition_stats, text_stats, tf_idf, training_mix_sample, word_ngrams
 from rehiver_spark.operators.timeparts import TimePartitioner
 from rehiver_spark.operators.vectorops import cosine_topk, ivf_topk, lsh_cosine_neardup
 from rehiver_spark.session import ensure_parallelism, get_spark, read_events
@@ -112,6 +112,7 @@ __all__ = [
     "repetition_stats",
     "text_stats",
     "tf_idf",
+    "training_mix_sample",
     "word_ngrams",
     "write_partitioned",
 ]

@@ -54,6 +54,7 @@ from rehiver_spark.operators.textops import (
     text_stats,
     tf_idf,
     tokens,
+    training_mix_sample,
     winnow_fingerprints,
     word_ngrams,
 )
@@ -111,6 +112,7 @@ __all__ = [
     "text_stats",
     "tf_idf",
     "tokens",
+    "training_mix_sample",
     "winnow_fingerprints",
     "word_ngrams",
 ]

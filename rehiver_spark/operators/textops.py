@@ -267,6 +267,47 @@ def pack_sequences(
     )
 
 
+def training_mix_sample(
+    df: DataFrame,
+    budgets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget_col: str = "budget_tokens",
+    seed: int = 42,
+) -> DataFrame:
+    """Training-mix sampling: per group, take documents in portable-
+    hash order (a deterministic, repartition-stable shuffle) until the
+    group's token budget is reached — the data-mixing step that turns
+    per-source weights into an actual training subset.
+
+    Greedy-prefix rule: a document is kept iff its cumulative token
+    offset within the group starts inside the budget, so every group
+    overshoots by at most one document and the selection is a prefix of
+    a deterministic order (resumable, identical in any engine).
+
+    ``budgets`` is a small (group, budget) relation — broadcast. One
+    window cumsum per group; groups sample independently in parallel.
+    """
+    from rehiver_spark.functions.hashing import md5_hash60
+    from pyspark.sql import Window
+
+    h = md5_hash60(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = token_count(F.col(text_col))
+    sized = df.select(F.col(id_col), F.col(group_col), n.alias("n_tokens"))
+    cum = sized.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return cum.join(F.broadcast(budgets), group_col).filter(
+        F.col("cum_before") < F.col(budget_col)
+    ).select(id_col, group_col, "n_tokens", "cum_before")
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -36,6 +36,7 @@ from rehiver_spark.operators.multimodal import (
 from rehiver_spark.functions.hashing import md5_hash60, md5_hash60_sql, rademacher_planes
 from rehiver_spark.operators.textops import (
     pack_sequences,
+    training_mix_sample,
     repetition_stats,
     text_stats,
     tf_idf,
@@ -1144,4 +1145,59 @@ def x6c_portable_sample(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X20 — training-mix sampling (per-source token budgets)
+# ---------------------------------------------------------------------------
+
+_X20_HASH = md5_hash60_sql("'42:' || doc_id")
+
+
+@query(
+    "x20_training_mix",
+    f"""
+    WITH budgets AS (
+      SELECT source, 500 + (CAST(substr(source, 4) AS INT) % 3) * 250 AS budget_tokens
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    sized AS (
+      SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens,
+        {_X20_HASH} AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+          AS cum_before
+      FROM sized
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(cum_before AS BIGINT) AS cum_before
+    FROM cum JOIN budgets USING (source)
+    WHERE cum_before < budget_tokens
+    """,
+)
+def x20_training_mix(spark, sf_dir):
+    """X-ext: data mixing — per-source token budgets realized as a
+    deterministic hash-ordered greedy prefix (repartition-stable,
+    resumable). Budgets derive from the source name so the recipe is
+    reproducible in the oracle."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    budgets = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "budget_tokens",
+            F.lit(500) + (F.substring("source", 4, 10).cast("int") % 3) * 250,
+        )
+    )
+    out = training_mix_sample(d, budgets)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cum_before").cast("bigint").alias("cum_before"),
     )

@@ -144,3 +144,21 @@ def test_pack_sequences_bins_respect_order_and_budget(spark):
     assert [got[i][1] for i in range(10)] == [0, 0, 0, 1, 1, 1, 2, 2, 3, 3]
     # shards pack independently: s1's single doc starts at offset 0
     assert got[20] == (0, 0)
+
+
+def test_training_mix_budget_prefix(spark):
+    from rehiver_spark.operators.textops import training_mix_sample
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "s0", " ".join(["w"] * 40)) for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    budgets = spark.createDataFrame([("s0", 200)], "source string, budget_tokens int")
+    rows = training_mix_sample(docs, budgets).collect()
+    # 40-token docs, 200-token budget: docs starting at 0,40,80,120,160 → 5 kept
+    assert len(rows) == 5
+    assert max(r.cum_before for r in rows) == 160
+    # deterministic: same call yields the same doc set
+    again = {r.doc_id for r in training_mix_sample(docs, budgets).collect()}
+    assert again == {r.doc_id for r in rows}
