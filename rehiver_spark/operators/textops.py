@@ -259,7 +259,9 @@ def pack_sequences(
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n = token_count(F.col(text_col))
+    # null text counts as 0 tokens — a null n_tokens would otherwise
+    # null out start_offset/bin_id for that row (window sum skips nulls)
+    n = F.coalesce(token_count(F.col(text_col)), F.lit(0))
     return (
         df.select(F.col(id_col), F.col(group_col), n.alias("n_tokens"))
         .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
@@ -286,8 +288,9 @@ def training_mix_sample(
     overshoots by at most one document and the selection is a prefix of
     a deterministic order (resumable, identical in any engine).
 
-    ``budgets`` is a small (group, budget) relation — broadcast. One
-    window cumsum per group; groups sample independently in parallel.
+    ``budgets`` is a small (group, budget) relation — broadcast; groups
+    absent from it are excluded (no budget means no quota). One window
+    cumsum per group; groups sample independently in parallel.
     """
     from rehiver_spark.functions.hashing import md5_hash60
     from pyspark.sql import Window
@@ -298,7 +301,7 @@ def training_mix_sample(
         .orderBy(h.asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n = token_count(F.col(text_col))
+    n = F.coalesce(token_count(F.col(text_col)), F.lit(0))
     sized = df.select(F.col(id_col), F.col(group_col), n.alias("n_tokens"))
     cum = sized.withColumn(
         "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")

@@ -162,3 +162,25 @@ def test_training_mix_budget_prefix(spark):
     # deterministic: same call yields the same doc set
     again = {r.doc_id for r in training_mix_sample(docs, budgets).collect()}
     assert again == {r.doc_id for r in rows}
+
+
+def test_pack_and_mix_tolerate_null_text(spark):
+    from rehiver_spark.operators.textops import pack_sequences, training_mix_sample
+
+    docs = spark.createDataFrame(
+        [(1, "s0", "a b c"), (2, "s0", None), (3, "s0", "d e")],
+        "doc_id long, source string, text string",
+    )
+    packed = {r.doc_id: (r.n_tokens, r.start_offset, r.bin_id) for r in pack_sequences(docs, budget=4).collect()}
+    assert packed[2] == (0, 3, 0)  # null text = zero tokens, offsets stay defined
+    assert packed[3] == (2, 3, 0)
+    budgets = spark.createDataFrame([("s0", 100)], "source string, budget_tokens int")
+    assert training_mix_sample(docs, budgets).count() == 3
+
+
+def test_containment_empty_benchmark(spark):
+    from rehiver_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    bench = spark.createDataFrame([], "bench_id long, text string")
+    assert containment_pairs(docs, bench).count() == 0
