@@ -119,7 +119,7 @@ def cosine_neardup_pairs(
     formed only within blocks — the declared semantics for grouped
     dedup and the scale guard against all-pairs. Without it this IS
     all-pairs (exact baseline; use only on bounded inputs or behind
-    ``sign_lsh_bucket`` blocking).
+    ``sign_lsh_bucket_quantized`` blocking).
     """
     base = df.select(
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
@@ -161,30 +161,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
-
-
-def sign_lsh_bucket(vec: Column | str, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
-    """Random-hyperplane (SimHash-for-cosine) bucket id: one sign bit
-    per plane, packed into a BIGINT. Vectors with high cosine land in
-    the same bucket with prob (1 - theta/pi)^n_planes."""
-    v = as_double(vec)
-    planes = _hyperplanes(dim, n_planes, seed)
-    bits = []
-    for i, p in enumerate(planes):
-        d = F.aggregate(  # F.lit(list) = ONE array literal, not dim py4j calls
-            F.zip_with(v, F.lit(p), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(
-            F.when(d > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseXOR(b)  # disjoint bits: XOR == OR == sum
-    return out
 
 
 def sign_lsh_bucket_quantized(
