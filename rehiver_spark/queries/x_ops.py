@@ -1201,3 +1201,79 @@ def x20_training_mix(spark, sf_dir):
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("cum_before").cast("bigint").alias("cum_before"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X21 — substring contamination via winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+_X21_WINNOW = (
+    "list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1), "
+    "j -> list_min(hs[j:j+3])))"
+)
+_X21_GRAMS = (
+    f"list_transform(range(1, greatest(length(nt) - 4, 1) + 1), i -> {_WG_HASH})"
+)
+
+
+@query(
+    "x21_winnow_contamination",
+    f"""
+    WITH bench_src AS (
+      SELECT doc_id + 700000 AS bench_id, substr(text, 41, 120) AS text
+      FROM documents WHERE doc_id % 11 = 0 AND length(text) >= 160
+    ),
+    dn AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    bn AS (SELECT bench_id, {_NORM_SQL} AS nt FROM bench_src),
+    dg AS (SELECT doc_id, {_X21_GRAMS} AS hs FROM dn),
+    bg AS (SELECT bench_id, {_X21_GRAMS} AS hs FROM bn),
+    dw AS (SELECT doc_id, {_X21_WINNOW} AS fps FROM dg),
+    bw AS (SELECT bench_id, {_X21_WINNOW} AS fps FROM bg),
+    dx AS (SELECT doc_id, unnest(fps) AS fp FROM dw),
+    bx AS (SELECT bench_id, unnest(fps) AS fp FROM bw),
+    bsz AS (SELECT bench_id, len(fps) AS n_bench FROM bw),
+    shared AS (
+      SELECT doc_id, bench_id, count(*) AS n_shared
+      FROM dx JOIN bx USING (fp)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared,
+      CAST(n_bench AS BIGINT) AS n_bench,
+      round(n_shared::DOUBLE / n_bench, 6) AS containment
+    FROM shared JOIN bsz USING (bench_id)
+    WHERE n_shared::DOUBLE / n_bench >= 0.8
+    """,
+)
+def x21_winnow_contamination(spark, sf_dir):
+    """X-ext: substring-level contamination — benchmark items are raw
+    character slices of every 11th document; winnowing fingerprints
+    (char 5-grams, window 4) guarantee any shared substring of length
+    ≥ 8 chars yields a shared fingerprint, so slices map back to their
+    source docs even when word boundaries shift. Complements x15's
+    word-n-gram containment; bench fingerprints broadcast, the corpus
+    side never shuffles before the (tiny) pair aggregation."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    bench = d.filter((F.col("doc_id") % 11 == 0) & (F.length("text") >= 160)).select(
+        (F.col("doc_id") + 700000).alias("bench_id"),
+        F.substring("text", 41, 120).alias("text"),
+    )
+    dfp = winnow_fingerprints(d.select("doc_id", "text"), k=5, window=4)
+    bfp = winnow_fingerprints(bench, id_col="bench_id", k=5, window=4).persist()
+    bsz = bfp.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
+    shared = (
+        dfp.join(F.broadcast(bfp), "fp")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(bsz), "bench_id")
+        .withColumn("containment", F.col("n_shared") / F.col("n_bench"))
+        .filter(F.col("containment") >= 0.8)
+        .select(
+            "doc_id",
+            "bench_id",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_bench").cast("bigint").alias("n_bench"),
+            F.round("containment", 6).alias("containment"),
+        )
+    )
