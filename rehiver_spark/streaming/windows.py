@@ -120,11 +120,15 @@ def read_file_stream(
     return r.load(path)
 
 
+ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
 def run_available_now(
     sdf: DataFrame,
     output_mode: str = "complete",
     checkpoint: str | None = None,
     timeout_sec: int = 300,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Run a streaming frame to completion with Trigger.AvailableNow
     into an in-memory sink; returns the final result as a DataFrame.
@@ -132,8 +136,19 @@ def run_available_now(
     ``complete`` mode emits the final state of every window — append
     mode would withhold windows past the terminal watermark forever,
     a classic AvailableNow pitfall.
+
+    ``state_store="rocksdb"`` switches the session to the RocksDB
+    state-store provider before starting — the right choice when join
+    or aggregation state exceeds executor heap (the default HDFS-backed
+    provider keeps every partition's state as in-heap maps). Session-
+    wide setting; restored after the run.
     """
     name = f"mem_{uuid4().hex[:12]}"
+    conf = sdf.sparkSession.conf
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = conf.get(key, None)
+    if state_store == "rocksdb":
+        conf.set(key, ROCKSDB_PROVIDER)
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -147,6 +162,11 @@ def run_available_now(
     finally:
         if q.isActive:
             q.stop()
+        if state_store == "rocksdb":
+            if prev is None:
+                conf.unset(key)
+            else:
+                conf.set(key, prev)
     spark = sdf.sparkSession
     return spark.table(name)
 

@@ -96,3 +96,34 @@ def test_running_totals_stateful(spark, tmp_path):
     for k, (n, s) in expected.items():
         assert finals[k][0] == n
         assert abs(finals[k][1] - s) < 1e-6
+
+
+def test_rocksdb_state_store_runs_and_matches(spark, tmp_path):
+    """The RocksDB provider produces the same windowed result as the
+    default HDFS-backed provider, and the session conf is restored."""
+    import pyspark.sql.functions as F
+    from rehiver_spark.streaming.windows import (
+        read_file_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    src = str(tmp_path / "ev")
+    rows = [(i, f"2024-01-01 0{i % 6}:10:00") for i in range(60)]
+    df = spark.createDataFrame(rows, "v long, ts_s string").select(
+        "v", F.col("ts_s").cast("timestamp").alias("ts"), F.lit(1.0).alias("value")
+    )
+    df.repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+
+    def run(store):
+        sdf = read_file_stream(spark, src, schema)
+        res = run_available_now(tumbling_counts(sdf, "ts", "1 hour"), state_store=store)
+        return sorted(
+            (r.window_start, r.n_events) for r in res.select("window_start", "n_events").collect()
+        )
+
+    assert run("rocksdb") == run(None) != []
+    assert spark.conf.get(key, None) == before
