@@ -518,8 +518,19 @@ def connected_components(
         neighbor = edges.join(
             labels, edges["a"] == labels["node"]
         ).select(F.col("b").alias("node"), "label")
+        # pointer jumping: also adopt the label OF the current label
+        # (label chains halve every round), so convergence is
+        # O(log diameter) — plain neighbor propagation alone needs
+        # O(diameter) rounds and a long drift chain A~B~C~... would
+        # exhaust max_iter
+        jumped = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.node"))
+            .select(F.col("l1.node").alias("node"), F.col("l2.label").alias("label"))
+        )
         labels = (
             labels.unionByName(neighbor)
+            .unionByName(jumped)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()

@@ -166,3 +166,16 @@ def test_connected_components_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 300-node path graph converges in O(log n) rounds via pointer
+    jumping — plain neighbor propagation would need 300 rounds."""
+    from rehiver_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    got = connected_components(pairs, max_iter=25).collect()
+    assert len(got) == 301
+    assert {r.cluster_id for r in got} == {0}
