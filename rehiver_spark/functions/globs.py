@@ -231,24 +231,62 @@ def split_patterns(patterns: str | list[str]) -> tuple[list[str], list[str]]:
 # ---------------------------------------------------------------------------
 
 
+_FAST_LITERAL = r"[A-Za-z0-9_\-./=]"
+_FAST_FORM = re.compile(
+    rf"^(?:({_FAST_LITERAL}+)/)?\*\*/\*(\.[A-Za-z0-9]+)$"
+)
+
+
+def _fast_predicate(c: Column, pattern: str, dot: bool, nocase: bool) -> Column | None:
+    """matchFast analog (reference src/index.ts:683-694): the common
+    forms ``prefix/**/*.ext`` and ``**/*.ext`` reduce to
+    startswith/endswith string predicates — no regex engine at all —
+    when dotfile exclusion is off and case matters. Proven equivalent
+    to the compiled regex: a key starting ``prefix/`` and ending
+    ``.ext`` (with no overlap, hence the length guard) always parses
+    as prefix, zero-or-more segments, and a basename ending ``.ext``.
+    """
+    if not dot or nocase:
+        return None
+    m = _FAST_FORM.match(pattern)
+    if not m:
+        return None
+    prefix, ext = m.groups()
+    if prefix is None:
+        return c.endswith(ext)
+    return (
+        c.startswith(prefix + "/")
+        & c.endswith(ext)
+        & (F.length(c) >= F.lit(len(prefix) + 1 + len(ext)))
+    )
+
+
 def glob_match(col: Column | str, patterns: str | list[str], *, dot: bool = False, nocase: bool = False) -> Column:
     """Boolean Column: key matches the micromatch pattern list.
 
     Positive patterns OR together; ``!``-negated patterns subtract
-    (micromatch list semantics, src/index.ts:644-650). All work is
-    ``rlike`` — codegen'd, pushdown-friendly, no Python on executors.
+    (micromatch list semantics, src/index.ts:644-650). Common
+    ``prefix/**/*.ext`` forms compile to startswith/endswith string
+    predicates (the reference's matchFast idea); everything else is
+    ``rlike`` — either way codegen'd, pushdown-friendly, no Python on
+    executors.
     """
     c = F.col(col) if isinstance(col, str) else col
+
+    def one(p: str) -> Column:
+        fast = _fast_predicate(c, p, dot, nocase)
+        return fast if fast is not None else c.rlike(glob_to_regex(p, dot=dot, nocase=nocase))
+
     pos, neg = split_patterns(patterns)
     if pos:
         cond = None
         for p in pos:
-            r = c.rlike(glob_to_regex(p, dot=dot, nocase=nocase))
+            r = one(p)
             cond = r if cond is None else (cond | r)
     else:
         cond = F.lit(neg != [])  # all-negative list: start from "all paths"
     for p in neg:
-        cond = cond & ~c.rlike(glob_to_regex(p, dot=dot, nocase=nocase))
+        cond = cond & ~one(p)
     return cond
 
 

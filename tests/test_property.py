@@ -166,3 +166,30 @@ def test_shingles_are_distinct_ngrams_with_empty_fallback(spark, texts):
         ng = _py_ngrams(t, 3)
         expected = list(dict.fromkeys(ng)) if ng else [""]
         assert got[i] == expected, t
+
+
+FAST_PATTERNS = st.sampled_from(
+    ["data/**/*.json", "**/*.txt", "a/b-c/**/*.gz", "year=2024/**/*.parquet"]
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(PATH, FAST_PATTERNS), min_size=1, max_size=40))
+def test_fast_glob_path_equals_regex_path(spark, cases):
+    """The startswith/endswith fast path must agree with the compiled
+    regex on arbitrary keys for every fast-eligible pattern."""
+    from pyspark.sql import functions as F
+    from rehiver_spark.functions.globs import glob_match, glob_to_regex, _fast_predicate
+
+    df = spark.createDataFrame(
+        [(i, p, pat) for i, (p, pat) in enumerate(cases)], "i long, path string, pat string"
+    )
+    pats = sorted({pat for _, pat in cases})
+    cols = []
+    for j, pat in enumerate(pats):
+        fast = _fast_predicate(F.col("path"), pat, dot=True, nocase=False)
+        assert fast is not None, pat
+        cols.append((fast == F.col("path").rlike(glob_to_regex(pat, dot=True))).alias(f"eq{j}"))
+    rows = df.select(*cols).collect()
+    for r in rows:
+        assert all(r), r
