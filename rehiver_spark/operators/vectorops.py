@@ -403,3 +403,82 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings, then within each cluster
+    drop every item whose cosine to a LOWER-id cluster member reaches
+    ``threshold`` — keeping one representative per semantic near-dup
+    group without ever comparing across clusters.
+
+    Deterministic variant: centroids are seeded from the ``n_cells``
+    smallest ids (the same convention as :func:`ivf_topk`), so the whole
+    procedure — assignment, pairing, verdicts — reproduces exactly in
+    SQL. At scale the centroids would come from k-means on a sample;
+    only the seeding changes, not the plan.
+
+    Plan shape (the SemDeDup scaling argument): centroid assignment is
+    one broadcast join over the tiny centroid table + a per-id argmax
+    window; the pair join is keyed on ``cell_id``, so comparisons are
+    N²/k within cells instead of N² overall, and the reduction to a
+    per-item max is a partial-aggregatable groupBy. No all-pairs stage
+    exists anywhere in the plan.
+
+    Returns one row per input id: (id, cell_id, max_prior_cosine, keep)
+    where ``max_prior_cosine`` is the best cosine to any lower-id
+    member of the same cell (−1.0 when the item is the cell's min id)
+    and ``keep = max_prior_cosine < threshold``.
+    """
+    cents = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), l2_normalize(vec_col).alias("_centv"))
+    )
+    normed = emb.select(F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v"))
+    scored = normed.join(F.broadcast(cents)).withColumn(
+        "_cd",
+        F.aggregate(
+            F.zip_with("_v", "_centv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_cd").desc(), F.col("cell_id").asc())
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", "cell_id", "_v")
+    )
+    a = assigned.select(
+        F.col("_id").alias("_ida"), F.col("cell_id").alias("cell_id"), F.col("_v").alias("_va")
+    )
+    b = assigned.select(
+        F.col("_id").alias("_idb"), F.col("cell_id").alias("cell_id"), F.col("_v").alias("_vb")
+    )
+    prior = (
+        a.join(b, "cell_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_idb").alias("_id"),
+            F.aggregate(
+                F.zip_with("_va", "_vb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_cos"),
+        )
+        .groupBy("_id")
+        .agg(F.max("_cos").alias("_maxprior"))
+    )
+    out = assigned.join(prior, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("cell_id").cast("bigint").alias("cell_id"),
+        F.coalesce(F.col("_maxprior"), F.lit(-1.0)).alias("max_prior_cosine"),
+        (F.coalesce(F.col("_maxprior"), F.lit(-1.0)) < F.lit(threshold)).alias("keep"),
+    )
+    return out

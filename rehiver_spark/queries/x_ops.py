@@ -48,6 +48,7 @@ from rehiver_spark.operators.vectorops import (
     ivf_topk,
     lsh_cosine_neardup,
     lsh_cosine_neardup_portable,
+    semdedup,
 )
 from rehiver_spark.queries import query, tables
 
@@ -1276,4 +1277,74 @@ def x21_winnow_contamination(spark, sf_dir):
             F.col("n_bench").cast("bigint").alias("n_bench"),
             F.round("containment", 6).alias("containment"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X22 — SemDeDup semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x22_semdedup",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+        list_transform(embedding::DOUBLE[], x -> x + 0.02) AS e
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    normed AS (
+      SELECT vec_id,
+        list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS v
+      FROM corpus
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, v AS cv FROM normed ORDER BY vec_id ASC LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id, v FROM (
+        SELECT n.vec_id, c.cell_id, n.v,
+          row_number() OVER (PARTITION BY n.vec_id
+            ORDER BY list_dot_product(n.v, c.cv) DESC, c.cell_id ASC) AS rn
+        FROM normed n CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    prior AS (
+      SELECT b.vec_id AS vec_id, max(list_dot_product(a.v, b.v)) AS mp
+      FROM assigned a JOIN assigned b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, CAST(s.cell_id AS BIGINT) AS cell_id,
+      round(coalesce(mp, -1.0), 6) AS max_prior_cosine,
+      coalesce(mp, -1.0) < 0.9 AS keep
+    FROM assigned s LEFT JOIN prior p ON s.vec_id = p.vec_id
+    """,
+)
+def x22_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (arXiv:2303.09540): cluster embeddings
+    (deterministic min-id centroids, same convention as x10's IVF),
+    then within each cluster drop items whose cosine to a lower-id
+    member ≥ 0.9. Same synthesized near-dup corpus as x9/x9p — the
+    planted perturbed copies (cosine ≈ 0.998) are exactly the rows
+    that lose ``keep``. Cell-scoped pair join: N²/k comparisons, no
+    all-pairs stage (the SemDeDup scaling argument)."""
+    emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    perturbed = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x + 0.02).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(perturbed)
+    out = semdedup(corpus, threshold=0.9, n_cells=16)
+    return out.select(
+        "vec_id",
+        "cell_id",
+        F.round("max_prior_cosine", 6).alias("max_prior_cosine"),
+        "keep",
     )

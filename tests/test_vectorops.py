@@ -112,3 +112,40 @@ def test_ivf_topk_reasonable(emb, emb_np):
     # rank-1 self-hit must always survive (query is in the corpus)
     for q in range(5):
         assert approx[(q, 1)] == exact[(q, 1)] == q
+
+
+def test_semdedup_drops_planted_copies(emb, emb_np):
+    from rehiver_spark.operators.vectorops import semdedup
+
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x + 0.02).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    rows = {r["vec_id"]: r for r in semdedup(corpus, threshold=0.9, n_cells=8).collect()}
+
+    ids, mat, _ = emb_np
+    n = len(ids)
+    assert len(rows) == n + (n + 4) // 5
+    # a planted copy is dropped iff it shares a cell with its (lower-id)
+    # original — cross-cell survival is the inherent SemDeDup
+    # approximation; most copies must co-locate and be dropped
+    planted_ids = [v for v in rows if v >= 100000]
+    dropped = [v for v in planted_ids if not rows[v]["keep"]]
+    for vid in planted_ids:
+        r = rows[vid]
+        if rows[vid - 100000]["cell_id"] == r["cell_id"]:
+            assert not r["keep"], vid
+            assert r["max_prior_cosine"] >= 0.9
+    assert len(dropped) >= 0.8 * len(planted_ids)
+    # originals: naturally near-orthogonal corpus -> everything kept
+    kept = [r for vid, r in rows.items() if vid < 100000 and r["keep"]]
+    assert len(kept) == n
+    # min-id member of each cell has no prior neighbor
+    for cell in {r["cell_id"] for r in rows.values()}:
+        members = [vid for vid, r in rows.items() if r["cell_id"] == cell]
+        assert rows[min(members)]["max_prior_cosine"] == -1.0
