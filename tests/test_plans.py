@@ -159,3 +159,11 @@ def test_x18_packing_single_window_no_join(spark, queries):
 def test_x19_pipeline_no_cartesian(spark, queries):
     p = plan_of(queries["x19_pipeline"](spark, SF))
     assert "CartesianProduct" not in p
+
+
+def test_x22_semdedup_broadcasts_centroids_no_cartesian(spark, queries):
+    p = plan_of(queries["x22_semdedup"](spark, SF))
+    # centroid assignment broadcasts the tiny centroid table; the pair
+    # join is keyed on cell_id — no all-pairs stage anywhere
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
