@@ -495,3 +495,60 @@ def tf_idf(
         idf.alias("idf"),
         (F.col("tf") * idf).alias("tf_idf"),
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """C4-style duplicate-span removal (Raffel et al. 2020 §2.2 dedup
+    rule, re-expressed over token windows): split every document into
+    fixed-stride ``span_tokens``-token spans, keep only the globally
+    FIRST occurrence of each span text (ordered by (id, span_idx)),
+    and reassemble each document from its surviving spans.
+
+    Fixed-stride spans are alignment-sensitive — boilerplate is caught
+    when it token-aligns across documents (where text has sentence
+    structure, a sentence splitter slots in as the span builder). The
+    dedup itself is one shuffle keyed on the span text: a window
+    ``row_number`` per span value, then a single per-doc aggregate for
+    reconstruction — no joins, no all-pairs, partial-agg friendly at
+    any corpus size.
+
+    Output: (id, cleaned_text, n_spans, n_removed).
+    """
+    df = ensure_parallelism(df)
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.greatest(F.size(toks), F.lit(1)) / F.lit(span_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * span_tokens + 1, span_tokens),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(spans).alias("span_idx", "_sp")
+    ).select(
+        id_col,
+        F.col("span_idx").cast("bigint").alias("span_idx"),
+        F.array_join("_sp", " ").alias("span_text"),
+    )
+    w = Window.partitionBy("span_text").orderBy(
+        F.col(id_col).asc(), F.col("span_idx").asc()
+    )
+    marked = ex.withColumn("_keep", F.row_number().over(w) == 1)
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("span_idx", "span_text"))
+                    )
+                ),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).cast("bigint").alias("n_removed"),
+    )

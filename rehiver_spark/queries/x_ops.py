@@ -35,6 +35,7 @@ from rehiver_spark.operators.multimodal import (
 )
 from rehiver_spark.functions.hashing import md5_hash60, md5_hash60_sql, rademacher_planes
 from rehiver_spark.operators.textops import (
+    dedup_spans,
     pack_sequences,
     training_mix_sample,
     repetition_stats,
@@ -1348,3 +1349,64 @@ def x22_semdedup(spark, sf_dir):
         F.round("max_prior_cosine", 6).alias("max_prior_cosine"),
         "keep",
     )
+
+
+# ---------------------------------------------------------------------------
+# X23 — C4-style duplicate-span removal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x23_span_dedup",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    corpus AS (
+      SELECT doc_id, tk FROM base
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+        list_concat(tk[1:20],
+          ['freshtail', CAST(doc_id AS VARCHAR)]) AS tk
+      FROM base WHERE doc_id % 3 = 0
+    ),
+    sel AS (
+      SELECT doc_id, tk,
+        CAST(ceil(greatest(len(tk), 1) / 10.0) AS INT) AS nc
+      FROM corpus
+    ),
+    ex AS (SELECT doc_id, tk, unnest(range(0, nc)) AS si FROM sel),
+    sp AS (
+      SELECT doc_id, CAST(si AS BIGINT) AS span_idx,
+        array_to_string(tk[si*10+1 : si*10+10], ' ') AS span_text
+      FROM ex
+    ),
+    mk AS (
+      SELECT doc_id, span_idx, span_text,
+        row_number() OVER (PARTITION BY span_text
+          ORDER BY doc_id ASC, span_idx ASC) = 1 AS keep
+      FROM sp
+    )
+    SELECT doc_id,
+      coalesce(string_agg(CASE WHEN keep THEN span_text END, ' ' ORDER BY span_idx), '')
+        AS cleaned_text,
+      CAST(count(*) AS BIGINT) AS n_spans,
+      CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+    FROM mk GROUP BY doc_id
+    """,
+)
+def x23_span_dedup(spark, sf_dir):
+    """X23 (C4 §2.2 dedup rule): global keep-first span dedup over
+    10-token windows + per-doc reconstruction. Corpus plants prefix
+    copies (doc_id+200000: the original's first 20 tokens + a fresh
+    tail), whose two leading spans are exactly the rows removed. One
+    shuffle on span_text, one per-doc aggregate — no joins."""
+    d = tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "text")
+    prefix = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(tokens(F.col("text")), 1, 20), " "),
+            F.lit(" freshtail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(prefix)
+    return dedup_spans(corpus, "doc_id", "text", span_tokens=10)

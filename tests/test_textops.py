@@ -184,3 +184,22 @@ def test_containment_empty_benchmark(spark):
     docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     bench = spark.createDataFrame([], "bench_id long, text string")
     assert containment_pairs(docs, bench).count() == 0
+
+
+def test_dedup_spans_removes_shared_prefix_keeps_first(spark):
+    from rehiver_spark.operators.textops import dedup_spans
+
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p q r s t"),   # 2 full spans
+        (2, "a b c d e f g h i j z z z z z z z z z z"),   # span0 dups doc1's
+        (3, "q q q"),                                      # short: single span
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_spans(df, span_tokens=10).collect()}
+
+    assert out[1]["n_spans"] == 2 and out[1]["n_removed"] == 0
+    assert out[1]["cleaned_text"] == rows[0][1]
+    # doc2's first span is a global dup of doc1's first span -> removed
+    assert out[2]["n_removed"] == 1
+    assert out[2]["cleaned_text"] == "z z z z z z z z z z"
+    assert out[3]["n_spans"] == 1 and out[3]["cleaned_text"] == "q q q"
