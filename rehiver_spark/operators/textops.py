@@ -552,3 +552,65 @@ def dedup_spans(
         F.count("*").cast("bigint").alias("n_spans"),
         F.sum(F.when(F.col("_keep"), 0).otherwise(1)).cast("bigint").alias("n_removed"),
     )
+
+
+_TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)="
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical URL form for URL-level dedup (the CommonCrawl-style
+    first pass before any content hashing): lowercase scheme and host,
+    drop default ports (:80/:443), strip the fragment, drop tracking
+    parameters (utm_*, fbclid, gclid, …), sort the surviving query
+    parameters, and trim trailing path slashes (bare host → "/").
+
+    Pure RE2-safe regex + array ops — identical semantics in the DuckDB
+    oracle, whole-stage-codegen'd in Spark, no UDF.
+    """
+    u = F.trim(_c(col))
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    rawpath = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    trimmed = F.regexp_replace(rawpath, r"/+$", "")
+    path = F.when(F.length(trimmed) > 0, trimmed).otherwise(F.lit("/"))
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.length(canon_q) > 0, F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup: canonicalize, then deterministic
+    keep-min-id per canonical form (the C16 rule). One shuffle keyed on
+    the canonical URL; map-side canonicalization is free in codegen.
+
+    Output: (id, canon_url, is_keeper, dup_count).
+    """
+    df = ensure_parallelism(df)
+    canon = df.select(
+        F.col(id_col), canonicalize_url(url_col).alias("canon_url")
+    )
+    w = Window.partitionBy("canon_url").orderBy(F.col(id_col).asc())
+    wc = Window.partitionBy("canon_url")
+    return canon.select(
+        id_col,
+        "canon_url",
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+        F.count("*").over(wc).cast("bigint").alias("dup_count"),
+    )

@@ -37,6 +37,7 @@ from rehiver_spark.functions.hashing import md5_hash60, md5_hash60_sql, rademach
 from rehiver_spark.operators.textops import (
     dedup_spans,
     pack_sequences,
+    url_dedup,
     training_mix_sample,
     repetition_stats,
     text_stats,
@@ -1410,3 +1411,91 @@ def x23_span_dedup(spark, sf_dir):
     )
     corpus = d.unionByName(prefix)
     return dedup_spans(corpus, "doc_id", "text", span_tokens=10)
+
+
+# ---------------------------------------------------------------------------
+# X24 — URL canonicalization + URL-level dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x24_url_dedup",
+    r"""
+    WITH urls AS (
+      SELECT doc_id, CASE doc_id % 4
+        WHEN 0 THEN 'HTTPS://EXAMPLE.com:443/docs/' || (doc_id % 40)
+          || '/?utm_source=mail&b=2&a=1#top'
+        WHEN 1 THEN 'https://example.com/docs/' || (doc_id % 40) || '?a=1&b=2'
+        WHEN 2 THEN 'https://Example.com:80/docs/' || (doc_id % 40) || '//'
+        ELSE 'http://other.org/p/' || doc_id || '?gclid=abc'
+      END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_replace(
+          lower(regexp_extract(trim(url),
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+          ':(80|443)$', '') AS host,
+        regexp_replace(
+          regexp_extract(trim(url),
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+          '/+$', '') AS trimmedpath,
+        regexp_extract(trim(url), '\?([^#]*)', 1) AS q
+      FROM urls
+    ),
+    built AS (
+      SELECT doc_id,
+        scheme || '://' || host
+          || (CASE WHEN length(trimmedpath) > 0 THEN trimmedpath ELSE '/' END)
+          || (CASE WHEN length(cq) > 0 THEN '?' || cq ELSE '' END) AS canon_url
+      FROM (
+        SELECT doc_id, scheme, host, trimmedpath,
+          array_to_string(list_sort(list_filter(string_split(q, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)='))), '&') AS cq
+        FROM canon
+      )
+    )
+    SELECT doc_id, canon_url,
+      (row_number() OVER (PARTITION BY canon_url ORDER BY doc_id ASC) = 1)
+        AS is_keeper,
+      CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS dup_count
+    FROM built
+    """,
+)
+def x24_url_dedup(spark, sf_dir):
+    """X24: URL canonicalization (case, default ports, fragments,
+    tracking params, param order, trailing slashes) + keep-min-id
+    dedup — the CommonCrawl-style URL-level first pass. The fixture
+    derives four URL shapes per doc residue; shapes 0 and 1 canonicalize
+    identically, so every (doc_id%40, {0,1}) pair collapses."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    k = (F.col("doc_id") % 40).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://EXAMPLE.com:443/docs/"), k,
+                F.lit("/?utm_source=mail&b=2&a=1#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://example.com/docs/"), k, F.lit("?a=1&b=2")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://Example.com:80/docs/"), k, F.lit("//")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://other.org/p/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?gclid=abc"),
+            )
+        )
+    )
+    return url_dedup(d.select("doc_id", url.alias("url")))

@@ -203,3 +203,31 @@ def test_dedup_spans_removes_shared_prefix_keeps_first(spark):
     assert out[2]["n_removed"] == 1
     assert out[2]["cleaned_text"] == "z z z z z z z z z z"
     assert out[3]["n_spans"] == 1 and out[3]["cleaned_text"] == "q q q"
+
+
+def test_canonicalize_url_rules(spark):
+    from rehiver_spark.operators.textops import canonicalize_url, url_dedup
+
+    cases = [
+        (1, "HTTPS://Example.COM:443/A/B/?utm_source=x&b=2&a=1#frag",
+            "https://example.com/A/B?a=1&b=2"),
+        (2, "https://example.com/a/b?b=2&a=1", "https://example.com/a/b?a=1&b=2"),
+        (3, "http://example.com:80/", "http://example.com/"),
+        (4, "http://example.com", "http://example.com/"),
+        (5, "https://example.com/x?fbclid=abc&gclid=d", "https://example.com/x"),
+        (6, "https://example.com:8080/x", "https://example.com:8080/x"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], ["doc_id", "url"])
+    got = {
+        r["doc_id"]: r["canon"]
+        for r in df.select("doc_id", canonicalize_url("url").alias("canon")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    dd = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    # ids 3 and 4 canonicalize identically -> keep-min-id dedup
+    assert dd[3]["is_keeper"] and dd[3]["dup_count"] == 2
+    assert not dd[4]["is_keeper"] and dd[4]["dup_count"] == 2
+    assert all(r["is_keeper"] and r["dup_count"] == 1
+               for i, r in dd.items() if i not in (3, 4))
