@@ -614,3 +614,66 @@ def url_dedup(
         (F.row_number().over(w) == 1).alias("is_keeper"),
         F.count("*").over(wc).cast("bigint").alias("dup_count"),
     )
+
+
+def charlm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020 use a 5-gram
+    KenLM; this is the dependency-free relational form): train an
+    add-one-smoothed char-bigram model on the corpus itself, then score
+    every document by cross-entropy under that model. Outlier documents
+    (boilerplate, encoding junk, wrong-language) score high.
+
+    Plan: the model IS two tiny aggregate tables (bigram counts and
+    their first-char totals — bounded by charset², independent of corpus
+    size) plus a scalar vocab size, all **broadcast**; scoring is a
+    map-side join + one per-doc aggregate. Corpus-sized shuffles: the
+    single bigram count. Exact and portable: ln/+1 smoothing reproduce
+    in DuckDB; sums are rounded at 6.
+
+    Output: (id, n_bigrams, cross_entropy).
+    """
+    df = ensure_parallelism(df)
+    # materialize the normalized text ONCE — an inlined expression would
+    # re-run the regex normalization inside every per-char lambda call
+    base = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_nt")
+    )
+    nt = F.col("_nt")
+    grams = F.when(
+        F.length(nt) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(nt) - 1),
+            lambda i: nt.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select(F.col(id_col), F.explode(grams).alias("b"))
+    bc = bg.groupBy("b").agg(F.count("*").alias("cb"))
+    uc = bc.groupBy(F.substring("b", 1, 1).alias("c1")).agg(F.sum("cb").alias("cu"))
+    chars = (
+        base.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(nt), F.lit(1))),
+                    lambda i: nt.substr(i, F.lit(1)),
+                )
+            ).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .agg(F.countDistinct("ch").alias("v"))
+    )
+    scored = (
+        bg.join(F.broadcast(bc), "b")
+        .withColumn("c1", F.substring("b", 1, 1))
+        .join(F.broadcast(uc), "c1")
+        .crossJoin(F.broadcast(chars))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(
+            -F.sum(F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v"))))
+            / F.count("*"),
+            6,
+        ).alias("cross_entropy"),
+    )

@@ -35,6 +35,7 @@ from rehiver_spark.operators.multimodal import (
 )
 from rehiver_spark.functions.hashing import md5_hash60, md5_hash60_sql, rademacher_planes
 from rehiver_spark.operators.textops import (
+    charlm_score,
     dedup_spans,
     pack_sequences,
     url_dedup,
@@ -1499,3 +1500,45 @@ def x24_url_dedup(spark, sf_dir):
         )
     )
     return url_dedup(d.select("doc_id", url.alias("url")))
+
+
+# ---------------------------------------------------------------------------
+# X25 — char-bigram LM quality scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x25_charlm_quality",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    bg AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, length(nt)), i -> substr(nt, i, 2))) AS b
+      FROM norm WHERE length(nt) >= 2
+    ),
+    bc AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+    uc AS (SELECT substr(b, 1, 1) AS c1, sum(cb) AS cu FROM bc GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT ch) AS v FROM (
+        SELECT unnest(list_transform(range(1, length(nt) + 1),
+          i -> substr(nt, i, 1))) AS ch
+        FROM norm
+      ) WHERE ch <> ''
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      round(-sum(ln((cb + 1.0) / (cu + v))) / count(*), 6) AS cross_entropy
+    FROM bg
+    JOIN bc USING (b)
+    JOIN uc ON substr(b, 1, 1) = uc.c1
+    CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def x25_charlm_quality(spark, sf_dir):
+    """X25 (CCNet quality filter, relational form): add-one-smoothed
+    char-bigram LM trained on the corpus, per-doc cross-entropy. The
+    model is two broadcast aggregate tables (size ≤ charset², corpus-
+    independent) + a scalar vocab; scoring is map-side. High scores =
+    boilerplate/junk/wrong-language outliers."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    return charlm_score(d.select("doc_id", "text"))

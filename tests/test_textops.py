@@ -231,3 +231,27 @@ def test_canonicalize_url_rules(spark):
     assert not dd[4]["is_keeper"] and dd[4]["dup_count"] == 2
     assert all(r["is_keeper"] and r["dup_count"] == 1
                for i, r in dd.items() if i not in (3, 4))
+
+
+def test_charlm_score_matches_python_reference(spark):
+    import math, re
+    from collections import Counter
+    from rehiver_spark.operators.textops import charlm_score
+
+    texts = {1: "abab abab", 2: "abab zq!!", 3: "aa"}
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in charlm_score(df).collect()}
+
+    norm = {i: re.sub(r"\s+", " ", t.strip().lower()) for i, t in texts.items()}
+    bigrams = {i: [n[j:j+2] for j in range(len(n)-1)] for i, n in norm.items()}
+    bc = Counter(b for bs in bigrams.values() for b in bs)
+    uc = Counter()
+    for b, c in bc.items():
+        uc[b[0]] += c
+    v = len({ch for n in norm.values() for ch in n})
+    for i, bs in bigrams.items():
+        ce = -sum(math.log((bc[b] + 1.0) / (uc[b[0]] + v)) for b in bs) / len(bs)
+        assert got[i]["n_bigrams"] == len(bs)
+        assert abs(got[i]["cross_entropy"] - round(ce, 6)) < 1e-9, i
+    # the junk-suffix doc scores strictly worse (higher cross-entropy)
+    assert got[2]["cross_entropy"] > got[1]["cross_entropy"]
