@@ -482,3 +482,27 @@ def semdedup(
         (F.coalesce(F.col("_maxprior"), F.lit(-1.0)) < F.lit(threshold)).alias("keep"),
     )
     return out
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4× storage
+    cut for an embedding store at 100 TB scale: scale = max|x|/127,
+    q_i = round(x_i/scale) ∈ [−127, 127]; a zero vector quantizes to
+    zeros with scale 0.
+
+    Entirely map-side (no shuffle, no UDF): two array folds per row,
+    whole-stage codegen. round() is half-away-from-zero in both Spark
+    (HALF_UP) and DuckDB, so the quantized codes reproduce exactly in
+    the oracle.
+
+    Output: (id, scale, q array<int>).
+    """
+    v = as_double(vec_col)
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(
+        amax > 0, F.transform(v, lambda x: F.round(x / (amax / 127.0)).cast("int"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0))).alias("q")
+    return emb.select(F.col(id_col), scale, q)

@@ -51,6 +51,7 @@ from rehiver_spark.operators.vectorops import (
     ivf_topk,
     lsh_cosine_neardup,
     lsh_cosine_neardup_portable,
+    quantize_int8,
     semdedup,
 )
 from rehiver_spark.queries import query, tables
@@ -1542,3 +1543,56 @@ def x25_charlm_quality(spark, sf_dir):
     boilerplate/junk/wrong-language outliers."""
     d = tables(spark, sf_dir, ["documents"])["documents"]
     return charlm_score(d.select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# X26 — int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x26_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+        list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+          AS scale,
+        embedding::DOUBLE[] AS v
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, scale, unnest(v) AS x,
+        generate_subscripts(v, 1) AS dim
+      FROM q
+    )
+    SELECT vec_id, CAST(dim - 1 AS BIGINT) AS dim,
+      CAST(CASE WHEN scale > 0 THEN round(x / scale) ELSE 0 END AS BIGINT) AS q,
+      round(CASE WHEN scale > 0 THEN round(x / scale) * scale - x ELSE -x END, 6)
+        AS err
+    FROM ex
+    """,
+)
+def x26_quantize_int8(spark, sf_dir):
+    """X26: symmetric per-vector int8 quantization (scale = max|x|/127)
+    + per-dimension reconstruction error — map-side only, no shuffle;
+    round() is half-away-from-zero in both engines so codes reproduce
+    exactly."""
+    emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qd = quantize_int8(emb)
+    withv = qd.join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_v")),
+        "vec_id",
+    )
+    ex = withv.select(
+        "vec_id",
+        "scale",
+        F.posexplode(F.arrays_zip(F.col("q").alias("q"), F.col("_v").alias("x"))).alias(
+            "dim", "zq"
+        ),
+    )
+    return ex.select(
+        "vec_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("zq.q").cast("bigint").alias("q"),
+        F.round(F.col("zq.q") * F.col("scale") - F.col("zq.x"), 6).alias("err"),
+    )

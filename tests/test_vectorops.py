@@ -149,3 +149,23 @@ def test_semdedup_drops_planted_copies(emb, emb_np):
     for cell in {r["cell_id"] for r in rows.values()}:
         members = [vid for vid, r in rows.items() if r["cell_id"] == cell]
         assert rows[min(members)]["max_prior_cosine"] == -1.0
+
+
+def test_quantize_int8_roundtrip_bounds(spark, emb):
+    from rehiver_spark.operators.vectorops import quantize_int8
+
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(
+        spark.createDataFrame([(999999, [0.0] * 64)], "vec_id long, embedding array<double>")
+    )
+    rows = quantize_int8(corpus).collect()
+    orig = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+    for r in rows:
+        xs, qs, scale = orig[r["vec_id"]], r["q"], r["scale"]
+        assert all(-127 <= q <= 127 for q in qs)
+        if r["vec_id"] == 999999:
+            assert scale == 0.0 and all(q == 0 for q in qs)
+            continue
+        assert scale > 0
+        # max-magnitude element maps to ±127; error bounded by scale/2
+        assert max(abs(q) for q in qs) == 127
+        assert all(abs(q * scale - x) <= scale / 2 + 1e-12 for q, x in zip(qs, xs))
