@@ -718,9 +718,14 @@ def c17d_stream_join(spark, sf_dir):
     → memory sink. Inner interval joins emit eagerly on match, so the
     streamed result equals the batch join exactly — the oracle verifies
     the streaming execution, not a replay."""
+    import os as _os
     import tempfile
 
-    from rehiver_spark.streaming.windows import read_file_stream, run_available_now
+    from rehiver_spark.streaming.windows import (
+        read_file_stream,
+        run_available_now,
+        suggest_state_partitions,
+    )
 
     ev = tables(spark, sf_dir, ["events"])["events"]
     src = tempfile.mkdtemp(prefix="stream_join_src_")
@@ -728,35 +733,38 @@ def c17d_stream_join(spark, sf_dir):
         "overwrite"
     ).parquet(src)
     schema = spark.read.parquet(src).schema
+    src_bytes = sum(
+        e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")
+    )
+    clicks = (
+        read_file_stream(spark, src, schema)
+        .filter(F.col("event_type") == "click")
+        .selectExpr("user_id AS c_user", "ts AS c_ts")
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_file_stream(spark, src, schema)
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr("user_id AS p_user", "ts AS p_ts", "value AS p_value")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    )
     # single AvailableNow batch (multi-batch state replay is exercised
-    # by c17c and the incremental pipeline) and few shuffle partitions:
-    # every shuffle partition carries TWO join state stores, and at this
-    # SF state-store setup dominates (32 parts / 2 batches measured
-    # 10.9 s vs 3.5 s for 8 parts / 1 batch, identical result)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        clicks = (
-            read_file_stream(spark, src, schema)
-            .filter(F.col("event_type") == "click")
-            .selectExpr("user_id AS c_user", "ts AS c_ts")
-            .withWatermark("c_ts", "1 hour")
-        )
-        purchases = (
-            read_file_stream(spark, src, schema)
-            .filter(F.col("event_type") == "purchase")
-            .selectExpr("user_id AS p_user", "ts AS p_ts", "value AS p_value")
-            .withWatermark("p_ts", "1 hour")
-        )
-        joined = clicks.join(
-            purchases,
-            F.expr(
-                "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"
-            ),
-        )
-        res = run_available_now(joined, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # by c17c and the incremental pipeline); state partitions sized to
+    # the input, not the session — every shuffle partition carries TWO
+    # join state stores, so oversized partition counts pay pure
+    # state-store setup at small inputs while the clamp keeps cluster
+    # runs on the admin-sized session conf
+    res = run_available_now(
+        joined,
+        output_mode="append",
+        state_partitions=suggest_state_partitions(spark, src_bytes),
+    )
     return res.select(
         F.col("c_user").alias("user_id"),
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),

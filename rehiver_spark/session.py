@@ -95,22 +95,56 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
-def read_events(spark: SparkSession, sf_dir: str):
-    """Read the events table, normalizing its TIMESTAMP(NANOS) column.
+def _events_ts_is_nanos(path: str) -> bool:
+    """Inspect the parquet footer: is ``ts`` a TIMESTAMP(NANOS) column?
 
-    Spark has no nanosecond timestamp type; the parquet reader rejects
-    it unless ``spark.sql.legacy.parquet.nanosAsLong`` is on. We read
-    nanos as BIGINT via an explicit schema (works regardless of session
-    conf) and expose ``ts`` as a microsecond TIMESTAMP — integer
-    division keeps full precision (no double roundtrip).
+    Spark has no nanosecond timestamp type, so a nanos column needs the
+    read-as-BIGINT workaround; a plain timestamp[us/ms] column must be
+    read natively (treating µs as ns divides every timestamp by 1000).
+    Footer-sniffing one file is a driver-side metadata read — cheap even
+    when the dataset is 100 TB, because schema is uniform per table.
+    """
+    try:
+        import pathlib
+
+        import pyarrow.parquet as pq
+
+        p = pathlib.Path(path)
+        if p.is_dir():
+            p = next(p.rglob("*.parquet"))
+        t = pq.read_schema(p).field("ts").type
+        return getattr(t, "unit", None) == "ns" or str(t) == "int64"
+    except Exception:
+        return False
+
+
+def read_events(spark: SparkSession, sf_dir: str):
+    """Read the events table, tolerating a TIMESTAMP(NANOS) ``ts``.
+
+    The driver testdata stores ``ts`` as timestamp[us], which Spark
+    reads natively — that is the default path. Only when the footer
+    says the column is genuinely nanos (or already int64) do we read it
+    as BIGINT and integer-divide to microseconds; applying that path to
+    a µs column would shrink every timestamp 1000× (the round-2 bug:
+    all of 2024 collapsed into 43 minutes of 1970).
     """
     from pyspark.sql import functions as F
 
+    path = f"{sf_dir}/events.parquet"
+    if not _events_ts_is_nanos(path):
+        # parquet timestamp[us] with isAdjustedToUTC=false reads as
+        # TIMESTAMP_NTZ, which watermarks/window() reject; the session
+        # timezone is pinned UTC (session.py get_spark), so casting to
+        # TIMESTAMP (ltz) is value-identical and keeps every downstream
+        # streaming operator happy
+        return spark.read.parquet(path).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
     schema = (
         "event_id bigint, ts bigint, user_id bigint, "
         "event_type string, value double, props string"
     )
-    df = spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.schema(schema).parquet(path)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -123,12 +123,27 @@ def read_file_stream(
 ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
 
+def suggest_state_partitions(spark, input_bytes: int, target_bytes: int = 64 << 20) -> int:
+    """Scale-aware default for streaming state partitions.
+
+    Each shuffle partition of a stateful operator carries its own state
+    store (two per stream-stream join side) with fixed setup/commit
+    cost per micro-batch, so tiny inputs want few partitions while a
+    100 TB stream wants the session's full shuffle width. Partitions ∝
+    input bytes / 64 MB, clamped to [1, session shuffle partitions] —
+    at cluster scale the clamp leaves the admin-sized conf in charge.
+    """
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(session_parts, (input_bytes + target_bytes - 1) // target_bytes))
+
+
 def run_available_now(
     sdf: DataFrame,
     output_mode: str = "complete",
     checkpoint: str | None = None,
     timeout_sec: int = 300,
     state_store: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming frame to completion with Trigger.AvailableNow
     into an in-memory sink; returns the final result as a DataFrame.
@@ -142,6 +157,12 @@ def run_available_now(
     or aggregation state exceeds executor heap (the default HDFS-backed
     provider keeps every partition's state as in-heap maps). Session-
     wide setting; restored after the run.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for this
+    run only (restored after) — the number of state stores a stateful
+    query creates. Runner-level tuning knob; ``None`` leaves the
+    session conf alone. See :func:`suggest_state_partitions` for a
+    size-proportional default.
     """
     name = f"mem_{uuid4().hex[:12]}"
     conf = sdf.sparkSession.conf
@@ -149,6 +170,10 @@ def run_available_now(
     prev = conf.get(key, None)
     if state_store == "rocksdb":
         conf.set(key, ROCKSDB_PROVIDER)
+    parts_key = "spark.sql.shuffle.partitions"
+    prev_parts = conf.get(parts_key)
+    if state_partitions is not None:
+        conf.set(parts_key, str(state_partitions))
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -167,6 +192,8 @@ def run_available_now(
                 conf.unset(key)
             else:
                 conf.set(key, prev)
+        if state_partitions is not None:
+            conf.set(parts_key, prev_parts)
     spark = sdf.sparkSession
     return spark.table(name)
 

@@ -38,6 +38,19 @@ def test_read_matching_no_match_raises(spark, hive_dir):
         read_matching(spark, hive_dir, "year=1999/**")
 
 
+def test_events_ts_data_contract(spark):
+    """Pin the ts unit handling: the testdata is timestamp[us] and all
+    events live in 2024. A unit mix-up (the round-2 nanos bug) lands
+    everything in 1970 — this test is the tripwire."""
+    from rehiver_spark.session import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    row = ev.agg(
+        F.min(F.year("ts")).alias("ymin"), F.max(F.year("ts")).alias("ymax")
+    ).first()
+    assert row["ymin"] == 2024 and row["ymax"] == 2024
+
+
 def test_read_path_glob(spark, hive_dir):
     from rehiver_spark.sources.reader import read_path_glob
 
