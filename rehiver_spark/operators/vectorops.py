@@ -112,15 +112,24 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ threshold.
 
     With ``block_col`` (e.g. a label, shard, or LSH bucket) pairs are
     formed only within blocks — the declared semantics for grouped
     dedup and the scale guard against all-pairs. Without it this IS
-    all-pairs (exact baseline; use only on bounded inputs or behind
-    ``sign_lsh_bucket_quantized`` blocking).
+    an all-pairs crossJoin — O(N²) comparisons, catastrophic on a
+    large corpus — so it must be opted into explicitly with
+    ``allow_all_pairs=True`` (exact baseline for bounded inputs;
+    otherwise use ``lsh_cosine_neardup`` / ``semdedup`` blocking).
     """
+    if block_col is None and not allow_all_pairs:
+        raise ValueError(
+            "cosine_neardup_pairs without block_col is an O(N²) crossJoin; "
+            "pass block_col (label/shard/LSH bucket) or opt in explicitly "
+            "with allow_all_pairs=True on a bounded input"
+        )
     base = df.select(
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
         F.col(id_col).alias("_id"),
@@ -404,12 +413,98 @@ def ivf_topk(
         .select(query_id, corpus_id, "cosine", "rank")
     )
 
+def _assign_to_cells(rows: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    per-id argmax over centroid dot products. ``rows`` = (_id, _v),
+    ``cents`` = (cell_id, _centv); returns (_id, cell_id, _v)."""
+    scored = rows.join(F.broadcast(cents)).withColumn(
+        "_cd",
+        F.aggregate(
+            F.zip_with("_v", "_centv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_cd").desc(), F.col("cell_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", "cell_id", "_v")
+    )
+
+
+def _split_hot_cells(
+    assigned: DataFrame, max_cell_rows: int, max_rounds: int
+) -> DataFrame:
+    """Re-cluster cells whose population exceeds ``max_cell_rows``.
+
+    Each round: find hot cells, promote each hot cell's
+    ``ceil(pop / max_cell_rows)`` smallest-id members to sub-centroids
+    (new cell_id = that member's own id — globally unique, same
+    convention as the seed centroids), re-assign only the hot cells'
+    rows by nearest sub-centroid, repeat. Deterministic end to end.
+
+    Driver work per round is one scalar-sized collect (one row per hot
+    cell); only hot-cell rows are reshuffled. Rounds stop when no cell
+    exceeds the cap or after ``max_rounds`` — splitting s-ways cuts the
+    worst cell by ~s× per round unless the embeddings are literally
+    identical, so the residual worst case after r rounds is
+    pop_max / prod(splits) and in practice the cap holds in 1-2 rounds.
+    """
+    for _ in range(max_rounds):
+        pops = assigned.groupBy("cell_id").agg(F.count("*").alias("_pop"))
+        hot = pops.filter(F.col("_pop") > max_cell_rows)
+        hot_rows = hot.collect()  # ≤ one row per cell; scalar-bounded
+        if not hot_rows:
+            break
+        hot_ids = {r["cell_id"]: r["_pop"] for r in hot_rows}
+        hot_df = assigned.filter(F.col("cell_id").isin(list(hot_ids)))
+        cold_df = assigned.filter(~F.col("cell_id").isin(list(hot_ids)))
+        # n_sub per hot cell as a broadcast literal map
+        n_sub = F.create_map(
+            *[
+                x
+                for cid, pop in sorted(hot_ids.items())
+                for x in (F.lit(cid), F.lit(-(-pop // max_cell_rows)))
+            ]
+        )
+        wr = Window.partitionBy("cell_id").orderBy(F.col("_id").asc())
+        ranked = hot_df.withColumn("_r", F.row_number().over(wr))
+        subcents = ranked.filter(F.col("_r") <= n_sub[F.col("cell_id")]).select(
+            F.col("cell_id").alias("_oldcell"),
+            F.col("_id").alias("_newcell"),
+            F.col("_v").alias("_centv"),
+        )
+        rescored = hot_df.join(
+            F.broadcast(subcents), F.col("cell_id") == F.col("_oldcell")
+        ).withColumn(
+            "_cd",
+            F.aggregate(
+                F.zip_with("_v", "_centv", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        wa = Window.partitionBy("_id").orderBy(
+            F.col("_cd").desc(), F.col("_newcell").asc()
+        )
+        reassigned = (
+            rescored.withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") == 1)
+            .select("_id", F.col("_newcell").alias("cell_id"), "_v")
+        )
+        assigned = cold_df.unionByName(reassigned).localCheckpoint(eager=False)
+    return assigned
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.9,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int | str | None = "auto",
+    max_split_rounds: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings, then within each cluster
@@ -430,31 +525,38 @@ def semdedup(
     per-item max is a partial-aggregatable groupBy. No all-pairs stage
     exists anywhere in the plan.
 
+    Skew hardening — the within-cell pair join is O(pop²) per cell, so
+    a hot cell is the one thing that can go quadratic:
+
+    - ``n_cells=None`` (default) picks ``ceil(sqrt(N))`` clamped to
+      [16, 65536] (one count job) — k grows with N as in the SemDeDup
+      paper instead of a fixed 16.
+    - ``max_cell_rows`` caps cell population by recursively splitting
+      hot cells (:func:`_split_hot_cells`); ``"auto"`` = 16× the
+      expected cell size (never binds when n_cells ≤ 16, so fixed-k
+      oracle runs are byte-identical; at adaptive k it bounds per-cell
+      pairs by (16·N/k)² ≈ 256·N when k≈√N̄). ``None`` disables.
+
     Returns one row per input id: (id, cell_id, max_prior_cosine, keep)
     where ``max_prior_cosine`` is the best cosine to any lower-id
     member of the same cell (−1.0 when the item is the cell's min id)
     and ``keep = max_prior_cosine < threshold``.
     """
+    if n_cells is None or max_cell_rows == "auto":
+        n = emb.count()
+        if n_cells is None:
+            n_cells = max(16, min(65536, int(n**0.5) + 1))
+        if max_cell_rows == "auto":
+            max_cell_rows = max(1, 16 * (-(-n // n_cells)))
     cents = (
         emb.orderBy(F.col(id_col).asc())
         .limit(n_cells)
         .select(F.col(id_col).alias("cell_id"), l2_normalize(vec_col).alias("_centv"))
     )
     normed = emb.select(F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v"))
-    scored = normed.join(F.broadcast(cents)).withColumn(
-        "_cd",
-        F.aggregate(
-            F.zip_with("_v", "_centv", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    w = Window.partitionBy("_id").orderBy(F.col("_cd").desc(), F.col("cell_id").asc())
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("_id", "cell_id", "_v")
-    )
+    assigned = _assign_to_cells(normed, cents)
+    if max_cell_rows is not None:
+        assigned = _split_hot_cells(assigned, int(max_cell_rows), max_split_rounds)
     a = assigned.select(
         F.col("_id").alias("_ida"), F.col("cell_id").alias("cell_id"), F.col("_v").alias("_va")
     )

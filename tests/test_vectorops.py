@@ -151,6 +151,50 @@ def test_semdedup_drops_planted_copies(emb, emb_np):
         assert rows[min(members)]["max_prior_cosine"] == -1.0
 
 
+def test_neardup_all_pairs_requires_opt_in(emb):
+    from rehiver_spark.operators.vectorops import cosine_neardup_pairs
+
+    with pytest.raises(ValueError, match="all_pairs"):
+        cosine_neardup_pairs(emb, threshold=0.9)
+    # explicit opt-in builds the plan (exact baseline path still exists)
+    df = cosine_neardup_pairs(emb.limit(20), threshold=0.9, allow_all_pairs=True)
+    assert set(df.columns) == {"id_a", "id_b", "cosine"}
+
+
+def test_semdedup_splits_hot_cells(spark):
+    """A deliberately skewed clustering — every row lands in ONE cell
+    (n_cells=1) — must be re-split so no cell exceeds max_cell_rows,
+    and the within-cell keep semantics must hold on the final cells."""
+    from rehiver_spark.operators.vectorops import semdedup
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((200, 8))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = semdedup(
+        corpus, threshold=0.9, n_cells=1, max_cell_rows=50, max_split_rounds=6
+    ).collect()
+    assert len(rows) == 200
+    pops: dict = {}
+    for r in rows:
+        pops[r["cell_id"]] = pops.get(r["cell_id"], 0) + 1
+    assert len(pops) > 1 and max(pops.values()) <= 50
+    # keep semantics per final cell: dropped ⇔ a lower-id cell member
+    # with cosine ≥ threshold exists
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell_id"], []).append(r["vec_id"])
+    for r in rows:
+        lower = [m for m in by_cell[r["cell_id"]] if m < r["vec_id"]]
+        best = max((sims[m, r["vec_id"]] for m in lower), default=-1.0)
+        assert r["keep"] == (best < 0.9)
+        assert abs(r["max_prior_cosine"] - best) < 1e-9
+
+
 def test_quantize_int8_roundtrip_bounds(spark, emb):
     from rehiver_spark.operators.vectorops import quantize_int8
 
