@@ -201,36 +201,55 @@ def repetition_stats(
     High top-gram fractions flag boilerplate/spam (repeated nav text,
     keyword stuffing) — the standard pre-training repetition filters.
 
-    Relational formulation: explode grams → count per (doc, gram) →
-    per-doc max/sum/count. Both aggregations are map-side combinable;
-    state per doc is O(distinct grams), never the text. Documents with
+    Plan: entirely MAP-SIDE — no explode, no shuffle. The stats a doc
+    needs are all within-row: totals are array sizes, distinct counts
+    come from ``array_distinct``, and the top-gram multiplicity is the
+    longest run of a sorted copy of the gram array (``array_sort`` +
+    one run-length fold, O(n log n) per row, whole-stage codegen).
+    The exploded formulation shuffles the full gram multiset on
+    (doc, gram) — keys that are nearly unique, so partial aggregation
+    reduces nothing and every token crosses the wire; at 100 TB that is
+    the whole corpus re-shuffled for a per-row answer. Documents with
     zero tokens produce no output row (nothing to measure).
     """
-    df = ensure_parallelism(df)
-    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
 
-    def gram_agg(gram_col: Column, out_prefix: str) -> DataFrame:
-        per_gram = (
-            base.select("_id", F.explode(gram_col).alias("_g"))
-            .groupBy("_id", "_g")
-            .agg(F.count("*").alias("_c"))
+    def max_multiplicity(arr: Column) -> Column:
+        """Longest run in the sorted array == max element multiplicity."""
+        zero = F.lit(0).cast("bigint")
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                zero.alias("run"),
+                zero.alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint"))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                        F.lit(1).cast("bigint")
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
         )
-        return per_gram.groupBy("_id").agg(
-            F.sum("_c").alias(f"{out_prefix}_total"),
-            F.count("*").alias(f"{out_prefix}_distinct"),
-            F.max("_c").alias(f"{out_prefix}_top"),
-        )
-    t = gram_agg(tokens(F.col("_t")), "tok")
-    b = gram_agg(word_ngrams(F.col("_t"), 2), "big")
-    return (
-        t.join(b, "_id")
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("tok_total").alias("n_tokens"),
-            (F.col("tok_distinct") / F.col("tok_total")).alias("distinct_token_ratio"),
-            (F.col("tok_top") / F.col("tok_total")).alias("top_token_frac"),
-            (F.col("big_top") / F.col("big_total")).alias("top_bigram_frac"),
-        )
+
+    df = ensure_parallelism(df)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        tokens(F.col(text_col)).alias("_tk"),
+        word_ngrams(F.col(text_col), 2).alias("_bg"),
+    ).filter(F.size("_tk") > 0)
+    return base.select(
+        F.col("_id").alias(id_col),
+        F.size("_tk").cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct("_tk")) / F.size("_tk")).alias("distinct_token_ratio"),
+        (max_multiplicity(F.col("_tk")) / F.size("_tk")).alias("top_token_frac"),
+        (max_multiplicity(F.col("_bg")) / F.size("_bg")).alias("top_bigram_frac"),
     )
 
 
@@ -332,15 +351,19 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     df = ensure_parallelism(df)
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    # tokenize ONCE behind a projection boundary: inlining tokens()
+    # into size/sequence/slice makes Catalyst evaluate the regex
+    # normalize+split 3× per row (CollapseProject keeps multiply-
+    # referenced non-cheap aliases separate only across projections)
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    n = F.size("_tk")
     # number of chunks: ceil(max(n - overlap, 1) / stride)
     n_chunks = F.ceil(F.greatest(n - F.lit(overlap), F.lit(1)) / F.lit(stride)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+        lambda i: F.slice(F.col("_tk"), i * stride + 1, chunk_tokens),
     )
-    out = df.select(
+    out = base.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "_chunk_toks"),
     )
