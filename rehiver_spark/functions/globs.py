@@ -17,11 +17,20 @@ README — tests/index.test.ts:25-126, README.md:66-81):
 - ``!pat``   negation inside pattern lists (subtract semantics)
 - ``:name``  named capture (capture mode)   → ``([^/.]+)``  (src/index.ts:745)
 - ``*`` in capture mode                     → ``([^/]+)``   (src/index.ts:747)
+- ``{1..9}`` / ``{01..12}`` / ``{a..f}`` numeric & alpha brace ranges
+  (zero-padding and ``..step`` suffix à la the micromatch ``braces``
+  expander)
+- extglobs ``@(a|b)`` ``?(x)`` ``*(x)`` ``+(x)`` ``!(x)`` — alternates
+  may nest wildcards/classes/extglobs; ``!(p)`` means "a segment run
+  that does not entirely match p" (exact bash parity when the extglob
+  ends its segment; embedded trailing context is matched permissively,
+  documented divergence)
+- POSIX classes ``[[:alpha:]]`` etc. inside bracket expressions
 - options: ``dot`` (match dotfiles), ``nocase``
 
-Divergences from micromatch (documented per SURVEY §7): no extglobs
-``@(..)/+(..)``, no ``{1..3}`` numeric ranges, no POSIX classes. None
-appear in the reference's tests or docs.
+None of the extglob/range/POSIX forms appear in the reference's tests
+or docs (micromatch handles them there, src/index.ts:644-650); they
+are provided for full matcher parity.
 
 The emitted regex uses only constructs valid in BOTH Java
 (``rlike``/Catalyst) and Python ``re`` — so the same compiled string
@@ -44,13 +53,40 @@ def _escape(ch: str) -> str:
     return "\\" + ch if ch in _SPECIAL else ch
 
 
+_RANGE_RE = re.compile(
+    r"^(?:(-?\d+)\.\.(-?\d+)|([A-Za-z])\.\.([A-Za-z]))(?:\.\.(-?\d+))?$"
+)
+
+
+def _expand_range(body: str) -> list[str] | None:
+    """``1..5`` / ``01..12`` / ``a..f`` (optional ``..step``) → values,
+    or None when the body is not a range. Zero-padding applies when an
+    endpoint is written with leading zeros (braces-package parity)."""
+    m = _RANGE_RE.match(body)
+    if not m:
+        return None
+    step = abs(int(m.group(5) or 1)) or 1
+    if m.group(1) is not None:
+        a, b = m.group(1), m.group(2)
+        ia, ib = int(a), int(b)
+        vals = range(ia, ib + 1, step) if ia <= ib else range(ia, ib - 1, -step)
+        pad = any(s.lstrip("-").startswith("0") and len(s.lstrip("-")) > 1 for s in (a, b))
+        width = max(len(a), len(b)) if pad else 0
+        return [str(v).zfill(width) for v in vals]
+    ca, cb = ord(m.group(3)), ord(m.group(4))
+    rng = range(ca, cb + 1, step) if ca <= cb else range(ca, cb - 1, -step)
+    return [chr(v) for v in rng]
+
+
 def expand_braces(pattern: str) -> list[str]:
-    """Expand ``{a,b}`` alternations into a list of brace-free patterns.
+    """Expand ``{a,b}`` alternations and ``{1..3}`` / ``{a..c}`` ranges
+    into a list of brace-free patterns.
 
     Handles nesting by repeated single-level expansion. A ``{...}``
-    with no top-level comma is treated literally (micromatch parity).
+    with no top-level comma and no range form is treated literally
+    (micromatch parity).
     """
-    # find first balanced {...} containing a top-level comma
+    # find first balanced {...} containing a top-level comma or a range
     i = pattern.find("{")
     while i != -1:
         depth = 0
@@ -67,6 +103,14 @@ def expand_braces(pattern: str) -> list[str]:
             elif c == "," and depth == 1:
                 comma = True
             j += 1
+        if j < len(pattern) and not comma:
+            rng = _expand_range(pattern[i + 1 : j])
+            if rng is not None:
+                head, tail = pattern[:i], pattern[j + 1 :]
+                out = []
+                for v in rng:
+                    out.extend(expand_braces(head + v + tail))
+                return out
         if j < len(pattern) and comma:
             head, body, tail = pattern[:i], pattern[i + 1 : j], pattern[j + 1 :]
             alts: list[str] = []
@@ -91,6 +135,77 @@ def expand_braces(pattern: str) -> list[str]:
     return [pattern]
 
 
+# POSIX class name → Java/Python-compatible character-class body
+_POSIX_CLASSES = {
+    "alnum": "a-zA-Z0-9",
+    "alpha": "a-zA-Z",
+    "ascii": r"\x00-\x7f",
+    "blank": r" \t",
+    "cntrl": r"\x00-\x1f\x7f",
+    "digit": "0-9",
+    "graph": r"\x21-\x7e",
+    "lower": "a-z",
+    "print": r"\x20-\x7e",
+    "punct": r"!-/:-@\[-`|{}~",
+    "space": r" \t\r\n\x0b\f",
+    "upper": "A-Z",
+    "word": "a-zA-Z0-9_",
+    "xdigit": "0-9A-Fa-f",
+}
+
+
+def _sub_posix(body: str) -> str:
+    return re.sub(
+        r"\[:(\w+):\]",
+        lambda m: _POSIX_CLASSES.get(m.group(1), re.escape(m.group(0))),
+        body,
+    )
+
+
+def _scan_class_end(pattern: str, j: int) -> int:
+    """Index of the closing ``]`` of a bracket expression starting scan
+    at ``j``, skipping ``[:name:]`` POSIX tokens; len(pattern) if
+    unterminated."""
+    n = len(pattern)
+    while j < n and pattern[j] != "]":
+        if pattern[j] == "[" and j + 1 < n and pattern[j + 1] == ":":
+            k = pattern.find(":]", j + 2)
+            j = j + 1 if k == -1 else k + 2
+        else:
+            j += 1
+    return j
+
+
+def _parse_extglob_alts(pattern: str, i: int) -> tuple[list[str], int] | None:
+    """Parse ``X(alt|alt)`` where pattern[i] is the prefix char and
+    pattern[i+1] == '('. Returns (alts, index after ')') or None when
+    the parens never balance (then the prefix char is literal)."""
+    depth = 0
+    alts: list[str] = []
+    cur = ""
+    j = i + 1
+    n = len(pattern)
+    while j < n:
+        c = pattern[j]
+        if c == "(":
+            depth += 1
+            if depth > 1:
+                cur += c
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                alts.append(cur)
+                return alts, j + 1
+            cur += c
+        elif c == "|" and depth == 1:
+            alts.append(cur)
+            cur = ""
+        else:
+            cur += c
+        j += 1
+    return None
+
+
 def _translate_one(pattern: str, dot: bool) -> str:
     """Translate a single brace-free glob into an (unanchored) regex body."""
     out: list[str] = []
@@ -100,6 +215,27 @@ def _translate_one(pattern: str, dot: bool) -> str:
     star_guard = "" if dot else r"(?!\.)"
     while i < n:
         c = pattern[i]
+        if c in "@!+*?" and i + 1 < n and pattern[i + 1] == "(":
+            parsed = _parse_extglob_alts(pattern, i)
+            if parsed is not None:
+                alts, j = parsed
+                # alternates translate recursively with dot=True: the
+                # leading-dot guard applies to the segment, not to a
+                # nested alternate
+                body = "|".join(_translate_one(a, dot=True) for a in alts)
+                if c == "@":
+                    out.append(f"(?:{body})")
+                elif c == "?":
+                    out.append(f"(?:{body})?")
+                elif c == "*":
+                    out.append(f"(?:{body})*")
+                elif c == "+":
+                    out.append(f"(?:{body})+")
+                else:  # '!' — a run not entirely matching the alts
+                    out.append(f"(?:(?!(?:{body})(?:/|$))[^/]*)")
+                i = j
+                seg_start = False
+                continue
         if c == "*":
             if i + 1 < n and pattern[i + 1] == "*":
                 # globstar — must own its segment
@@ -138,8 +274,7 @@ def _translate_one(pattern: str, dot: bool) -> str:
                 j += 1
             if j < n and pattern[j] == "]":  # literal ] first
                 j += 1
-            while j < n and pattern[j] != "]":
-                j += 1
+            j = _scan_class_end(pattern, j)
             if j >= n:  # unterminated class → literal '['
                 out.append(r"\[")
                 i += 1
@@ -150,7 +285,7 @@ def _translate_one(pattern: str, dot: bool) -> str:
                     # negation set must include '/' (micromatch parity:
                     # '[!b]' must not match across segment boundaries)
                     body = "^/" + body[1:]
-                out.append("[" + body.replace("\\", "\\\\") + "]")
+                out.append("[" + _sub_posix(body.replace("\\", "\\\\")) + "]")
                 i = j + 1
             seg_start = False
         elif c == "/":
@@ -218,11 +353,18 @@ def capture_to_regex(pattern: str) -> tuple[str, tuple[str, ...]]:
 
 
 def split_patterns(patterns: str | list[str]) -> tuple[list[str], list[str]]:
-    """Split a micromatch pattern list into (positive, negated-bodies)."""
+    """Split a micromatch pattern list into (positive, negated-bodies).
+
+    A leading ``!`` negates the pattern UNLESS it opens an extglob
+    (``!(...)``) — micromatch's own disambiguation rule."""
     if isinstance(patterns, str):
         patterns = [patterns]
-    pos = [p for p in patterns if not p.startswith("!")]
-    neg = [p[1:] for p in patterns if p.startswith("!")]
+
+    def is_neg(p: str) -> bool:
+        return p.startswith("!") and not p.startswith("!(")
+
+    pos = [p for p in patterns if not is_neg(p)]
+    neg = [p[1:] for p in patterns if is_neg(p)]
     return pos, neg
 
 

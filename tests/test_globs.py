@@ -133,3 +133,83 @@ def test_negated_class_never_matches_separator():
     assert m.is_match("a/x/c", "a/[!b]/c")
     assert not m.is_match("a/x/y/c", "a/[!b]*/c")
     assert not m.is_match("a//c", "a/[!b]/c")
+
+
+def test_brace_numeric_ranges():
+    from rehiver_spark.functions.globs import expand_braces
+
+    assert expand_braces("a{1..3}b") == ["a1b", "a2b", "a3b"]
+    assert expand_braces("{01..03}") == ["01", "02", "03"]
+    assert expand_braces("{10..08}") == ["10", "09", "08"]
+    assert expand_braces("{1..9..4}") == ["1", "5", "9"]
+    assert expand_braces("{a..d}") == ["a", "b", "c", "d"]
+    assert expand_braces("{d..a..2}") == ["d", "b"]
+    # non-range no-comma braces stay literal
+    assert expand_braces("a{bc}d") == ["a{bc}d"]
+    # ranges nest with alternation
+    assert sorted(expand_braces("{x,y}{1..2}")) == ["x1", "x2", "y1", "y2"]
+    assert M.is_match("day=07", "day={01..31}")
+    assert not M.is_match("day=32", "day={01..31}")
+
+
+def test_extglobs():
+    assert M.is_match("a/foo.txt", "a/@(foo|bar).txt")
+    assert M.is_match("a/bar.txt", "a/@(foo|bar).txt")
+    assert not M.is_match("a/baz.txt", "a/@(foo|bar).txt")
+    assert M.is_match("x.txt", "?(x)*.txt")
+    assert M.is_match("y.txt", "?(x)*.txt")
+    assert M.is_match("aaa.gz", "+(a).gz")
+    assert not M.is_match(".gz", "+(a).gz")
+    assert M.is_match(".gz", "*(a).gz")
+    # nesting: wildcard inside an alternate
+    assert M.is_match("a/img_01.png", "a/@(img_*|vid_*).png")
+    assert not M.is_match("a/doc_01.png", "a/@(img_*|vid_*).png")
+    # '!' extglob: whole-segment exclusion
+    assert M.is_match("a/keep", "a/!(tmp)")
+    assert not M.is_match("a/tmp", "a/!(tmp)")
+    assert M.is_match("a/tmp2", "a/!(tmp)")
+    # leading !( is an extglob, not list negation
+    assert M.is_match("foo", "!(bar)")
+    assert not M.is_match("bar", "!(bar)")
+
+
+def test_posix_classes():
+    assert M.is_match("abc", "[[:alpha:]][[:alpha:]][[:alpha:]]")
+    assert not M.is_match("ab1", "[[:alpha:]][[:alpha:]][[:alpha:]]")
+    assert M.is_match("f7", "[[:lower:]][[:digit:]]")
+    assert M.is_match("x=9", "x=[[:xdigit:]]")
+    assert M.is_match("x=f", "x=[[:xdigit:]]")
+    assert not M.is_match("x=g", "x=[[:xdigit:]]")
+    # mixed with plain members
+    assert M.is_match("a-5", "[[:alpha:]]-[0-9[:blank:]]")
+
+
+def test_new_forms_are_java_safe(spark):
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.functions.globs import glob_match
+
+    pats = [
+        "day={01..05}",
+        "a/@(foo|bar)*.txt",
+        "+(x).log",
+        "!(tmp)/**",
+        "[[:alpha:]]*/[[:digit:]]?",
+    ]
+    keys = [
+        # (key, matches pats[0..4]); '!(tmp)/**' needs a slash — a bare
+        # segment never matches 'x/**' in this compiler (micromatch too)
+        ("day=03", True, False, False, False, False),
+        ("a/fooz.txt", False, True, False, True, False),
+        ("xx.log", False, False, True, False, False),
+        ("tmp/f", False, False, False, False, False),
+        ("ab/7x", False, False, False, True, True),
+    ]
+    df = spark.createDataFrame([(k[0],) for k in keys], "key string")
+    for pi, pat in enumerate(pats):
+        got = {
+            r["key"]: r["m"]
+            for r in df.select("key", glob_match("key", pat, dot=True).alias("m")).collect()
+        }
+        for row in keys:
+            assert got[row[0]] == row[1 + pi], (pat, row[0])
