@@ -142,11 +142,14 @@ def test_x15_contamination_broadcasts_benchmark(spark, queries):
     assert "BroadcastHashJoin" in p
 
 
-def test_x16_repetition_partial_aggregates(spark, queries):
+def test_x16_repetition_is_shuffle_free(spark, queries):
     p = plan_of(queries["x16_repetition"](spark, SF))
     assert "CartesianProduct" not in p
-    # both gram aggregations are map-side combinable hash aggregates
-    assert "partial_count" in p or "HashAggregate" in p
+    # round-3 re-plan: every stat is within-row (array_sort + run-length
+    # fold), so the whole query is a map job — the only exchange allowed
+    # is the ensure_parallelism round-robin repartition of the tiny scan
+    assert "Join" not in p and p.count("Exchange") <= 1
+    assert "Aggregate" not in p.replace("aggregate(", "")
 
 
 def test_x18_packing_single_window_no_join(spark, queries):
