@@ -346,6 +346,76 @@ def lsh_cosine_neardup(
     )
 
 
+def kmeans_sample_centroids(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 10,
+    sample_cap: int = 100_000,
+) -> list[list[float]]:
+    """Spherical k-means centroids fit on a bounded deterministic
+    sample — the scale path for seeding :func:`ivf_topk` /
+    :func:`semdedup` cells when id-seeded centroids would be
+    unbalanced (SemDeDup and every IVF index train centroids this way;
+    FAISS trains on a sample too).
+
+    The sample is the ``sample_cap`` rows with the smallest
+    ``xxhash64(id)`` — deterministic across runs and engines, unbiased
+    w.r.t. insertion order, and ONE TakeOrdered job regardless of input
+    size, so the driver never holds more than ``sample_cap`` vectors no
+    matter how large the corpus is. Lloyd iterations run in numpy on
+    that sample (k·cap·dim flops, trivial); the fitted centroids go
+    back to executors as a broadcast table. Empty cells re-seed from
+    the farthest points (standard k-means++-ish repair), keeping k
+    effective cells.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            l2_normalize(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col)).alias("_h"),
+        )
+        .orderBy(F.col("_h").asc(), F.col("_id").asc())
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(f"sample ({len(X)}) smaller than k ({k})")
+    C = X[:k].copy()
+    for _ in range(iters):
+        sims = X @ C.T  # (n, k) — unit vectors, so argmax dot == nearest
+        assign = sims.argmax(axis=1)
+        newC = np.zeros_like(C)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members) == 0:
+                # re-seed an empty cell from the worst-covered point
+                worst = sims.max(axis=1).argmin()
+                newC[c] = X[worst]
+            else:
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                newC[c] = m / n if n > 0 else C[c]
+        if np.allclose(newC, C, atol=1e-9):
+            C = newC
+            break
+        C = newC
+    return C.tolist()
+
+
+def centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """(cell_id, _centv) DataFrame from fitted centroid vectors —
+    the broadcast side of every cell-assignment join."""
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(centroids)],
+        "cell_id bigint, _centv array<double>",
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -355,6 +425,7 @@ def ivf_topk(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN top-k: coarse-quantize the corpus to the nearest of
     ``n_cells`` centroids (deterministic: the corpus vectors with the
@@ -364,9 +435,16 @@ def ivf_topk(
     Approximate (X6-class). Plan: centroids are a broadcast literal-free
     join (tiny DF); corpus assignment is one broadcast join; the search
     join hits only matching cells → corpus scan cost / (n_cells/n_probe).
+
+    Pass ``centroids`` (a ``(cell_id, _centv)`` DataFrame, e.g. from
+    :func:`kmeans_sample_centroids` + :func:`centroids_df`) to search
+    trained, balanced cells; the default id-seeded centroids keep the
+    whole procedure SQL-reproducible.
     """
     cents = (
-        corpus.orderBy(F.col(corpus_id).asc())
+        centroids
+        if centroids is not None
+        else corpus.orderBy(F.col(corpus_id).asc())
         .limit(n_cells)
         .select(
             F.col(corpus_id).alias("cell_id"), l2_normalize(vec_col).alias("_centv")
@@ -470,9 +548,12 @@ def _split_hot_cells(
         )
         wr = Window.partitionBy("cell_id").orderBy(F.col("_id").asc())
         ranked = hot_df.withColumn("_r", F.row_number().over(wr))
+        # sub-cell label = -(seed member id + 1): member ids are unique
+        # corpus-wide, and the negative range can never collide with
+        # either id-seeded or externally-fitted (0..k-1) cell labels
         subcents = ranked.filter(F.col("_r") <= n_sub[F.col("cell_id")]).select(
             F.col("cell_id").alias("_oldcell"),
-            F.col("_id").alias("_newcell"),
+            (-F.col("_id") - 1).cast("bigint").alias("_newcell"),
             F.col("_v").alias("_centv"),
         )
         rescored = hot_df.join(
@@ -505,6 +586,7 @@ def semdedup(
     vec_col: str = "embedding",
     max_cell_rows: int | str | None = "auto",
     max_split_rounds: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings, then within each cluster
@@ -549,7 +631,9 @@ def semdedup(
         if max_cell_rows == "auto":
             max_cell_rows = max(1, 16 * (-(-n // n_cells)))
     cents = (
-        emb.orderBy(F.col(id_col).asc())
+        centroids
+        if centroids is not None
+        else emb.orderBy(F.col(id_col).asc())
         .limit(n_cells)
         .select(F.col(id_col).alias("cell_id"), l2_normalize(vec_col).alias("_centv"))
     )

@@ -195,6 +195,49 @@ def test_semdedup_splits_hot_cells(spark):
         assert abs(r["max_prior_cosine"] - best) < 1e-9
 
 
+def test_kmeans_centroids_balance_and_plug_in(spark):
+    """Trained centroids (sample k-means) must spread a clustered
+    corpus over cells far better than id-seeded centroids, and must
+    slot into ivf_topk/semdedup unchanged."""
+    from rehiver_spark.operators.vectorops import (
+        centroids_df,
+        ivf_topk,
+        kmeans_sample_centroids,
+        semdedup,
+    )
+
+    rng = np.random.default_rng(3)
+    # 4 tight clusters; ids ordered so id-seeding takes all seeds from
+    # cluster 0 (the adversarial case for id-seeded cells)
+    centers = rng.standard_normal((4, 8)) * 4
+    mat = np.vstack([centers[i // 50] + rng.standard_normal(8) * 0.05 for i in range(200)])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_sample_centroids(corpus, k=4, iters=8)
+    assert len(cents) == 4
+    cdf = centroids_df(spark, cents)
+    out = semdedup(
+        corpus, threshold=0.99, n_cells=4, max_cell_rows=None, centroids=cdf
+    ).collect()
+    pops: dict = {}
+    for r in out:
+        pops[r["cell_id"]] = pops.get(r["cell_id"], 0) + 1
+    # every true cluster gets its own cell: 4 cells of exactly 50
+    assert sorted(pops.values()) == [50, 50, 50, 50]
+    # ivf with trained centroids still returns the rank-1 self-hit
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(queries, corpus, k=2, n_probe=1, centroids=cdf).collect()
+    }
+    for q in range(3):
+        assert got[(q, 1)] == q
+
+
 def test_quantize_int8_roundtrip_bounds(spark, emb):
     from rehiver_spark.operators.vectorops import quantize_int8
 
