@@ -577,6 +577,62 @@ def dedup_spans(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """RefinedWeb/CCNet-style line-level boilerplate removal: drop every
+    LINE (``\\n``-separated) whose normalized form appears in more than
+    ``max_doc_freq`` distinct documents — nav bars, cookie banners,
+    "all rights reserved" footers — and reassemble each document from
+    its surviving lines in order.
+
+    Distinct from :func:`dedup_spans` (keep-first span dedup): here a
+    hot line is removed from EVERY document, and rare duplicate lines
+    survive everywhere — the C4 §2.2 boilerplate rule rather than the
+    span dedup rule.
+
+    Plan: one map-side-combinable (line → distinct-doc count)
+    aggregation; hot lines are by definition few, so the removal join
+    is a **broadcast anti join** — the corpus lines are never shuffled
+    for the filter. Reconstruction is one per-doc aggregate. All docs
+    survive (a fully-boilerplate doc comes back with empty text).
+
+    Output: (id, cleaned_text, n_lines, n_removed).
+    """
+    df = ensure_parallelism(df)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_k", normalize_text(F.col("_line")))
+    hot = (
+        lines.groupBy("_k")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_k")
+    )
+    # left join + null test instead of anti join so removed counts stay
+    # computable in the same pass
+    kept_flag = lines.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))), "_k", "left"
+    ).withColumn("_keep", F.col("_hot").isNull())
+    return kept_flag.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_keep"), F.struct("_pos", "_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).cast("bigint").alias("n_removed"),
+    )
+
+
 _TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)="
 
 

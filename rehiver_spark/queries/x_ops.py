@@ -1596,3 +1596,86 @@ def x26_quantize_int8(spark, sf_dir):
         F.col("zq.q").cast("bigint").alias("q"),
         F.round(F.col("zq.q") * F.col("scale") - F.col("zq.x"), 6).alias("err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X27 — line-level boilerplate removal (RefinedWeb/CCNet line dedup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x27_line_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    shaped AS (
+      SELECT doc_id,
+        array_to_string(list_transform(
+          range(0, CAST(ceil(greatest(len(tk), 1) / 8.0) AS INT)),
+          i -> array_to_string(tk[i*8+1 : i*8+8], ' ')), chr(10))
+        || CASE WHEN doc_id % 2 = 0
+             THEN chr(10) || 'all rights reserved example corp' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0
+             THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END
+        AS text
+      FROM toks
+    ),
+    lx AS (
+      SELECT doc_id,
+        unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+        unnest(string_split(text, chr(10))) AS line
+      FROM shaped
+    ),
+    keyed AS (
+      SELECT doc_id, pos, line,
+        lower(regexp_replace(trim(line), '\\s+', ' ', 'g')) AS k
+      FROM lx
+    ),
+    hot AS (SELECT k FROM keyed GROUP BY k HAVING count(DISTINCT doc_id) > 10),
+    flagged AS (
+      SELECT doc_id, pos, line, k NOT IN (SELECT k FROM hot) AS keep FROM keyed
+    )
+    SELECT doc_id,
+      coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+        AS cleaned_text,
+      CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def x27_line_dedup(spark, sf_dir):
+    """X27 (RefinedWeb/CCNet line dedup, C4 §2.2 boilerplate rule):
+    remove every LINE whose normalized form occurs in more than 10
+    distinct documents, reassemble docs from surviving lines. Corpus =
+    documents reshaped into 8-token lines, with an "all rights
+    reserved" footer seeded into half the docs and a newsletter line
+    into a quarter — both cross the doc-frequency bar and must vanish
+    from every doc. Hot lines are few by definition → broadcast anti
+    filter; the corpus lines never shuffle for the removal."""
+    from rehiver_spark.operators.textops import remove_boilerplate_lines
+
+    d = tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "text")
+    tk = tokens(F.col("text"))
+    nl = F.ceil(F.greatest(F.size(tk), F.lit(1)) / F.lit(8)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+        ),
+        "\n",
+    )
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            body,
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\nall rights reserved example corp"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\nsubscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(seeded, max_doc_freq=10)
+    return out.select("doc_id", "cleaned_text", "n_lines", "n_removed")

@@ -255,3 +255,32 @@ def test_charlm_score_matches_python_reference(spark):
         assert abs(got[i]["cross_entropy"] - round(ce, 6)) < 1e-9, i
     # the junk-suffix doc scores strictly worse (higher cross-entropy)
     assert got[2]["cross_entropy"] > got[1]["cross_entropy"]
+
+
+def test_remove_boilerplate_lines(spark):
+    from rehiver_spark.operators.textops import remove_boilerplate_lines
+
+    docs = [
+        (i, f"unique line {i}\nALL rights   reserved\nbody {i} stays") for i in range(6)
+    ] + [(99, "only unique content here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df, max_doc_freq=2).collect()}
+    assert len(out) == 7
+    for i in range(6):
+        # the footer (normalized: case/whitespace folded) is in 6 docs > 2 → gone
+        assert out[i]["cleaned_text"] == f"unique line {i}\nbody {i} stays"
+        assert out[i]["n_lines"] == 3 and out[i]["n_removed"] == 1
+    assert out[99]["cleaned_text"] == "only unique content here"
+    assert out[99]["n_removed"] == 0
+    # rare duplicates survive: freq ≤ max_doc_freq
+    df2 = spark.createDataFrame(
+        [(1, "shared\na"), (2, "shared\nb")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r for r in remove_boilerplate_lines(df2, max_doc_freq=2).collect()}
+    assert out2[1]["cleaned_text"] == "shared\na" and out2[2]["n_removed"] == 0
+    # a fully-boilerplate doc survives with empty text
+    df3 = spark.createDataFrame(
+        [(i, "spam line") for i in range(5)], "doc_id long, text string"
+    )
+    out3 = {r["doc_id"]: r for r in remove_boilerplate_lines(df3, max_doc_freq=2).collect()}
+    assert all(r["cleaned_text"] == "" and r["n_removed"] == 1 for r in out3.values())
