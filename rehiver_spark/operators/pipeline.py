@@ -150,9 +150,19 @@ def stream_process(
     key_col: str = "key",
     skip_existing: DataFrame | None = None,
     batch_partitions: int | None = None,
+    on_progress: Callable[[dict], None] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """find → process, returning (log, stats_df) — the reference facade
-    streamMatchingObjects (src/index.ts:2435-2517) in one call."""
+    streamMatchingObjects (src/index.ts:2435-2517) in one call.
+
+    ``on_progress`` mirrors the reference's onProgress callback
+    (src/index.ts:1356-1362, 1518-1540): called once with the final
+    ``{processed, total, matched, skipped_existing}`` after the run.
+    Passing it forces eager evaluation (the reference is eager always);
+    omit it to keep the log lazy. Per-batch granularity lives in
+    :func:`stream_process_incremental`, where batches actually exist —
+    inside one Spark job there is no driver-visible "batch" to hook.
+    """
     matched = find_matching(objects, patterns, prefix=prefix, key_col=key_col)
     log = process_matching(
         matched,
@@ -161,7 +171,18 @@ def stream_process(
         batch_partitions=batch_partitions,
         skip_existing=skip_existing,
     )
-    return log, pipeline_stats_df(log)
+    stats_df = pipeline_stats_df(log)
+    if on_progress is not None:
+        r = stats_df.first()
+        on_progress(
+            {
+                "processed": r["processed"] + r["skipped"],
+                "total": r["matched"],
+                "matched": r["matched"],
+                "skipped_existing": r["skipped_existing"],
+            }
+        )
+    return log, stats_df
 
 
 def stream_process_incremental(
@@ -174,6 +195,7 @@ def stream_process_incremental(
     checkpoint: str,
     max_files_per_trigger: int = 100,
     fmt: str = "parquet",
+    on_progress: Callable[[dict], None] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """INCREMENTAL streamMatchingObjects: Structured Streaming file
     source discovers new files, each micro-batch glob-filters the new
@@ -186,6 +208,13 @@ def stream_process_incremental(
     declares but never implements it, src/index.ts:1329). Spark's file
     source never re-emits modified files, so ``modified`` handling
     stays with the batch change detector (SURVEY §7 risks).
+
+    ``on_progress`` is the reference's per-batch onProgress callback
+    (src/index.ts:1518-1540): invoked after every micro-batch with
+    cumulative ``{processed, total, matched, skipped_existing,
+    batch_id}`` (total = keys seen so far; an unbounded stream has no
+    final total). The counts come from ONE scalar aggregate over each
+    batch's already-computed log — no extra pass over the data.
 
     Returns (log, stats_df) read from ``log_dir`` after draining with
     Trigger.AvailableNow.
@@ -203,6 +232,7 @@ def stream_process_incremental(
         spark, src_dir, schema, fmt=fmt, max_files_per_trigger=max_files_per_trigger
     )
     base = src_dir.rstrip("/") + "/"
+    cum = {"processed": 0, "total": 0, "matched": 0, "skipped_existing": 0}
 
     def handle(batch_df, batch_id):
         files = batch_df.select(
@@ -212,7 +242,17 @@ def stream_process_incremental(
         )
         matched = find_matching(files, patterns)
         log = process_matching(matched, processor)
+        if on_progress is not None:
+            log = log.persist()
         log.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(log_dir)
+        if on_progress is not None:
+            r = pipeline_stats_df(log).first()
+            log.unpersist()
+            cum["processed"] += r["processed"] + r["skipped"]
+            cum["total"] += r["matched"]
+            cum["matched"] += r["matched"]
+            cum["skipped_existing"] += r["skipped_existing"]
+            on_progress({**cum, "batch_id": batch_id})
 
     foreach_batch_collecting(sdf, handle, checkpoint=checkpoint)
     if not os.path.isdir(log_dir):  # no file ever matched any batch

@@ -123,6 +123,62 @@ def read_file_stream(
 ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
 
+def query_progress_listener(spark, callback):
+    """Context manager forwarding Structured Streaming progress to a
+    user callback — the engine-level analog of the reference's
+    onProgress surface (src/index.ts:1249-1262): where the reference
+    reports driver-loop counters, Spark's StreamingQueryListener
+    reports per-micro-batch input rows and throughput for EVERY query
+    on the session, at driver cost only (no executor work).
+
+    Usage::
+
+        with query_progress_listener(spark, cb):
+            run_available_now(sdf, ...)
+
+    ``cb`` receives dicts: {query_id, batch_id, num_input_rows,
+    processed_rows_per_second, duration_ms}. Listener events are
+    delivered asynchronously — after a query finishes, the last batch's
+    event may trail by a moment.
+    """
+    import contextlib
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            callback(
+                {
+                    "query_id": str(p.id),
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "processed_rows_per_second": p.processedRowsPerSecond,
+                    "duration_ms": dict(p.durationMs or {}),
+                }
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    @contextlib.contextmanager
+    def _ctx():
+        listener = _L()
+        spark.streams.addListener(listener)
+        try:
+            yield listener
+        finally:
+            spark.streams.removeListener(listener)
+
+    return _ctx()
+
+
 def suggest_state_partitions(spark, input_bytes: int, target_bytes: int = 64 << 20) -> int:
     """Scale-aware default for streaming state partitions.
 

@@ -106,3 +106,59 @@ def test_stream_process_incremental(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt"),
     )
     assert stats2.first()["matched"] == st["matched"]  # log unchanged
+
+
+def test_on_progress_callbacks(spark, tmp_path):
+    import time
+
+    import pyspark.sql.functions as F
+
+    from rehiver_spark.operators.pipeline import stream_process, stream_process_incremental
+    from rehiver_spark.streaming.windows import query_progress_listener
+
+    objects = spark.createDataFrame(
+        [("data/a.json",), ("data/b.json",), ("x/temp/c.json",)], "key string"
+    )
+    calls = []
+    stream_process(objects, ["data/**"], _make_processor(), on_progress=calls.append)
+    assert calls == [
+        {"processed": 2, "total": 2, "matched": 2, "skipped_existing": 0}
+    ]
+
+    # incremental: per-batch cumulative progress, monotone totals
+    src = str(tmp_path / "psrc")
+    spark.range(40).select(F.col("id"), (F.col("id") % 2).alias("part")).write.partitionBy(
+        "part"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    batches = []
+    log, stats = stream_process_incremental(
+        spark,
+        src,
+        schema,
+        ["part=0/**", "part=1/**"],
+        _make_processor(),
+        log_dir=str(tmp_path / "plog"),
+        checkpoint=str(tmp_path / "pckpt"),
+        max_files_per_trigger=1,
+        on_progress=batches.append,
+    )
+    assert len(batches) > 1
+    assert batches[-1]["matched"] == stats.first()["matched"]
+    assert [b["total"] for b in batches] == sorted(b["total"] for b in batches)
+
+    # listener surface: at least one progress event with input rows
+    events = []
+    from rehiver_spark.streaming.windows import read_file_stream, run_available_now
+
+    with query_progress_listener(spark, events.append):
+        sdf = read_file_stream(spark, src, schema)
+        run_available_now(
+            sdf.groupBy("part").agg(F.count("*").alias("n")), output_mode="complete"
+        )
+        for _ in range(40):  # listener delivery is async
+            if any(e["num_input_rows"] > 0 for e in events):
+                break
+            time.sleep(0.25)
+    assert any(e["num_input_rows"] > 0 for e in events)
+    assert all("batch_id" in e and "query_id" in e for e in events)
