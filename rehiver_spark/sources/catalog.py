@@ -365,10 +365,11 @@ def local_lister_factory(base: str):
 def head_object(bucket: str, key: str):
     """Single-key metadata fetch (reference getObjectMetadata,
     src/index.ts:877-966): boto3 head_object → ObjectMetadata-shaped
-    dict, None on 404. The reference's LRU-TTL cache + background
-    refresh is intentionally dropped (SURVEY §4 row 5) — Spark's
-    FileStatusCache / per-query listing covers the engine's needs.
-    boto3-gated: absent in this container."""
+    dict, None on 404. For repeated driver-side lookups wrap it in
+    ``sources.metacache.MetadataCache`` (the reference's LRU-TTL +
+    background-refresh cache); Spark's FileStatusCache / per-query
+    listing covers scan planning. boto3-gated: absent in this
+    container."""
     try:
         import boto3  # noqa: PLC0415
         from botocore.exceptions import ClientError  # noqa: PLC0415

@@ -1,0 +1,117 @@
+import time
+
+import pytest
+
+
+def make_fetcher(log):
+    def fetch(bucket, key):
+        log.append((bucket, key))
+        return {"key": key, "size": len(key), "etag": f"e{len(log)}"}
+
+    return fetch
+
+
+def test_cache_hit_and_miss():
+    from rehiver_spark.sources.metacache import MetadataCache
+
+    log = []
+    c = MetadataCache(fetcher=make_fetcher(log), ttl=60, background=False)
+    a1 = c.get("bucket-a", "x/y.parquet")
+    a2 = c.get("bucket-a", "x/y.parquet")
+    assert a1 == a2 and len(log) == 1
+    assert c.stats.hits == 1 and c.stats.misses == 1
+    # %-encoded keys normalize to the same cache entry
+    c.get("bucket-a", "x%2Fy.parquet")
+    assert len(log) == 1 and c.stats.hits == 2
+
+
+def test_invalid_bucket_rejected():
+    from rehiver_spark.sources.metacache import MetadataCache
+
+    c = MetadataCache(fetcher=make_fetcher([]), background=False)
+    with pytest.raises(ValueError, match="Invalid bucket"):
+        c.get("Bad_Bucket", "k")
+
+
+def test_ttl_expiry_and_refresh_ahead():
+    from rehiver_spark.sources.metacache import MetadataCache
+
+    log = []
+    c = MetadataCache(
+        fetcher=make_fetcher(log), ttl=0.2, refresh_threshold=50, background=False
+    )
+    c.get("bkt", "k")
+    assert len(log) == 1
+    # within threshold: pure hit, no refresh
+    c.get("bkt", "k")
+    assert len(log) == 1
+    # past 50% of TTL but fresh: served from cache AND refreshed inline
+    time.sleep(0.12)
+    r = c.get("bkt", "k")
+    assert r["etag"] == "e1"  # stale-while-revalidate: old value served
+    assert len(log) == 2 and c.stats.refreshes == 1
+    # fully expired: miss + refetch
+    time.sleep(0.25)
+    c.get("bkt", "k")
+    assert c.stats.misses == 2
+
+
+def test_lru_eviction():
+    from rehiver_spark.sources.metacache import MetadataCache
+
+    log = []
+    c = MetadataCache(fetcher=make_fetcher(log), max_size=2, background=False)
+    c.get("bkt", "k1"); c.get("bkt", "k2"); c.get("bkt", "k1"); c.get("bkt", "k3")
+    # k2 was least-recently-used → evicted
+    assert len(c) == 2 and c.stats.evictions == 1
+    c.get("bkt", "k2")
+    assert c.stats.misses == 4
+
+
+def test_disabled_cache_always_fetches():
+    from rehiver_spark.sources.metacache import MetadataCache
+
+    log = []
+    c = MetadataCache(fetcher=make_fetcher(log), enabled=False)
+    c.get("bkt", "k"); c.get("bkt", "k")
+    assert len(log) == 2 and len(c) == 0
+
+
+def test_retry_backoff_throttle_only():
+    from rehiver_spark.sources.metacache import RetryableError, retry_with_backoff
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RetryableError("SlowDown")
+        return "ok"
+
+    slept = []
+    assert retry_with_backoff(flaky, sleep=slept.append) == "ok"
+    assert calls["n"] == 3 and len(slept) == 2
+    assert slept[1] > slept[0] * 1.3  # exponential-ish despite jitter
+
+    def fatal():
+        raise KeyError("nope")
+
+    with pytest.raises(KeyError):
+        retry_with_backoff(fatal, sleep=lambda s: None)
+
+
+def test_background_refresh_thread():
+    from rehiver_spark.sources.metacache import MetadataCache
+
+    log = []
+    c = MetadataCache(
+        fetcher=make_fetcher(log), ttl=0.3, refresh_threshold=10, background=True
+    )
+    c.get("bkt", "k")
+    time.sleep(0.1)  # past 10% of ttl
+    c.get("bkt", "k")  # triggers daemon refresh
+    for _ in range(50):
+        if c.stats.refreshes:
+            break
+        time.sleep(0.02)
+    assert c.stats.refreshes == 1 and len(log) == 2
