@@ -193,3 +193,50 @@ def test_fast_glob_path_equals_regex_path(spark, cases):
     rows = df.select(*cols).collect()
     for r in rows:
         assert all(r), r
+
+
+@given(
+    a=st.integers(-20, 99),
+    b=st.integers(-20, 99),
+    step=st.integers(1, 7),
+    pad=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_brace_range_expansion_matches_python_range(a, b, step, pad):
+    from rehiver_spark.functions.globs import expand_braces
+
+    sa, sb = str(a), str(b)
+    if pad and a >= 0 and b >= 0:
+        w = max(len(sa), len(sb)) + 1
+        sa, sb = sa.zfill(w), sb.zfill(w)
+    got = expand_braces("{%s..%s..%d}" % (sa, sb, step))
+    exp_vals = list(range(a, b + 1, step)) if a <= b else list(range(a, b - 1, -step))
+    if pad and a >= 0 and b >= 0:
+        exp = [str(v).zfill(max(len(sa), len(sb))) for v in exp_vals]
+    else:
+        exp = [str(v) for v in exp_vals]
+    assert got == exp
+
+
+@given(
+    alts=st.lists(SEG, min_size=1, max_size=3),
+    kind=st.sampled_from(["@", "?", "*", "+", "!"]),
+    probe=SEG,
+)
+@settings(max_examples=60, deadline=None)
+def test_extglob_regex_compiles_in_both_dialects_and_matches_alts(alts, kind, probe):
+    import re as _re
+
+    from rehiver_spark.functions.globs import PathMatcher, glob_to_regex
+
+    pat = kind + "(" + "|".join(alts) + ")"
+    r = glob_to_regex(pat, dot=True)
+    _re.compile(r)  # Python dialect compiles
+    m = PathMatcher(dot=True)
+    for alt in alts:
+        if kind in "@+*?":
+            assert m.is_match(alt, pat), (pat, alt)
+        else:  # '!' rejects every exact alternate, accepts a non-alt
+            assert not m.is_match(alt, pat), (pat, alt)
+    if kind == "!" and probe not in alts:
+        assert m.is_match(probe, pat), (pat, probe)
