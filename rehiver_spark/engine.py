@@ -81,3 +81,18 @@ class Engine:
         from rehiver_spark.sources.writer import write_partitioned
 
         return write_partitioned(df, path, partition_cols, **kw)
+
+    # -- per-key metadata (facade getObjectMetadata with the LRU-TTL
+    # cache, src/index.ts:877-1005) ------------------------------------
+    def metadata_cache(self, **kw):
+        """Lazily-created session cache; pass MetadataCache kwargs
+        (max_size/ttl/refresh_threshold/fetcher) on FIRST use —
+        reference MetadataCacheConfig (src/index.ts:845-848)."""
+        if not hasattr(self, "_metadata_cache"):
+            from rehiver_spark.sources.metacache import MetadataCache
+
+            self._metadata_cache = MetadataCache(**kw)
+        return self._metadata_cache
+
+    def get_object_metadata(self, bucket: str, key: str):
+        return self.metadata_cache().get(bucket, key)

@@ -42,3 +42,21 @@ def test_engine_facade_roundtrip(spark):
     assert det.detect().filter(F.col("change_type") == "added").count() == 1
 
     assert eng.path_matcher().is_match("a/b.txt", "**/*.txt")
+
+
+def test_engine_metadata_cache(spark):
+    from rehiver_spark.engine import Engine
+
+    eng = Engine(spark)
+    calls = []
+
+    def fake(bucket, key):
+        calls.append(key)
+        return {"key": key, "size": 1}
+
+    cache = eng.metadata_cache(fetcher=fake)
+    assert eng.get_object_metadata("test-bucket", "a/b.parquet")["size"] == 1
+    assert eng.get_object_metadata("test-bucket", "a/b.parquet")["size"] == 1
+    assert len(calls) == 1 and cache.stats.hits == 1
+    # same cache instance on later calls (config is first-use only)
+    assert eng.metadata_cache() is cache
