@@ -624,6 +624,10 @@ def semdedup(
     member of the same cell (−1.0 when the item is the cell's min id)
     and ``keep = max_prior_cosine < threshold``.
     """
+    if max_cell_rows == "auto" and n_cells is not None and n_cells <= 16:
+        # cap would be 16·ceil(N/k) ≥ N for k ≤ 16 — it can never bind,
+        # so skip both the cap and the count() job it would need
+        max_cell_rows = None
     if n_cells is None or max_cell_rows == "auto":
         n = emb.count()
         if n_cells is None:
