@@ -170,3 +170,11 @@ def test_x22_semdedup_broadcasts_centroids_no_cartesian(spark, queries):
     # join is keyed on cell_id — no all-pairs stage anywhere
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_x27_line_dedup_broadcasts_hot_lines(spark, queries):
+    p = plan_of(queries["x27_line_dedup"](spark, SF))
+    # the hot-line set is tiny by definition → the removal filter must
+    # be a broadcast join; the corpus lines never sort-merge-shuffle
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
