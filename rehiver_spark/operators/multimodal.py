@@ -163,6 +163,85 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id bigint, kind string, src_width int, src_height int, "
+    "width int, height int, payload binary, sha16 string, error string"
+)
+
+
+def resize_media(df: DataFrame, max_side: int = 256, fake: bool = True) -> DataFrame:
+    """Resize images to fit ``max_side`` (aspect-preserving, never
+    upscales) via mapInPandas — the standard pre-embedding image
+    shaping step.
+
+    Target dims use pure integer math (``max(1, side·max_side //
+    longest)``) so the plan is bit-reproducible in any engine — the
+    fake path derives source dims from the payload digest (same fake
+    codec as :func:`decode_media`) and emits a deterministic
+    content-addressed stub payload (the digest of payload+dims, since
+    no image codec exists in this container); ``fake=False`` goes
+    through Pillow when present. Non-image rows pass through with NULL
+    dims. Per-row errors land in ``error``, never failing the scan.
+    """
+    from rehiver_spark.session import ensure_parallelism, ship_package
+
+    ship_package(df.sparkSession)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                try:
+                    b = bytes(payload) if payload is not None else b""
+                    if kind != "image":
+                        rows.append((mid, kind, None, None, None, None, b, None, None))
+                        continue
+                    if fake:
+                        d = _fake_decode("image", b)
+                        w, h = d["width"], d["height"]
+                        m = max(w, h)
+                        tw = max(1, w * max_side // m) if m > max_side else w
+                        th = max(1, h * max_side // m) if m > max_side else h
+                        out = hashlib.sha256(b + f":{tw}x{th}".encode()).digest()
+                        sha16 = out.hex()[:16]
+                        rows.append((mid, kind, w, h, tw, th, out, sha16, None))
+                    else:  # pragma: no cover - needs Pillow
+                        import io
+
+                        try:
+                            from PIL import Image  # noqa: PLC0415
+                        except ImportError as e:
+                            raise NotImplementedError(
+                                "real resize requires Pillow; use fake=True"
+                            ) from e
+                        im = Image.open(io.BytesIO(b))
+                        w, h = im.width, im.height
+                        m = max(w, h)
+                        tw = max(1, w * max_side // m) if m > max_side else w
+                        th = max(1, h * max_side // m) if m > max_side else h
+                        buf = io.BytesIO()
+                        im.resize((tw, th)).save(buf, format=im.format or "PNG")
+                        out = buf.getvalue()
+                        rows.append(
+                            (mid, kind, w, h, tw, th, out, hashlib.sha256(out).hexdigest()[:16], None)
+                        )
+                except Exception as e:
+                    rows.append((mid, kind, None, None, None, None, None, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "src_width", "src_height",
+                    "width", "height", "payload", "sha16", "error",
+                ],
+            )
+
+    return ensure_parallelism(df.select("media_id", "kind", "payload")).mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
 def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Byte-histogram feature vector (L1-normalized, folded to ``dim``)
     via mapInPandas — a real, deterministic featurizer exercising the

@@ -1679,3 +1679,46 @@ def x27_line_dedup(spark, sf_dir):
     )
     out = remove_boilerplate_lines(seeded, max_doc_freq=10)
     return out.select("doc_id", "cleaned_text", "n_lines", "n_removed")
+
+
+@query(
+    "mm_resize",
+    """
+    WITH dec AS (
+      SELECT doc_id AS media_id, text,
+        64 + ('0x' || substr(sha256(text), 1, 2))::INT * 8 AS w,
+        64 + ('0x' || substr(sha256(text), 3, 2))::INT * 8 AS h
+      FROM documents
+    ),
+    t AS (
+      SELECT media_id, text, w, h, greatest(w, h) AS m,
+        CASE WHEN greatest(w, h) > 256 THEN greatest(1, w * 256 // greatest(w, h)) ELSE w END AS tw,
+        CASE WHEN greatest(w, h) > 256 THEN greatest(1, h * 256 // greatest(w, h)) ELSE h END AS th
+      FROM dec
+    )
+    SELECT media_id,
+      CAST(w AS BIGINT) AS src_width, CAST(h AS BIGINT) AS src_height,
+      CAST(tw AS BIGINT) AS width, CAST(th AS BIGINT) AS height,
+      substr(sha256(text || ':' || CAST(tw AS VARCHAR) || 'x' || CAST(th AS VARCHAR)), 1, 16)
+        AS sha16
+    FROM t
+    """,
+)
+def mm_resize(spark, sf_dir):
+    """Multimodal resize plumbing: aspect-preserving clamp to 256 px in
+    pure integer math over Arrow batches; the content-addressed stub
+    payload makes even the codec-free path oracle-checkable (the real
+    Pillow path swaps in behind fake=False)."""
+    from rehiver_spark.operators.multimodal import media_from_documents, resize_media
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    media = media_from_documents(d, kind="image")
+    rz = resize_media(media, max_side=256, fake=True)
+    return rz.select(
+        "media_id",
+        F.col("src_width").cast("bigint").alias("src_width"),
+        F.col("src_height").cast("bigint").alias("src_height"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "sha16",
+    )

@@ -91,3 +91,33 @@ def test_real_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         _real_decode("audio", b"xx")
+
+
+def test_resize_media_clamps_and_passthrough(spark):
+    from rehiver_spark.operators.multimodal import (
+        _fake_decode,
+        media_from_documents,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a tiny doc", "s"), (2, "another body of text here", "s")],
+        "doc_id long, text string, source string",
+    )
+    media = media_from_documents(docs, kind="image").unionByName(
+        media_from_documents(docs.filter("doc_id = 1"), kind="audio").select(
+            (F.col("media_id") + 100).alias("media_id"), "kind", "payload", "meta"
+        )
+    )
+    rows = {r["media_id"]: r for r in resize_media(media, max_side=256).collect()}
+    for mid in (1, 2):
+        r = rows[mid]
+        d = _fake_decode("image", rows[mid]["payload"] and b"" or b"")  # dims from src text
+        assert r["error"] is None
+        assert max(r["width"], r["height"]) <= 256
+        # aspect preserved under integer math: |w/h - tw/th| small
+        assert abs(r["src_width"] / r["src_height"] - r["width"] / r["height"]) < 0.05
+        assert r["sha16"] is not None and len(r["sha16"]) == 16
+    # non-image rows pass through untouched with NULL dims
+    a = rows[101]
+    assert a["kind"] == "audio" and a["width"] is None and a["error"] is None
