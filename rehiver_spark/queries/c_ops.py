@@ -789,9 +789,14 @@ def c17e_stream_static_join(spark, sf_dir):
     in complete mode under AvailableNow — the standard streaming
     dimension-enrichment pattern, oracle-verified against the batch
     join."""
+    import os as _os
     import tempfile
 
-    from rehiver_spark.streaming.windows import read_file_stream, run_available_now
+    from rehiver_spark.streaming.windows import (
+        read_file_stream,
+        run_available_now,
+        suggest_state_partitions,
+    )
 
     t = tables(spark, sf_dir, ["lineitem", "orders"])
     src = tempfile.mkdtemp(prefix="stream_dim_src_")
@@ -799,19 +804,67 @@ def c17e_stream_static_join(spark, sf_dir):
         "overwrite"
     ).parquet(src)
     schema = spark.read.parquet(src).schema
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        sdf = read_file_stream(spark, src, schema)
-        dim = F.broadcast(t["orders"].select("o_orderkey", "o_orderpriority"))
-        enriched = sdf.join(dim, sdf["l_orderkey"] == dim["o_orderkey"])
-        agg = enriched.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-            F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
-        )
-        res = run_available_now(agg, output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    src_bytes = sum(
+        e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")
+    )
+    sdf = read_file_stream(spark, src, schema)
+    dim = F.broadcast(t["orders"].select("o_orderkey", "o_orderpriority"))
+    enriched = sdf.join(dim, sdf["l_orderkey"] == dim["o_orderkey"])
+    agg = enriched.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+    res = run_available_now(
+        agg,
+        output_mode="complete",
+        state_partitions=suggest_state_partitions(spark, src_bytes),
+    )
     return res.select(
         "priority", F.col("n_items").cast("bigint").alias("n_items"), "revenue"
     )
+
+
+@query(
+    "c17f_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def c17f_stream_dedup(spark, sf_dir):
+    """C17 streaming dedup: dropDuplicates state over a watermarked
+    file stream (the dedup-within-watermark operator through the real
+    engine). Append mode emits each key on first arrival, so the
+    emitted KEY SET equals batch DISTINCT exactly — the keys are the
+    oracle-stable output (which concrete row arrives first per key
+    depends on partition order, so value columns stay out of the
+    contract)."""
+    import os as _os
+    import tempfile
+
+    from rehiver_spark.streaming.windows import (
+        read_file_stream,
+        run_available_now,
+        suggest_state_partitions,
+    )
+
+    ev = tables(spark, sf_dir, ["events"])["events"]
+    src = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    ev.select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    src_bytes = sum(
+        e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")
+    )
+    sdf = (
+        read_file_stream(spark, src, schema)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    res = run_available_now(
+        sdf,
+        output_mode="append",
+        state_partitions=suggest_state_partitions(spark, src_bytes),
+    )
+    return res.select("user_id", "event_type")
