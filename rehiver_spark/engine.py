@@ -96,3 +96,13 @@ class Engine:
 
     def get_object_metadata(self, bucket: str, key: str):
         return self.metadata_cache().get(bucket, key)
+
+    def put_object(self, bucket: str, key: str, body, **kw):
+        """Write-through with cache invalidation (reference putObject →
+        invalidateCache, src/index.ts:1012-1027, 1171-1228)."""
+        from rehiver_spark.sources import writer
+
+        r = writer.put_object(bucket, key, body, **kw)
+        if hasattr(self, "_metadata_cache"):
+            self._metadata_cache.invalidate(bucket, key)
+        return r

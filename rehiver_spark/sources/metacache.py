@@ -194,9 +194,13 @@ class MetadataCache:
             work()
 
     def invalidate(self, bucket: str, key: str) -> None:
-        ck, _ = self._cache_key(bucket, key)
+        """Drop one entry. Lenient about ``bucket``: write paths accept
+        local directories as bucket stand-ins (writer.put_object's
+        default mode), and invalidating an entry that could never have
+        been cached is simply a no-op — it must not raise."""
+        safe = decode_s3_key(key) if "%" in key else key
         with self._lock:
-            self._data.pop(ck, None)
+            self._data.pop(f"{bucket}:{safe}", None)
 
     def clear(self) -> None:
         with self._lock:

@@ -60,3 +60,33 @@ def test_engine_metadata_cache(spark):
     assert len(calls) == 1 and cache.stats.hits == 1
     # same cache instance on later calls (config is first-use only)
     assert eng.metadata_cache() is cache
+
+
+def test_engine_put_object_invalidates_cache(spark, monkeypatch):
+    from rehiver_spark.engine import Engine
+    from rehiver_spark.sources import writer
+
+    eng = Engine(spark)
+    store = {}
+
+    def fake_put(bucket, key, body, **kw):
+        store[(bucket, key)] = body
+        return {"etag": "x"}
+
+    monkeypatch.setattr(writer, "put_object", fake_put)
+    fetches = []
+
+    def fake_head(bucket, key):
+        fetches.append(key)
+        return {"key": key, "size": len(store.get((bucket, key), b""))}
+
+    eng.metadata_cache(fetcher=fake_head)
+    eng.put_object("test-bucket", "a.txt", b"one")
+    assert eng.get_object_metadata("test-bucket", "a.txt")["size"] == 3
+    assert len(fetches) == 1
+    # cached until the next write invalidates
+    eng.get_object_metadata("test-bucket", "a.txt")
+    assert len(fetches) == 1
+    eng.put_object("test-bucket", "a.txt", b"twelve chars")
+    assert eng.get_object_metadata("test-bucket", "a.txt")["size"] == 12
+    assert len(fetches) == 2
