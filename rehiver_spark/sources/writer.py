@@ -59,6 +59,35 @@ def write_partitioned(
     w.format(fmt).save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed managed-table write — the co-located-join primitive.
+
+    Two tables bucketed on the same keys with the same bucket count
+    join WITHOUT a shuffle: each task reads matching bucket files from
+    both sides, so the exchange that dominates a large fact-fact join
+    disappears (and with ``sort_cols`` the sort does too). This is the
+    100 TB answer for a join that repeats every run — pay one bucketed
+    write, then every downstream join of these tables is exchange-free
+    (verified by plan test: no Exchange above either scan).
+
+    Bucketing requires the session catalog (``saveAsTable``); plain
+    ``.save(path)`` silently drops bucket specs — that is a Spark
+    constraint, not a choice.
+    """
+    w = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def put_object(
     bucket_or_dir: str,
     key: str,
