@@ -90,6 +90,7 @@ def expand_braces(pattern: str) -> list[str]:
     i = pattern.find("{")
     while i != -1:
         depth = 0
+        paren = 0  # commas inside an extglob's parens are literal
         comma = False
         j = i
         while j < len(pattern):
@@ -100,7 +101,11 @@ def expand_braces(pattern: str) -> list[str]:
                 depth -= 1
                 if depth == 0:
                     break
-            elif c == "," and depth == 1:
+            elif c == "(":
+                paren += 1
+            elif c == ")":
+                paren = max(0, paren - 1)
+            elif c == "," and depth == 1 and paren == 0:
                 comma = True
             j += 1
         if j < len(pattern) and not comma:
@@ -115,13 +120,18 @@ def expand_braces(pattern: str) -> list[str]:
             head, body, tail = pattern[:i], pattern[i + 1 : j], pattern[j + 1 :]
             alts: list[str] = []
             depth = 0
+            paren = 0
             cur = ""
             for c in body:
                 if c == "{":
                     depth += 1
                 elif c == "}":
                     depth -= 1
-                if c == "," and depth == 0:
+                elif c == "(":
+                    paren += 1
+                elif c == ")":
+                    paren = max(0, paren - 1)
+                if c == "," and depth == 0 and paren == 0:
                     alts.append(cur)
                     cur = ""
                 else:

@@ -213,3 +213,13 @@ def test_new_forms_are_java_safe(spark):
         }
         for row in keys:
             assert got[row[0]] == row[1 + pi], (pat, row[0])
+
+
+def test_brace_alternation_ignores_extglob_commas():
+    from rehiver_spark.functions.globs import expand_braces
+
+    # the comma inside @(a,b) is literal, not a brace separator
+    assert expand_braces("{x,@(a,b)y}") == ["x", "@(a,b)y"]
+    assert M.is_match("x", "{x,@(a|b)y}")
+    assert M.is_match("ay", "{x,@(a|b)y}")
+    assert not M.is_match("cy", "{x,@(a|b)y}")
