@@ -51,6 +51,40 @@ def test_events_ts_data_contract(spark):
     assert row["ymin"] == 2024 and row["ymax"] == 2024
 
 
+def test_read_events_genuine_nanos_fallback(spark, tmp_path):
+    """A REAL TIMESTAMP(NANOS) events file must take the bigint÷1000
+    path and land in the right epoch — the footer sniff decides, never
+    an assumption about the unit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rehiver_spark.session import read_events
+
+    base = 1704067200 * 10**9  # 2024-01-01 UTC in ns
+    ts = pa.array(
+        np.array([base + i * 3_600 * 10**9 for i in range(5)], dtype="int64"),
+        type=pa.timestamp("ns"),
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(["click"] * 5),
+            "value": pa.array([1.0] * 5),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    pq.write_table(t, str(d / "part-0.parquet"), coerce_timestamps=None, version="2.6")
+    ev = read_events(spark, str(tmp_path))
+    rows = sorted(r["ts"] for r in ev.select("ts").collect())
+    assert rows[0].year == 2024 and rows[0].month == 1 and rows[0].day == 1
+    assert (rows[-1] - rows[0]).total_seconds() == 4 * 3600
+
+
 def test_read_path_glob(spark, hive_dir):
     from rehiver_spark.sources.reader import read_path_glob
 
