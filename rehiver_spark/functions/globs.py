@@ -230,9 +230,15 @@ def _translate_one(pattern: str, dot: bool) -> str:
             if parsed is not None:
                 alts, j = parsed
                 # alternates translate recursively with dot=True: the
-                # leading-dot guard applies to the segment, not to a
-                # nested alternate
+                # leading-dot guard applies to the segment as a whole
+                # (emitted below), not inside a nested alternate
                 body = "|".join(_translate_one(a, dot=True) for a in alts)
+                if seg_start and not dot:
+                    # bash/micromatch with dotglob off: an extglob at
+                    # segment start never matches a dotfile, even when
+                    # the extglob itself matches empty ('?(x).gz' must
+                    # not match '.gz')
+                    out.append(star_guard)
                 if c == "@":
                     out.append(f"(?:{body})")
                 elif c == "?":

@@ -171,6 +171,11 @@ def stream_process(
         batch_partitions=batch_partitions,
         skip_existing=skip_existing,
     )
+    if on_progress is not None:
+        # persist BEFORE the eager stats action: the user processor may
+        # side-effect, and without the cache the later log consumption
+        # would re-run it over every key
+        log = log.persist()
     stats_df = pipeline_stats_df(log)
     if on_progress is not None:
         r = stats_df.first()

@@ -594,6 +594,10 @@ def remove_boilerplate_lines(
     survive everywhere — the C4 §2.2 boilerplate rule rather than the
     span dedup rule.
 
+    Blank lines are exempt: a normalized-empty line is structure
+    (paragraph separation), not boilerplate — counting it would strip
+    every blank line corpus-wide (RefinedWeb/CCNet exempt empties too).
+
     Plan: one map-side-combinable (line → distinct-doc count)
     aggregation; hot lines are by definition few, so the removal join
     is a **broadcast anti join** — the corpus lines are never shuffled
@@ -608,7 +612,8 @@ def remove_boilerplate_lines(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
     ).withColumn("_k", normalize_text(F.col("_line")))
     hot = (
-        lines.groupBy("_k")
+        lines.filter(F.col("_k") != "")
+        .groupBy("_k")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))
         .filter(F.col("_df") > max_doc_freq)
         .select("_k")

@@ -390,12 +390,15 @@ def kmeans_sample_centroids(
         sims = X @ C.T  # (n, k) — unit vectors, so argmax dot == nearest
         assign = sims.argmax(axis=1)
         newC = np.zeros_like(C)
+        # successive worst-covered points for empty-cell re-seeding:
+        # each empty cell gets a DISTINCT point (re-seeding several
+        # empty cells from the same argmin would leave duplicate
+        # centroids that can never separate)
+        coverage_order = iter(np.argsort(sims.max(axis=1)))
         for c in range(k):
             members = X[assign == c]
             if len(members) == 0:
-                # re-seed an empty cell from the worst-covered point
-                worst = sims.max(axis=1).argmin()
-                newC[c] = X[worst]
+                newC[c] = X[next(coverage_order)]
             else:
                 m = members.sum(axis=0)
                 n = np.linalg.norm(m)
@@ -451,32 +454,16 @@ def ivf_topk(
         )
     )
 
-    def nearest_cells(side: DataFrame, sid: str, n: int) -> DataFrame:
-        scored = side.join(F.broadcast(cents)).withColumn(
-            "_cd",
-            F.aggregate(
-                F.zip_with("_v", "_centv", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        w = Window.partitionBy(sid).orderBy(F.col("_cd").desc(), F.col("cell_id").asc())
-        return (
-            scored.withColumn("_cr", F.row_number().over(w))
-            .filter(F.col("_cr") <= n)
-            .select(sid, "cell_id", "_v")
-        )
-
-    c = nearest_cells(
-        corpus.select(F.col(corpus_id).alias("_cid"), l2_normalize(vec_col).alias("_v")),
-        "_cid",
-        1,
-    ).withColumnRenamed("_v", "_cv")
-    q = nearest_cells(
-        queries.select(F.col(query_id).alias("_qid"), l2_normalize(vec_col).alias("_v")),
-        "_qid",
-        n_probe,
-    ).withColumnRenamed("_v", "_qv")
+    c = _assign_to_cells(
+        corpus.select(F.col(corpus_id).alias("_id"), l2_normalize(vec_col).alias("_v")),
+        cents,
+        n=1,
+    ).select(F.col("_id").alias("_cid"), "cell_id", F.col("_v").alias("_cv"))
+    q = _assign_to_cells(
+        queries.select(F.col(query_id).alias("_id"), l2_normalize(vec_col).alias("_v")),
+        cents,
+        n=n_probe,
+    ).select(F.col("_id").alias("_qid"), "cell_id", F.col("_v").alias("_qv"))
     scored = c.join(F.broadcast(q), "cell_id").select(
         F.col("_qid").alias(query_id),
         F.col("_cid").alias(corpus_id),
@@ -491,10 +478,12 @@ def ivf_topk(
         .select(query_id, corpus_id, "cosine", "rank")
     )
 
-def _assign_to_cells(rows: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_to_cells(rows: DataFrame, cents: DataFrame, n: int = 1) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (tiny) centroid table,
-    per-id argmax over centroid dot products. ``rows`` = (_id, _v),
-    ``cents`` = (cell_id, _centv); returns (_id, cell_id, _v)."""
+    per-id top-``n`` over centroid dot products (deterministic
+    (score DESC, cell_id ASC) tiebreak). ``rows`` = (_id, _v),
+    ``cents`` = (cell_id, _centv); returns (_id, cell_id, _v) — one row
+    per id for ``n=1`` (cell assignment), ``n`` rows for probing."""
     scored = rows.join(F.broadcast(cents)).withColumn(
         "_cd",
         F.aggregate(
@@ -506,7 +495,7 @@ def _assign_to_cells(rows: DataFrame, cents: DataFrame) -> DataFrame:
     w = Window.partitionBy("_id").orderBy(F.col("_cd").desc(), F.col("cell_id").asc())
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= n)
         .select("_id", "cell_id", "_v")
     )
 
@@ -624,6 +613,11 @@ def semdedup(
     member of the same cell (−1.0 when the item is the cell's min id)
     and ``keep = max_prior_cosine < threshold``.
     """
+    if centroids is not None and n_cells is None:
+        # externally-fitted cells: k is the ACTUAL centroid count (a
+        # tiny-table count), not the adaptive sqrt(N) — sizing the cap
+        # from the wrong k would shred trained cells as "hot"
+        n_cells = centroids.count()
     if max_cell_rows == "auto" and n_cells is not None and n_cells <= 16:
         # cap would be 16·ceil(N/k) ≥ N for k ≤ 16 — it can never bind,
         # so skip both the cap and the count() job it would need

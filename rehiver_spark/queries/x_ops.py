@@ -1630,7 +1630,10 @@ def x26_quantize_int8(spark, sf_dir):
         lower(regexp_replace(trim(line), '\\s+', ' ', 'g')) AS k
       FROM lx
     ),
-    hot AS (SELECT k FROM keyed GROUP BY k HAVING count(DISTINCT doc_id) > 10),
+    hot AS (
+      SELECT k FROM keyed WHERE k <> ''
+      GROUP BY k HAVING count(DISTINCT doc_id) > 10
+    ),
     flagged AS (
       SELECT doc_id, pos, line, k NOT IN (SELECT k FROM hot) AS keep FROM keyed
     )

@@ -51,6 +51,18 @@ class RetryableError(Exception):
     failure as throttle-class — only these are retried."""
 
 
+def _error_code(e: Exception) -> str:
+    """Throttle-class code of an exception: botocore ClientError keeps
+    it at ``e.response['Error']['Code']``, our RetryableError / fakes at
+    ``e.name``; fall back to the type name."""
+    resp = getattr(e, "response", None)
+    if isinstance(resp, dict):
+        code = (resp.get("Error") or {}).get("Code")
+        if code:
+            return code
+    return getattr(e, "name", None) or type(e).__name__
+
+
 def retry_with_backoff(
     fn: Callable[[], object],
     max_attempts: int = 5,
@@ -66,8 +78,7 @@ def retry_with_backoff(
         try:
             return fn()
         except Exception as e:
-            name = getattr(e, "name", type(e).__name__)
-            retryable = isinstance(e, RetryableError) or name in RETRYABLE
+            retryable = isinstance(e, RetryableError) or _error_code(e) in RETRYABLE
             attempt += 1
             if not retryable or attempt >= max_attempts:
                 raise
@@ -122,11 +133,19 @@ class MetadataCache:
         self._lock = threading.Lock()
         self._data: OrderedDict[str, _Entry] = OrderedDict()
         self._pending_refresh: set[str] = set()
+        # per-key generation: bumped by invalidate()/clear() so an
+        # in-flight background refresh that started before the
+        # invalidation cannot re-cache pre-invalidation metadata
+        self._gen: dict[str, int] = {}
 
     @staticmethod
     def _cache_key(bucket: str, key: str) -> tuple[str, str]:
         if not is_valid_bucket_name(bucket):
             raise ValueError(f"Invalid bucket name: {bucket}")
+        # '%'-in-key → decode before fetching: REFERENCE PARITY
+        # (src/index.ts:884-886 computes safeKey the same way and HEADs
+        # it) — a key whose literal name contains '%xx' text is fetched
+        # decoded there too; callers with such keys pre-encode them.
         safe = decode_s3_key(key) if "%" in key else key
         return f"{bucket}:{safe}", safe
 
@@ -175,13 +194,17 @@ class MetadataCache:
             self.stats.evictions += 1
 
     def _refresh(self, bucket: str, safe_key: str, ck: str) -> None:
+        with self._lock:
+            gen = self._gen.get(ck, 0)
+
         def work():
             try:
                 value = self.fetcher(bucket, safe_key)
                 if value is not None:
                     with self._lock:
-                        self._store(ck, value)
-                        self.stats.refreshes += 1
+                        if self._gen.get(ck, 0) == gen:  # not invalidated since
+                            self._store(ck, value)
+                            self.stats.refreshes += 1
             except Exception:
                 pass  # background refresh errors are swallowed (parity)
             finally:
@@ -197,13 +220,19 @@ class MetadataCache:
         """Drop one entry. Lenient about ``bucket``: write paths accept
         local directories as bucket stand-ins (writer.put_object's
         default mode), and invalidating an entry that could never have
-        been cached is simply a no-op — it must not raise."""
+        been cached is simply a no-op — it must not raise. Bumps the
+        key's generation so an in-flight background refresh started
+        before this call cannot re-cache pre-invalidation metadata."""
         safe = decode_s3_key(key) if "%" in key else key
+        ck = f"{bucket}:{safe}"
         with self._lock:
-            self._data.pop(f"{bucket}:{safe}", None)
+            self._data.pop(ck, None)
+            self._gen[ck] = self._gen.get(ck, 0) + 1
 
     def clear(self) -> None:
         with self._lock:
+            for ck in self._data:
+                self._gen[ck] = self._gen.get(ck, 0) + 1
             self._data.clear()
             self._pending_refresh.clear()
 

@@ -224,24 +224,28 @@ def run_available_now(
     conf = sdf.sparkSession.conf
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = conf.get(key, None)
-    if state_store == "rocksdb":
-        conf.set(key, ROCKSDB_PROVIDER)
     parts_key = "spark.sql.shuffle.partitions"
     prev_parts = conf.get(parts_key)
-    if state_partitions is not None:
-        conf.set(parts_key, str(state_partitions))
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    q = None
+    # conf overrides and .start() both live inside the try: a start-time
+    # AnalysisException must not leak a pinned partition count (often 1
+    # at small inputs) into the session
     try:
+        if state_store == "rocksdb":
+            conf.set(key, ROCKSDB_PROVIDER)
+        if state_partitions is not None:
+            conf.set(parts_key, str(state_partitions))
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination(timeout_sec)
     finally:
-        if q.isActive:
+        if q is not None and q.isActive:
             q.stop()
         if state_store == "rocksdb":
             if prev is None:

@@ -223,3 +223,13 @@ def test_brace_alternation_ignores_extglob_commas():
     assert M.is_match("x", "{x,@(a|b)y}")
     assert M.is_match("ay", "{x,@(a|b)y}")
     assert not M.is_match("cy", "{x,@(a|b)y}")
+
+
+def test_extglob_respects_dot_option():
+    nodot = PathMatcher(dot=False)
+    assert not nodot.is_match(".gz", "*(a).gz")
+    assert not nodot.is_match(".hidden", "@(*)")
+    assert nodot.is_match("a.gz", "*(a).gz")
+    assert nodot.is_match("foo", "@(foo|bar)")
+    # dot=True keeps matching dotfiles
+    assert M.is_match(".gz", "*(a).gz")

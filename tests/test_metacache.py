@@ -115,3 +115,64 @@ def test_background_refresh_thread():
             break
         time.sleep(0.02)
     assert c.stats.refreshes == 1 and len(log) == 2
+
+
+def test_retry_matches_botocore_error_shape():
+    from rehiver_spark.sources.metacache import retry_with_backoff
+
+    class FakeClientError(Exception):
+        def __init__(self, code):
+            self.response = {"Error": {"Code": code}, "ResponseMetadata": {}}
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise FakeClientError("SlowDown")
+        return "ok"
+
+    assert retry_with_backoff(flaky, sleep=lambda s: None) == "ok"
+    assert calls["n"] == 3
+
+    def fatal():
+        raise FakeClientError("AccessDenied")
+
+    calls["n"] = 0
+    import pytest as _pytest
+
+    with _pytest.raises(FakeClientError):
+        retry_with_backoff(fatal, sleep=lambda s: None)
+
+
+def test_invalidate_cancels_inflight_refresh():
+    """A refresh that started before invalidate() must not re-cache the
+    pre-invalidation value."""
+    from rehiver_spark.sources.metacache import MetadataCache
+
+    c = MetadataCache(fetcher=None, ttl=10, refresh_threshold=0, background=False)
+    values = {"v": 1}
+
+    def fetch(bucket, key):
+        # simulate a write+invalidate racing the in-flight refresh:
+        # by the time this fetch returns, the entry was invalidated
+        if values["v"] == 1:
+            out = {"key": key, "size": 1}
+        else:
+            out = {"key": key, "size": values["v"]}
+        if values.get("race"):
+            c.invalidate("bkt", key)
+            values["race"] = False
+        return out
+
+    c.fetcher = fetch
+    c.get("bkt", "k")                       # miss → cached size=1
+    values["race"] = True
+    import time as _t
+
+    _t.sleep(0.01)
+    c.get("bkt", "k")                       # hit past threshold → inline refresh
+    # the refresh fetched size=1 but invalidate() ran mid-fetch: the
+    # stale value must NOT be back in the cache
+    assert len(c) == 0
+    assert c.stats.refreshes == 0

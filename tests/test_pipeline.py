@@ -162,3 +162,26 @@ def test_on_progress_callbacks(spark, tmp_path):
             time.sleep(0.25)
     assert any(e["num_input_rows"] > 0 for e in events)
     assert all("batch_id" in e and "query_id" in e for e in events)
+
+
+def test_on_progress_does_not_rerun_processor(spark, tmp_path):
+    import os
+
+    from rehiver_spark.operators.pipeline import stream_process
+
+    marker = str(tmp_path / "proc_calls")
+    os.makedirs(marker, exist_ok=True)
+
+    def processor(key):
+        # executor-side side effect observable from the driver (local mode)
+        with open(os.path.join(marker, key.replace("/", "_")), "a") as f:
+            f.write("x")
+        return 1
+
+    objects = spark.createDataFrame([(f"k{i}",) for i in range(6)], "key string")
+    calls = []
+    log, stats = stream_process(objects, ["k?"], processor, on_progress=calls.append)
+    assert calls[0]["processed"] == 6
+    log.count()  # consume the log again after the eager stats pass
+    sizes = {f: os.path.getsize(os.path.join(marker, f)) for f in os.listdir(marker)}
+    assert len(sizes) == 6 and all(v == 1 for v in sizes.values()), sizes

@@ -127,3 +127,22 @@ def test_rocksdb_state_store_runs_and_matches(spark, tmp_path):
 
     assert run("rocksdb") == run(None) != []
     assert spark.conf.get(key, None) == before
+
+
+def test_run_available_now_restores_conf_on_start_failure(spark, tmp_path):
+    """A start-time AnalysisException must not leak the pinned state
+    partition count into the session."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from rehiver_spark.streaming.windows import read_file_stream, run_available_now
+
+    src = str(tmp_path / "src")
+    spark.range(10).select(F.col("id"), F.lit("x").alias("s")).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    # complete mode without aggregation is rejected at start
+    sdf = read_file_stream(spark, src, schema)
+    with pytest.raises(Exception):
+        run_available_now(sdf, output_mode="complete", state_partitions=1)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -284,3 +284,16 @@ def test_remove_boilerplate_lines(spark):
     )
     out3 = {r["doc_id"]: r for r in remove_boilerplate_lines(df3, max_doc_freq=2).collect()}
     assert all(r["cleaned_text"] == "" and r["n_removed"] == 1 for r in out3.values())
+
+
+def test_boilerplate_exempts_blank_lines(spark):
+    from rehiver_spark.operators.textops import remove_boilerplate_lines
+
+    docs = [(i, f"para one {i}\n\npara two {i}") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(df, max_doc_freq=2).collect()}
+    for i in range(8):
+        # the blank separator appears in all 8 docs but is structure,
+        # not boilerplate — it must survive
+        assert out[i]["cleaned_text"] == f"para one {i}\n\npara two {i}"
+        assert out[i]["n_removed"] == 0

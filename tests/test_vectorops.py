@@ -256,3 +256,43 @@ def test_quantize_int8_roundtrip_bounds(spark, emb):
         # max-magnitude element maps to ±127; error bounded by scale/2
         assert max(abs(q) for q in qs) == 127
         assert all(abs(q * scale - x) <= scale / 2 + 1e-12 for q, x in zip(qs, xs))
+
+
+def test_kmeans_reseeds_distinct_centroids(spark):
+    from rehiver_spark.operators.vectorops import kmeans_sample_centroids
+
+    rng = np.random.default_rng(11)
+    # one tight cluster: initial seeds nearly identical → several cells
+    # empty in the same Lloyd iteration → re-seeds must stay distinct
+    mat = rng.standard_normal(8) + rng.standard_normal((50, 8)) * 0.01
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_sample_centroids(corpus, k=4, iters=3)
+    assert len({tuple(c) for c in cents}) == 4
+
+
+def test_semdedup_auto_cap_respects_external_centroids(spark):
+    from rehiver_spark.operators.vectorops import (
+        centroids_df,
+        kmeans_sample_centroids,
+        semdedup,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 8)) * 4
+    mat = np.vstack([centers[i // 50] + rng.standard_normal(8) * 0.05 for i in range(200)])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    cdf = centroids_df(spark, kmeans_sample_centroids(corpus, k=4, iters=8))
+    # defaults (n_cells=None, max_cell_rows="auto") must size the cap
+    # from the REAL k=4, not an adaptive sqrt(N) — trained cells of 50
+    # stay intact instead of being shredded as "hot"
+    out = semdedup(corpus, threshold=0.99, centroids=cdf).collect()
+    pops: dict = {}
+    for r in out:
+        pops[r["cell_id"]] = pops.get(r["cell_id"], 0) + 1
+    assert sorted(pops.values()) == [50, 50, 50, 50]
