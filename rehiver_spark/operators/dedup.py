@@ -96,6 +96,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """EXACT above-threshold Jaccard pairs, never a cartesian product.
 
+    PRECONDITION: ``shingle_col`` holds SET-valued arrays (no duplicate
+    elements), as produced by :func:`shingles`. Jaccard is a set
+    measure; on arrays with duplicates the two methods count
+    overlaps differently and neither is meaningful.
+
     ``method='prefix'`` (default, the 100 TB plan): PPJoin-style prefix
     filtering. Each doc's shingles are ordered by ascending global
     frequency; if J(A,B) ≥ t then |A∩B| ≥ t·|A|, so A and B must share
@@ -117,9 +122,14 @@ def jaccard_pairs(
     df = ensure_parallelism(df)
     if method == "prefix":
         return _jaccard_pairs_prefix(df, id_col, shingle_col, threshold, max_shingle_freq)
+    # Read by counts AND explode.  Deliberately NOT persisted: the
+    # returned DataFrame is lazy, so an in-function persist can never be
+    # paired with an unpersist and would leak executor storage for the
+    # session lifetime on every call.  Recomputing this projection is a
+    # cheap re-scan, acceptable for the non-default equivalence baseline.
     sized = df.select(
         F.col(id_col).alias("_id"), F.col(shingle_col).alias("_sh")
-    ).withColumn("_n", F.size("_sh")).persist()  # read by counts AND explode
+    ).withColumn("_n", F.size("_sh"))
     counts = sized.select("_id", "_n")
     ex = sized.select("_id", F.explode("_sh").alias("_s"))
     if max_shingle_freq is not None:

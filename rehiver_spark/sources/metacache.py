@@ -179,7 +179,8 @@ class MetadataCache:
                 if needs_refresh:
                     self._refresh(bucket, safe, ck)
                 return value
-        self.stats.misses += 1
+        with self._lock:
+            self.stats.misses += 1
         value = retry_with_backoff(lambda: self.fetcher(bucket, safe))
         if value is not None and self.enabled:
             with self._lock:
@@ -210,6 +211,10 @@ class MetadataCache:
             finally:
                 with self._lock:
                     self._pending_refresh.discard(ck)
+                    # the generation guard only matters while a refresh
+                    # is in flight; drop it so _gen stays bounded by the
+                    # number of concurrent refreshes, not keys-ever-seen
+                    self._gen.pop(ck, None)
 
         if self.background:
             threading.Thread(target=work, daemon=True).start()
@@ -227,11 +232,15 @@ class MetadataCache:
         ck = f"{bucket}:{safe}"
         with self._lock:
             self._data.pop(ck, None)
-            self._gen[ck] = self._gen.get(ck, 0) + 1
+            # only an in-flight refresh can re-cache stale data, so only
+            # pending keys need a generation bump — keys without one
+            # would otherwise accumulate a _gen entry forever
+            if ck in self._pending_refresh:
+                self._gen[ck] = self._gen.get(ck, 0) + 1
 
     def clear(self) -> None:
         with self._lock:
-            for ck in self._data:
+            for ck in self._pending_refresh:
                 self._gen[ck] = self._gen.get(ck, 0) + 1
             self._data.clear()
             self._pending_refresh.clear()

@@ -179,3 +179,26 @@ def test_connected_components_long_chain_converges(spark):
     got = connected_components(pairs, max_iter=25).collect()
     assert len(got) == 301
     assert {r.cluster_id for r in got} == {0}
+
+
+def test_jaccard_blocking_leaves_no_persisted_rdds(spark):
+    """The non-default blocking baseline must not leak executor storage:
+    its returned plan is lazy, so an in-function persist could never be
+    unpersisted (round-3 advice item, operators/dedup.py)."""
+    from rehiver_spark.operators.dedup import jaccard_pairs, shingles
+
+    def persisted_ids():
+        # py4j JavaMap supports dict-style iteration over RDD ids
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+    before = persisted_ids()
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e x"), (3, "p q r s t u")],
+        "doc_id bigint, text string",
+    )
+    sh = df.select("doc_id", shingles("text", 3).alias("shingles"))
+    jaccard_pairs(sh, threshold=0.5, method="blocking").collect()
+    # other tests' caches may be GC-cleaned concurrently (ids can
+    # DISAPPEAR); the invariant is that this call ADDS none
+    new = persisted_ids() - before
+    assert not new, f"blocking jaccard persisted RDDs: {new}"

@@ -176,3 +176,47 @@ def test_invalidate_cancels_inflight_refresh():
     # stale value must NOT be back in the cache
     assert len(c) == 0
     assert c.stats.refreshes == 0
+
+
+def test_gen_map_stays_bounded():
+    """_gen entries exist only while a refresh is in flight: invalidate
+    on idle keys must not grow it, and a finished refresh must drop its
+    entry (round-3 advice: unbounded growth)."""
+    from rehiver_spark.sources.metacache import MetadataCache
+
+    c = MetadataCache(
+        fetcher=lambda b, k: {"key": k}, ttl=100, refresh_threshold=0, background=False
+    )
+    for i in range(20):
+        c.get("bkt", f"k{i}")      # miss → store
+        c.get("bkt", f"k{i}")      # hit → inline refresh (threshold 0)
+    for i in range(20):
+        c.invalidate("bkt", f"k{i}")   # idle key: no pending refresh
+    c.invalidate("bkt", "never-seen")  # idle unseen key: no-op
+    assert len(c._gen) == 0
+    assert c.stats.refreshes == 20
+
+
+def test_clear_cancels_inflight_refresh():
+    """clear() must bump generations for pending refreshes so they
+    cannot re-cache, without leaving residual _gen entries after the
+    refresh thread finishes."""
+    from rehiver_spark.sources.metacache import MetadataCache
+
+    c = MetadataCache(fetcher=None, ttl=10, refresh_threshold=0, background=False)
+
+    def fetch(bucket, key):
+        out = {"key": key, "size": 1}
+        if c._pending_refresh:  # we are inside the refresh fetch
+            c.clear()
+        return out
+
+    c.fetcher = fetch
+    c.get("bkt", "k")   # miss → cached
+    import time as _t
+
+    _t.sleep(0.01)
+    c.get("bkt", "k")   # hit past threshold → inline refresh; clear() races it
+    assert len(c) == 0
+    assert c.stats.refreshes == 0
+    assert len(c._gen) == 0
