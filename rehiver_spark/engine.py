@@ -87,12 +87,29 @@ class Engine:
     def metadata_cache(self, **kw):
         """Lazily-created session cache; pass MetadataCache kwargs
         (max_size/ttl/refresh_threshold/fetcher) on FIRST use —
-        reference MetadataCacheConfig (src/index.ts:845-848)."""
+        reference MetadataCacheConfig (src/index.ts:845-848).
+
+        Reconfiguring an existing cache is an error: silently returning
+        the old instance would make callers believe their config
+        applied. Call ``reset_metadata_cache()`` first to reconfigure.
+        """
         if not hasattr(self, "_metadata_cache"):
             from rehiver_spark.sources.metacache import MetadataCache
 
             self._metadata_cache = MetadataCache(**kw)
+        elif kw:
+            raise ValueError(
+                "metadata_cache is already configured for this Engine; "
+                f"kwargs {sorted(kw)} would be silently ignored. Use "
+                "reset_metadata_cache() to drop it, then reconfigure."
+            )
         return self._metadata_cache
+
+    def reset_metadata_cache(self) -> None:
+        """Drop the session cache so the next metadata_cache(**kw) call
+        builds a fresh one with new config."""
+        if hasattr(self, "_metadata_cache"):
+            del self._metadata_cache
 
     def get_object_metadata(self, bucket: str, key: str):
         return self.metadata_cache().get(bucket, key)

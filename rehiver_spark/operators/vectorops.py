@@ -564,6 +564,29 @@ def _split_hot_cells(
             .select("_id", F.col("_newcell").alias("cell_id"), "_v")
         )
         assigned = cold_df.unionByName(reassigned).localCheckpoint(eager=False)
+    else:
+        # rounds exhausted without a clean exit: the cap may still be
+        # exceeded (e.g. near-identical embeddings that all tie to one
+        # sub-centroid). semdedup's O(pop²/k) pair-join guard depends on
+        # this cap, so failing silently would hide a quadratic blowup —
+        # one scalar aggregate to check, and a loud warning if breached.
+        worst = (
+            assigned.groupBy("cell_id")
+            .agg(F.count("*").alias("_pop"))
+            .agg(F.max("_pop").alias("_m"))
+            .first()["_m"]
+        )
+        if worst is not None and worst > max_cell_rows:
+            import warnings
+
+            warnings.warn(
+                f"_split_hot_cells: a cell still holds {worst} rows after "
+                f"{max_rounds} rounds (cap {max_cell_rows}); the semdedup "
+                "pair join over that cell will be quadratic in its size. "
+                "Raise max_split_rounds or max_cell_rows.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return assigned
 
 

@@ -95,14 +95,22 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
-def _events_ts_is_nanos(path: str) -> bool:
-    """Inspect the parquet footer: is ``ts`` a TIMESTAMP(NANOS) column?
+def _events_ts_raw_unit(path: str) -> str | None:
+    """Inspect the parquet footer: does ``ts`` need the read-as-BIGINT
+    workaround, and if so in what unit are the raw values?
 
-    Spark has no nanosecond timestamp type, so a nanos column needs the
-    read-as-BIGINT workaround; a plain timestamp[us/ms] column must be
-    read natively (treating µs as ns divides every timestamp by 1000).
-    Footer-sniffing one file is a driver-side metadata read — cheap even
-    when the dataset is 100 TB, because schema is uniform per table.
+    Returns ``None`` for a native timestamp[us/ms] column (Spark reads
+    it directly; treating µs as ns would divide every timestamp by
+    1000 — the round-2 bug). Returns ``'ns'`` for TIMESTAMP(NANOS),
+    which Spark cannot represent. For a RAW int64 column the footer
+    carries no unit, so we infer it from value magnitude instead of
+    assuming nanos (an int64 µs column div-1000'd would shrink 1000×,
+    the same failure class the sniff exists to prevent): for any epoch
+    between 1973 and 5100, nanos ≥ 1e17 > µs ∈ [1e14, 1e17) > ms ∈
+    [1e11, 1e14) > s — the bands cannot overlap, so one non-null
+    sample decides. Footer + one 1024-row batch is a driver-side
+    metadata read — cheap even when the dataset is 100 TB, because
+    schema is uniform per table.
     """
     try:
         import pathlib
@@ -113,9 +121,23 @@ def _events_ts_is_nanos(path: str) -> bool:
         if p.is_dir():
             p = next(p.rglob("*.parquet"))
         t = pq.read_schema(p).field("ts").type
-        return getattr(t, "unit", None) == "ns" or str(t) == "int64"
+        if getattr(t, "unit", None) == "ns":
+            return "ns"  # metadata is authoritative for typed columns
+        if str(t) != "int64":
+            return None  # native timestamp[us/ms] — read directly
+        pf = pq.ParquetFile(p)
+        batch = next(pf.iter_batches(batch_size=1024, columns=["ts"]))
+        vals = [abs(v) for v in batch.column(0).to_pylist() if v is not None]
+        if not vals:
+            return "ns"  # all-null sample: keep the historical nanos guess
+        mag = max(vals)
+        if mag >= 10**17:
+            return "ns"
+        if mag >= 10**14:
+            return "us"
+        return "ms" if mag >= 10**11 else "s"
     except Exception:
-        return False
+        return None
 
 
 def read_events(spark: SparkSession, sf_dir: str):
@@ -123,15 +145,17 @@ def read_events(spark: SparkSession, sf_dir: str):
 
     The driver testdata stores ``ts`` as timestamp[us], which Spark
     reads natively — that is the default path. Only when the footer
-    says the column is genuinely nanos (or already int64) do we read it
-    as BIGINT and integer-divide to microseconds; applying that path to
+    says the column is genuinely nanos, or is a raw int64 (unit then
+    inferred from value magnitude, see :func:`_events_ts_raw_unit`),
+    do we read it as BIGINT and convert to microseconds; div-1000'ing
     a µs column would shrink every timestamp 1000× (the round-2 bug:
     all of 2024 collapsed into 43 minutes of 1970).
     """
     from pyspark.sql import functions as F
 
     path = f"{sf_dir}/events.parquet"
-    if not _events_ts_is_nanos(path):
+    unit = _events_ts_raw_unit(path)
+    if unit is None:
         # parquet timestamp[us] with isAdjustedToUTC=false reads as
         # TIMESTAMP_NTZ, which watermarks/window() reject; the session
         # timezone is pinned UTC (session.py get_spark), so casting to
@@ -145,7 +169,13 @@ def read_events(spark: SparkSession, sf_dir: str):
         "event_type string, value double, props string"
     )
     df = spark.read.schema(schema).parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    to_micros = {
+        "ns": F.expr("ts div 1000"),
+        "us": F.col("ts"),
+        "ms": F.col("ts") * 1000,
+        "s": F.col("ts") * 1000000,
+    }[unit]
+    return df.withColumn("ts", F.timestamp_micros(to_micros))
 
 
 _TABLE_CACHE: dict[tuple[int, str, str], "DataFrame"] = {}

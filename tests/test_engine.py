@@ -90,3 +90,21 @@ def test_engine_put_object_invalidates_cache(spark, monkeypatch):
     eng.put_object("test-bucket", "a.txt", b"twelve chars")
     assert eng.get_object_metadata("test-bucket", "a.txt")["size"] == 12
     assert len(fetches) == 2
+
+
+def test_metadata_cache_rejects_reconfigure(spark):
+    """Passing kwargs after the cache exists must raise, not silently
+    return the old config (round-3 advice); reset_metadata_cache()
+    enables deliberate reconfiguration."""
+    import pytest
+
+    from rehiver_spark.engine import Engine
+
+    eng = Engine(spark)
+    c1 = eng.metadata_cache(ttl=5, fetcher=lambda b, k: {"key": k})
+    assert eng.metadata_cache() is c1          # bare re-access is fine
+    with pytest.raises(ValueError, match="already configured"):
+        eng.metadata_cache(ttl=10)
+    eng.reset_metadata_cache()
+    c2 = eng.metadata_cache(ttl=10, fetcher=lambda b, k: {"key": k})
+    assert c2 is not c1 and c2.ttl == 10

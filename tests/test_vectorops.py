@@ -296,3 +296,24 @@ def test_semdedup_auto_cap_respects_external_centroids(spark):
     for r in out:
         pops[r["cell_id"]] = pops.get(r["cell_id"], 0) + 1
     assert sorted(pops.values()) == [50, 50, 50, 50]
+
+
+def test_split_hot_cells_warns_when_cap_unmet(spark):
+    """Identical embeddings all tie to one sub-centroid, so the cap can
+    never be met — the splitter must say so instead of silently leaving
+    a quadratic cell (round-3 advice)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.vectorops import _split_hot_cells
+
+    df = spark.createDataFrame(
+        [(i, 0, [1.0, 0.0]) for i in range(40)], "_id bigint, cell_id bigint, _v array<double>"
+    ).withColumn("_v", F.col("_v").cast("array<double>"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = _split_hot_cells(df, max_cell_rows=5, max_rounds=2)
+        out.count()  # materialize inside the catch block
+        hits = [x for x in w if issubclass(x.category, RuntimeWarning)]
+    assert hits and "still holds" in str(hits[0].message)
