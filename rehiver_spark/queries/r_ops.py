@@ -573,22 +573,46 @@ def r14_valid_bucket_name(spark, sf_dir):
 @query(
     "r15_content_type",
     f"""
-    SELECT key,
-      CASE WHEN key LIKE '%.json' THEN 'application/json'
-           WHEN key LIKE '%.csv' THEN 'text/csv'
-           WHEN key LIKE '%.png' THEN 'image/png'
-           WHEN key LIKE '%.parquet' THEN 'application/vnd.apache.parquet'
-           WHEN key LIKE '%.gz' THEN 'application/gzip'
-           ELSE 'application/octet-stream' END AS mime,
-      (key LIKE '%.json' OR key LIKE '%.csv') AS is_text
-    FROM ({_OBJECTS_SQL})
+    WITH typed AS (
+      SELECT key,
+        CASE WHEN key LIKE '%.json' THEN 'application/json'
+             WHEN key LIKE '%.csv' THEN 'text/csv'
+             WHEN key LIKE '%.png' THEN 'image/png'
+             WHEN key LIKE '%.parquet' THEN 'application/vnd.apache.parquet'
+             WHEN key LIKE '%.gz' THEN 'application/gzip'
+             ELSE 'application/octet-stream' END AS mime
+      FROM ({_OBJECTS_SQL})
+    )
+    SELECT key, mime,
+      (mime LIKE 'text/%' OR mime IN ('application/json')) AS is_text,
+      COALESCE(CASE WHEN mime LIKE 'text/%' OR mime = 'application/json'
+                    THEN 'UTF-8' END, '') AS charset,
+      COALESCE(CASE WHEN mime = 'application/json' THEN 'json'
+                    WHEN mime = 'text/csv' THEN 'csv'
+                    WHEN mime = 'image/png' THEN 'png'
+                    WHEN mime = 'application/vnd.apache.parquet' THEN 'parquet'
+                    WHEN mime = 'application/gzip' THEN 'gz' END, '') AS ext
+    FROM typed
     """,
 )
 def r15_content_type(spark, sf_dir):
-    """R15 (reference ContentType.detect/isText, src/index.ts:103-155)."""
+    """R15 (reference ContentType.detect/isText/charset/extension,
+    src/index.ts:103-155): forward extension→MIME plus the reverse
+    charset/extension lookups, all single-eval map lookups."""
+    from rehiver_spark.sources.catalog import charset_col, extension_col
+
     df = _objects(spark, sf_dir)
     mime = content_type_col("key")
-    return df.select("key", mime.alias("mime"), is_text_col(mime).alias("is_text"))
+    # NULL-free outputs: the harness sorts rows on the (name-sorted)
+    # columns, and charset would be the first sort key — coalesce to ''
+    # on BOTH sides so nullable columns cannot break the canonical sort
+    return df.select(
+        "key",
+        mime.alias("mime"),
+        is_text_col(mime).alias("is_text"),
+        F.coalesce(charset_col(mime), F.lit("")).alias("charset"),
+        F.coalesce(extension_col(mime), F.lit("")).alias("ext"),
+    )
 
 
 @query(

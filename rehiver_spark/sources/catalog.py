@@ -116,6 +116,60 @@ def is_text_col(mime: Column | str) -> Column:
     return c.startswith("text/") | c.isin(list(_TEXT_EXACT))
 
 
+# -- reverse lookups (reference ContentType.charset/extension,
+#    src/index.ts:115-133, delegating to npm mime-types) -------------------
+
+# mime-types.charset(): the db charset when listed, else UTF-8 for any
+# text/* type. Within our MIME universe only these non-text types carry
+# a db charset.
+_CHARSET_EXACT = {
+    "application/json": "UTF-8",
+    "application/javascript": "UTF-8",
+}
+
+# MIME → canonical extension (no dot — mime-types.extension() returns
+# 'html', not '.html', despite the reference docstring saying "with
+# dot"; behavior wins). Reversing MIME_MAP first-wins, with image/jpeg
+# pinned to 'jpeg' to match mime-db's first-listed extension.
+_EXT_MAP: dict[str, str] = {}
+for _ext, _mime in MIME_MAP.items():
+    _EXT_MAP.setdefault(_mime, _ext)
+_EXT_MAP["image/jpeg"] = "jpeg"
+
+
+def charset_of(mime: str) -> str | None:
+    """Charset for a MIME type (reference ContentType.charset,
+    src/index.ts:119-121): UTF-8 for text/* and the db-listed
+    application types, else None."""
+    if mime.startswith("text/"):
+        return "UTF-8"
+    return _CHARSET_EXACT.get(mime)
+
+
+def extension_of(mime: str) -> str | None:
+    """Canonical file extension for a MIME type (reference
+    ContentType.extension, src/index.ts:128-130; None ↔ the
+    reference's ``false``)."""
+    return _EXT_MAP.get(mime)
+
+
+def charset_col(mime: Column | str) -> Column:
+    c = F.col(mime) if isinstance(mime, str) else mime
+    return F.when(
+        c.startswith("text/") | c.isin(list(_CHARSET_EXACT)), F.lit("UTF-8")
+    )
+
+
+def extension_col(mime: Column | str) -> Column:
+    """MIME→extension as a single-eval literal-map lookup (same plan
+    shape as content_type_col — one element_at, never a CASE chain)."""
+    c = F.col(mime) if isinstance(mime, str) else mime
+    pairs: list[Column] = []
+    for m, e in _EXT_MAP.items():
+        pairs.extend([F.lit(m), F.lit(e)])
+    return F.element_at(F.create_map(*pairs), c)
+
+
 # ---------------------------------------------------------------------------
 # S3 key encoding (reference encodeS3Key/decodeS3Key, src/index.ts:315-335)
 # ---------------------------------------------------------------------------

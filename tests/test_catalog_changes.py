@@ -227,3 +227,49 @@ def test_detect_changes_all_null_metadata_presence(spark):
     cur = spark.createDataFrame([("a", None, None, None), ("c", None, None, None)], schema)
     got = {r["key"]: r["change_type"] for r in detect_changes(cur, prev).collect()}
     assert got == {"a": "unchanged", "b": "deleted", "c": "added"}
+
+
+def test_charset_and_extension_reverse_lookup(spark):
+    """ContentType.charset/extension parity (reference src/index.ts:
+    115-133, npm mime-types semantics): UTF-8 for text/* + JSON/JS,
+    canonical extension without dot, None when unknown."""
+    from rehiver_spark.sources.catalog import (
+        charset_col,
+        charset_of,
+        extension_col,
+        extension_of,
+    )
+
+    assert charset_of("text/plain") == "UTF-8"
+    assert charset_of("text/csv") == "UTF-8"
+    assert charset_of("application/json") == "UTF-8"
+    assert charset_of("application/javascript") == "UTF-8"
+    assert charset_of("image/png") is None
+    assert charset_of("application/octet-stream") is None
+
+    assert extension_of("text/html") == "html"
+    assert extension_of("image/jpeg") == "jpeg"  # mime-db first-listed, not 'jpg'
+    assert extension_of("application/json") == "json"
+    assert extension_of("application/gzip") == "gz"
+    assert extension_of("application/octet-stream") is None
+    assert extension_of("application/unknown") is None
+
+    mimes = [
+        ("text/plain",), ("application/json",), ("image/jpeg",),
+        ("application/octet-stream",),
+    ]
+    df = spark.createDataFrame(mimes, "mime string")
+    got = {
+        r["mime"]: (r["cs"], r["ext"])
+        for r in df.select(
+            "mime",
+            charset_col("mime").alias("cs"),
+            extension_col("mime").alias("ext"),
+        ).collect()
+    }
+    assert got == {
+        "text/plain": ("UTF-8", "txt"),
+        "application/json": ("UTF-8", "json"),
+        "image/jpeg": (None, "jpeg"),
+        "application/octet-stream": (None, None),
+    }

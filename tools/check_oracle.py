@@ -43,8 +43,11 @@ def canon_val(v):
 
 def canon_rows(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # None is not orderable against str/int — sort on a total key that
+    # keeps the canonical values themselves intact for comparison
     return sorted(
-        tuple(canon_val(r[i]) for i in order) for r in rows
+        (tuple(canon_val(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
     )
 
 
