@@ -31,6 +31,8 @@ processed-log DataFrame.
 
 from __future__ import annotations
 
+import itertools
+import threading
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
@@ -40,6 +42,58 @@ from pyspark.sql import functions as F
 from rehiver_spark.functions.globs import glob_match
 
 PROCESS_LOG_SCHEMA = "key string, status string, error string, result string"
+
+
+class PipelineCancelled(RuntimeError):
+    """A CancelHandle aborted a pipeline while a Spark job was running
+    (the batch analogue of the reference's 'listing was aborted' throw,
+    src/index.ts:1155-1157)."""
+
+
+class CancelHandle:
+    """Cooperative cancellation for long pipelines — the reference's
+    ``abortSignal`` (src/index.ts:1041-1047, 1304, 1424) mapped onto
+    Spark's two execution models:
+
+    - **batch** (:func:`stream_process`): the eager action runs inside
+      a Spark job group; ``cancel()`` sets the flag AND calls
+      ``cancelJobGroup`` so in-flight stages are killed, not just
+      checked-between. A cancelled batch job raises
+      :class:`PipelineCancelled` (all-or-nothing — a half-finished
+      distributed aggregate has no meaningful partial result).
+    - **streaming** (:func:`stream_process_incremental`): the flag is
+      checked at each micro-batch boundary; the in-flight batch's epoch
+      is NOT committed to the checkpoint, so a later run resumes it
+      exactly-once, and the call returns PARTIAL stats over committed
+      batches — the reference's ``break`` + partial-stats behavior
+      (src/index.ts:1499-1501).
+
+    Thread-safe: ``cancel()`` may be called from any thread (a timer, a
+    signal handler, another job's listener).
+    """
+
+    _seq = itertools.count()
+
+    def __init__(self) -> None:
+        self._flag = threading.Event()
+        self._spark = None
+        self.group_id = f"rehiver-cancel-{next(self._seq)}"
+
+    def _bind(self, spark) -> None:
+        self._spark = spark
+
+    def cancel(self) -> None:
+        self._flag.set()
+        spark = self._spark
+        if spark is not None:
+            try:
+                spark.sparkContext.cancelJobGroup(self.group_id)
+            except Exception:
+                pass  # context already stopped — flag alone suffices
+
+    @property
+    def cancelled(self) -> bool:
+        return self._flag.is_set()
 
 
 def find_matching(
@@ -151,6 +205,7 @@ def stream_process(
     skip_existing: DataFrame | None = None,
     batch_partitions: int | None = None,
     on_progress: Callable[[dict], None] | None = None,
+    cancel: CancelHandle | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """find → process, returning (log, stats_df) — the reference facade
     streamMatchingObjects (src/index.ts:2435-2517) in one call.
@@ -162,7 +217,24 @@ def stream_process(
     omit it to keep the log lazy. Per-batch granularity lives in
     :func:`stream_process_incremental`, where batches actually exist —
     inside one Spark job there is no driver-visible "batch" to hook.
+
+    CACHING CONTRACT (eager path): the returned ``log`` IS a persisted
+    DataFrame — the cache is load-bearing (the user processor may
+    side-effect; without it, consuming the log again would re-run the
+    processor over every key). It stays cached for the session; call
+    ``log.unpersist()`` once done consuming it.
+
+    ``cancel`` is the reference's abortSignal: forces eager evaluation,
+    runs the job inside the handle's job group, and raises
+    :class:`PipelineCancelled` if cancelled before or during the run
+    (see :class:`CancelHandle` for why batch cancel is all-or-nothing).
     """
+    eager = on_progress is not None or cancel is not None
+    spark = objects.sparkSession
+    if cancel is not None:
+        cancel._bind(spark)
+        if cancel.cancelled:
+            raise PipelineCancelled("cancelled before the pipeline started")
     matched = find_matching(objects, patterns, prefix=prefix, key_col=key_col)
     log = process_matching(
         matched,
@@ -171,22 +243,40 @@ def stream_process(
         batch_partitions=batch_partitions,
         skip_existing=skip_existing,
     )
-    if on_progress is not None:
+    if eager:
         # persist BEFORE the eager stats action: the user processor may
         # side-effect, and without the cache the later log consumption
-        # would re-run it over every key
+        # would re-run it over every key (see CACHING CONTRACT above)
         log = log.persist()
     stats_df = pipeline_stats_df(log)
-    if on_progress is not None:
-        r = stats_df.first()
-        on_progress(
-            {
-                "processed": r["processed"] + r["skipped"],
-                "total": r["matched"],
-                "matched": r["matched"],
-                "skipped_existing": r["skipped_existing"],
-            }
-        )
+    if eager:
+        sc = spark.sparkContext
+        try:
+            if cancel is not None:
+                sc.setJobGroup(cancel.group_id, "rehiver stream_process", True)
+            r = stats_df.first()
+        except Exception as e:
+            if cancel is not None and cancel.cancelled:
+                log.unpersist()
+                raise PipelineCancelled("cancelled while the job was running") from e
+            raise
+        finally:
+            if cancel is not None:
+                # PySpark has no clearJobGroup; reset the local property
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.interruptOnCancel", None)
+        if cancel is not None and cancel.cancelled:
+            log.unpersist()
+            raise PipelineCancelled("cancelled while the job was running")
+        if on_progress is not None:
+            on_progress(
+                {
+                    "processed": r["processed"] + r["skipped"],
+                    "total": r["matched"],
+                    "matched": r["matched"],
+                    "skipped_existing": r["skipped_existing"],
+                }
+            )
     return log, stats_df
 
 
@@ -201,11 +291,20 @@ def stream_process_incremental(
     max_files_per_trigger: int = 100,
     fmt: str = "parquet",
     on_progress: Callable[[dict], None] | None = None,
+    cancel: CancelHandle | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """INCREMENTAL streamMatchingObjects: Structured Streaming file
     source discovers new files, each micro-batch glob-filters the new
     file PATHS and runs the processor on matches, appending to a
     persistent Parquet processing log (SURVEY §7 step 7).
+
+    ``cancel`` (reference abortSignal, src/index.ts:1424, 1499-1501):
+    checked at each micro-batch boundary. On cancel the in-flight
+    batch's epoch is NOT committed — the stream stops scheduling, this
+    call returns PARTIAL (log, stats) over the batches that committed,
+    and a later run with the same checkpoint resumes the uncommitted
+    batch exactly-once. Mirrors the reference's ``break`` + partial
+    stats, with durability the reference lacks.
 
     ``max_files_per_trigger`` is the reference's batchSize=100
     (src/index.ts:1466-1469); the checkpoint makes re-runs exactly-once
@@ -240,6 +339,10 @@ def stream_process_incremental(
     cum = {"processed": 0, "total": 0, "matched": 0, "skipped_existing": 0}
 
     def handle(batch_df, batch_id):
+        if cancel is not None and cancel.cancelled:
+            # raising fails the query BEFORE this epoch commits: the
+            # stream stops scheduling and the batch stays replayable
+            raise PipelineCancelled(f"cancelled before batch {batch_id}")
         files = batch_df.select(
             F.input_file_name().alias("uri")
         ).distinct().select(
@@ -259,7 +362,14 @@ def stream_process_incremental(
             cum["skipped_existing"] += r["skipped_existing"]
             on_progress({**cum, "batch_id": batch_id})
 
-    foreach_batch_collecting(sdf, handle, checkpoint=checkpoint)
+    try:
+        foreach_batch_collecting(sdf, handle, checkpoint=checkpoint)
+    except Exception:
+        if cancel is None or not cancel.cancelled:
+            raise
+        # cancelled: the failing epoch never committed, so everything
+        # below reads exactly the batches that completed — the partial
+        # stats the reference returns on abort
     if not os.path.isdir(log_dir):  # no file ever matched any batch
         log = spark.createDataFrame(
             [], "key string, status string, error string, result string, batch_id long"

@@ -185,3 +185,101 @@ def test_on_progress_does_not_rerun_processor(spark, tmp_path):
     log.count()  # consume the log again after the eager stats pass
     sizes = {f: os.path.getsize(os.path.join(marker, f)) for f in os.listdir(marker)}
     assert len(sizes) == 6 and all(v == 1 for v in sizes.values()), sizes
+
+
+def test_cancel_before_start_raises(objects):
+    from rehiver_spark.operators.pipeline import (
+        CancelHandle,
+        PipelineCancelled,
+        stream_process,
+    )
+
+    h = CancelHandle()
+    h.cancel()
+    with pytest.raises(PipelineCancelled, match="before"):
+        stream_process(objects, ["data/**"], _make_processor(), cancel=h)
+
+
+def test_cancel_mid_job_kills_job_group(objects):
+    """cancel() during the eager action cancels the Spark job group and
+    surfaces as PipelineCancelled (reference abortSignal → throw)."""
+    import threading
+    import time
+
+    from rehiver_spark.operators.pipeline import (
+        CancelHandle,
+        PipelineCancelled,
+        stream_process,
+    )
+
+    h = CancelHandle()
+
+    def slow_processor(key: str) -> str:
+        time.sleep(30)  # far longer than the cancel delay
+        return "done"
+
+    threading.Timer(2.0, h.cancel).start()
+    t0 = time.monotonic()
+    with pytest.raises(PipelineCancelled, match="running"):
+        stream_process(objects, ["data/**"], slow_processor, cancel=h)
+    # the 5 keys x 30s processor would take minutes uncancelled; the
+    # job group kill must cut it short
+    assert time.monotonic() - t0 < 25
+
+
+def test_cancel_incremental_partial_stats(spark, tmp_path):
+    """Cancelling between micro-batches stops scheduling, returns
+    partial stats over committed batches, and leaves the remainder
+    replayable from the checkpoint (reference break-with-partial)."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.pipeline import (
+        CancelHandle,
+        stream_process_incremental,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(100).select(F.col("id"), (F.col("id") % 4).alias("part")).write.partitionBy(
+        "part"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    n_all = len(spark.read.parquet(src).inputFiles())
+
+    h = CancelHandle()
+    progressed = []
+
+    def on_progress(p):
+        progressed.append(p)
+        h.cancel()  # cancel as soon as the FIRST batch commits
+
+    log, stats = stream_process_incremental(
+        spark,
+        src,
+        schema,
+        "**",
+        _make_processor(),
+        log_dir=str(tmp_path / "log"),
+        checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        on_progress=on_progress,
+        cancel=h,
+    )
+    st = stats.first()
+    assert 0 < st["matched"] < n_all, "expected PARTIAL progress"
+    assert len(progressed) < n_all
+
+    # resume with the same checkpoint and no cancel: the uncommitted
+    # batches replay exactly-once and the log completes
+    log2, stats2 = stream_process_incremental(
+        spark,
+        src,
+        schema,
+        "**",
+        _make_processor(),
+        log_dir=str(tmp_path / "log"),
+        checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    st2 = stats2.first()
+    assert st2["matched"] == n_all
+    assert log2.select("key").distinct().count() == n_all
