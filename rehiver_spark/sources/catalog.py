@@ -273,6 +273,7 @@ def list_s3(
     prefix: str = "",
     max_keys_per_request: int = 1000,
     batch_rows: int = 100_000,
+    client=None,
 ) -> DataFrame:
     """boto3 ListObjectsV2 → objects DataFrame with FULL pagination
     (intended semantics of reference listObjects; its as-implemented
@@ -280,14 +281,17 @@ def list_s3(
 
     Pages stream into row batches that become unioned DataFrames, so
     driver memory is bounded by ``batch_rows``, not catalog size.
-    Gated import: boto3 may be absent in this container.
+    ``client`` injects any ListObjectsV2-shaped client (tests use a
+    fake); default is boto3, whose import is gated — it may be absent
+    in this container.
     """
-    try:
-        import boto3  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("boto3 not available in this environment") from e
+    if client is None:
+        try:
+            import boto3  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError("boto3 not available in this environment") from e
 
-    client = boto3.client("s3")
+        client = boto3.client("s3")
     paginator = client.get_paginator("list_objects_v2")
     dfs: list[DataFrame] = []
     rows: list[tuple] = []
@@ -356,14 +360,19 @@ def list_distributed(
     )
 
 
-def s3_lister_factory(bucket: str, max_keys_per_request: int = 1000):
+def s3_lister_factory(bucket: str, max_keys_per_request: int = 1000, client_factory=None):
     """Per-worker boto3 ListObjectsV2 lister with full pagination
-    (intended reference semantics; boto3 import deferred to executors)."""
+    (intended reference semantics; boto3 import deferred to executors).
+    ``client_factory`` injects a picklable fake-client builder for
+    tests; default builds a boto3 client per worker."""
 
     def factory():
-        import boto3  # noqa: PLC0415
+        if client_factory is not None:
+            client = client_factory()
+        else:
+            import boto3  # noqa: PLC0415
 
-        client = boto3.client("s3")
+            client = boto3.client("s3")
 
         def lister(prefix: str):
             paginator = client.get_paginator("list_objects_v2")
@@ -416,23 +425,28 @@ def local_lister_factory(base: str):
     return factory
 
 
-def head_object(bucket: str, key: str):
+def head_object(bucket: str, key: str, client=None):
     """Single-key metadata fetch (reference getObjectMetadata,
-    src/index.ts:877-966): boto3 head_object → ObjectMetadata-shaped
+    src/index.ts:877-966): head_object → ObjectMetadata-shaped
     dict, None on 404. For repeated driver-side lookups wrap it in
     ``sources.metacache.MetadataCache`` (the reference's LRU-TTL +
     background-refresh cache); Spark's FileStatusCache / per-query
-    listing covers scan planning. boto3-gated: absent in this
-    container."""
+    listing covers scan planning. ``client`` injects a fake; default
+    boto3 is import-gated (absent in this container)."""
+    if client is None:
+        try:
+            import boto3  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError("boto3 not available in this environment") from e
+
+        client = boto3.client("s3")
     try:
-        import boto3  # noqa: PLC0415
-        from botocore.exceptions import ClientError  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("boto3 not available in this environment") from e
-    try:
-        r = boto3.client("s3").head_object(Bucket=bucket, Key=key)
-    except ClientError as e:  # pragma: no cover - needs live S3
-        if e.response["ResponseMetadata"]["HTTPStatusCode"] == 404:
+        r = client.head_object(Bucket=bucket, Key=key)
+    except Exception as e:
+        # botocore ClientError duck-typed via .response so injected
+        # clients need no botocore import to raise the right shape
+        resp = getattr(e, "response", None)
+        if resp and resp.get("ResponseMetadata", {}).get("HTTPStatusCode") == 404:
             return None
         raise
     return {

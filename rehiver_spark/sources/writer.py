@@ -94,18 +94,23 @@ def put_object(
     body: bytes,
     content_type: str | None = None,
     s3: bool = False,
+    client=None,
 ) -> str:
     """Single raw object write (reference putObject,
     src/index.ts:1171-1228). Local-dir by default; ``s3=True`` uses
-    boto3 (gated — absent in this container). Returns an etag stand-in.
+    boto3 (gated — absent in this container) or an injected
+    put_object-shaped ``client``. Returns an etag stand-in.
     """
     ct = content_type or content_type_of(key)
-    if s3:
-        try:
-            import boto3  # noqa: PLC0415
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError("boto3 not available in this environment") from e
-        resp = boto3.client("s3").put_object(
+    if s3 or client is not None:
+        if client is None:
+            try:
+                import boto3  # noqa: PLC0415
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError("boto3 not available in this environment") from e
+
+            client = boto3.client("s3")
+        resp = client.put_object(
             Bucket=bucket_or_dir, Key=key, Body=body, ContentType=ct
         )
         return resp["ETag"].strip('"')
@@ -118,25 +123,32 @@ def put_object(
     return hashlib.md5(body).hexdigest()
 
 
-def create_bucket_if_not_exists(bucket: str, region: str | None = None, s3: bool = True) -> bool:
+def create_bucket_if_not_exists(
+    bucket: str, region: str | None = None, s3: bool = True, client=None
+) -> bool:
     """Head-then-create (reference createBucketIfNotExists,
     src/index.ts:2042-2157): True if created, False if it existed.
-    boto3-gated; retries delegate to boto3's retry config (the
+    boto3-gated (or an injected head_bucket/create_bucket-shaped
+    ``client``); retries delegate to boto3's retry config (the
     reference's retryWithBackoff is not re-implemented — SURVEY §4)."""
-    if not s3:
+    if not s3 and client is None:
         os.makedirs(bucket, exist_ok=True)
         return True
-    try:
-        import boto3  # noqa: PLC0415
-        from botocore.exceptions import ClientError  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("boto3 not available in this environment") from e
-    client = boto3.client("s3")
+    if client is None:
+        try:
+            import boto3  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError("boto3 not available in this environment") from e
+
+        client = boto3.client("s3")
     try:
         client.head_bucket(Bucket=bucket)
         return False
-    except ClientError as e:  # pragma: no cover - needs live S3
-        if e.response["ResponseMetadata"]["HTTPStatusCode"] != 404:
+    except Exception as e:
+        # ClientError duck-typed via .response (no botocore import for
+        # injected clients); anything non-404 propagates
+        resp = getattr(e, "response", None)
+        if not resp or resp.get("ResponseMetadata", {}).get("HTTPStatusCode") != 404:
             raise
     kwargs = (
         {"CreateBucketConfiguration": {"LocationConstraint": region}} if region else {}
