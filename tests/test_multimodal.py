@@ -121,3 +121,42 @@ def test_resize_media_clamps_and_passthrough(spark):
     # non-image rows pass through untouched with NULL dims
     a = rows[101]
     assert a["kind"] == "audio" and a["width"] is None and a["error"] is None
+
+
+# a valid 1x1 PNG, byte-literal so no imaging lib is needed to build it
+_TINY_PNG = __import__("base64").b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+
+
+def test_real_decode_png_with_pil():
+    """Real-codec path: decodes genuine PNG bytes when Pillow is
+    installed (skips where it is not — this sandbox)."""
+    pytest = __import__("pytest")
+    pytest.importorskip("PIL")
+    from rehiver_spark.operators.multimodal import _real_decode
+
+    d = _real_decode("image", _TINY_PNG)
+    assert (d["width"], d["height"]) == (1, 1)
+    assert d["duration_ms"] is None and d["sample_rate"] is None
+
+
+def test_decode_media_real_path_tolerates_missing_codec(spark):
+    """decode_media(fake=False) must never fail the job: without Pillow
+    every image row lands in `error` naming the missing dependency;
+    with Pillow the same rows decode to real dimensions."""
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(_TINY_PNG))], "media_id bigint, kind string, payload binary"
+    )
+    from rehiver_spark.operators.multimodal import decode_media
+
+    rows = decode_media(df, fake=False).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    try:
+        import PIL  # noqa: F401
+
+        assert r["error"] is None and (r["width"], r["height"]) == (1, 1)
+    except ImportError:
+        assert r["error"] is not None and "Pillow" in r["error"]
+        assert r["width"] is None
