@@ -130,6 +130,12 @@ def process_matching(
     ``skip_existing``: DataFrame of already-processed keys — anti-joined
     out BEFORE processing, logged as ``skipped_existing`` (intended
     semantics of the reference's inert option, src/index.ts:1259-1263).
+    NOTE: this path persists the matched-keys projection (consumed by
+    both the semi- and anti-join branches of the returned plan — often
+    a full catalog scan + glob filter, worth computing once); the cache
+    lives until the session ends or the caller clears it. Sessions
+    issuing many skip_existing runs should unpersist via
+    ``spark.catalog.clearCache()`` between rounds.
     """
     from rehiver_spark.session import ship_package
 
