@@ -1,0 +1,95 @@
+"""Synthesize sf1 testdata by replicating sf0.1 ten times (round 4).
+
+The driver ships sf{0.001,0.01,0.1} only; a second scale point needs a
+10x corpus. Each replica shifts the integer keys by a per-table stride
+so primary keys stay unique AND foreign keys stay consistent (orders.
+o_custkey moves with customer.c_custkey, lineitem moves with orders/
+part/supplier). region/nation stay 1x — like real TPC-H, dimension
+cardinality is scale-invariant, and unshifted nationkeys keep every FK
+valid. Embeddings get a tiny deterministic per-replica perturbation so
+replicas are near- but not bit-identical (exercises the near-dup and
+ANN paths the way a real crawled corpus would); document text is
+replicated verbatim, which inflates near-dup pair outputs ~100x — a
+deliberate stress of the pair-verification paths.
+
+Usage: python tools/make_sf1.py [out_dir]   (default .sfwork/sf1)
+"""
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from rehiver_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+REPS = 10
+# strides: > max key at sf0.1, round numbers for debuggability
+STRIDES = {
+    "custkey": 1_000_000,
+    "orderkey": 10_000_000,
+    "partkey": 1_000_000,
+    "suppkey": 100_000,
+    "event_id": 10_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+}
+SHIFTS = {  # table -> {column: stride-name}
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "event_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sfwork", "sf1"
+    )
+    os.makedirs(out, exist_ok=True)
+    spark = get_spark(app_name="make-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for t in ("region", "nation"):  # dimension tables: copy verbatim
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+        print(f"{t}: copied 1x")
+
+    rep = spark.range(REPS).select(F.col("id").alias("_rep"))
+    for t, shifts in SHIFTS.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet").crossJoin(F.broadcast(rep))
+        for col, stride in shifts.items():
+            df = df.withColumn(col, F.col(col) + F.col("_rep") * STRIDES[stride])
+        if t == "embeddings":
+            # near-identical, not identical: nudge each component by a
+            # replica-dependent epsilon (deterministic, direction-ish
+            # preserving) so ANN/semdedup see 10 close neighbors, not
+            # 10 bit-equal vectors
+            df = df.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding", lambda x, i: x + (F.col("_rep") * 1e-3) * ((i % 7) - 3)
+                ),
+            )
+        cols = [c for c in df.columns if c != "_rep"]
+        dest = f"{out}/{t}.parquet"
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        df.select(*cols).repartition(8).write.mode("overwrite").parquet(dest)
+        n = spark.read.parquet(dest).count()
+        print(f"{t}: {n} rows")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
