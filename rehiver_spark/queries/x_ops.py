@@ -1568,7 +1568,7 @@ def x25_charlm_quality(spark, sf_dir):
     SELECT vec_id, CAST(dim - 1 AS BIGINT) AS dim,
       CAST(CASE WHEN scale > 0 THEN round(x / scale) ELSE 0 END AS BIGINT) AS q,
       round(CASE WHEN scale > 0 THEN round(x / scale) * scale - x ELSE -x END, 6)
-        AS err
+        + 0.0 AS err
     FROM ex
     """,
 )
@@ -1594,7 +1594,12 @@ def x26_quantize_int8(spark, sf_dir):
         "vec_id",
         F.col("dim").cast("bigint").alias("dim"),
         F.col("zq.q").cast("bigint").alias("q"),
-        F.round(F.col("zq.q") * F.col("scale") - F.col("zq.x"), 6).alias("err"),
+        # + 0.0 folds IEEE -0.0 (a tiny negative error rounded to zero)
+        # into +0.0 on BOTH sides — a bytes-level value hash would
+        # otherwise see two different zeros
+        (F.round(F.col("zq.q") * F.col("scale") - F.col("zq.x"), 6) + F.lit(0.0)).alias(
+            "err"
+        ),
     )
 
 

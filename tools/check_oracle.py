@@ -33,7 +33,7 @@ def canon_val(v):
     if isinstance(v, float):
         if v != v:  # NaN
             return "NaN"
-        return round(v, 6)
+        return round(v, 6) + 0.0  # +0.0 folds -0.0 into 0.0
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -41,13 +41,23 @@ def canon_val(v):
     return v
 
 
+def _sort_key_val(x):
+    # total order across None/number/everything-else WITHOUT changing
+    # how values compare within a type: None first, then numbers
+    # numerically (str() would put -0.0 and 0.0, or 2 and 10, in
+    # different orders on the two sides), then the rest by str
+    if x is None:
+        return (0, 0, "")
+    if isinstance(x, (int, float)) and not isinstance(x, bool):
+        return (1, x, "")
+    return (2, 0, str(x))
+
+
 def canon_rows(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    # None is not orderable against str/int — sort on a total key that
-    # keeps the canonical values themselves intact for comparison
     return sorted(
         (tuple(canon_val(r[i]) for i in order) for r in rows),
-        key=lambda t: tuple((x is None, str(x)) for x in t),
+        key=lambda t: tuple(_sort_key_val(x) for x in t),
     )
 
 
