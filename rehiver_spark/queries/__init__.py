@@ -6,9 +6,10 @@ sf0.01 and hash-compares canonicalized results (CORRECTNESS gate).
 Registration happens at import via the ``@query`` decorator in each
 group module:
 
+- ``x_ops``  — charter extensions X1–X27 (+ multimodal); registered
+  FIRST (see :func:`load_all`)
 - ``r_ops``  — reference-surface operators R1–R17
 - ``c_ops``  — relational core C1–C18
-- ``x_ops``  — charter extensions X1–X6 (+ multimodal)
 
 Conventions (FIXTURES.md determinism rules):
 - every aggregate/computed column is aliased IDENTICALLY in Spark and

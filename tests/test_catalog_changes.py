@@ -273,3 +273,32 @@ def test_charset_and_extension_reverse_lookup(spark):
         "image/jpeg": (None, "jpeg"),
         "application/octet-stream": (None, None),
     }
+
+
+def test_mime_maps_roundtrip():
+    """Every forward ext->MIME entry has a reverse extension whose own
+    forward lookup returns the same MIME (canonical-extension closure),
+    and charset is UTF-8 exactly for text/* plus the db-listed
+    application types."""
+    from rehiver_spark.sources.catalog import (
+        MIME_MAP,
+        charset_of,
+        extension_of,
+        is_text_type,
+    )
+
+    for ext, mime in MIME_MAP.items():
+        back = extension_of(mime)
+        assert back is not None and MIME_MAP[back] == mime, (ext, mime, back)
+    for mime in set(MIME_MAP.values()):
+        cs = charset_of(mime)
+        if mime.startswith("text/") or mime in (
+            "application/json",
+            "application/javascript",
+        ):
+            assert cs == "UTF-8", mime
+        else:
+            assert cs is None, mime
+        # charset implies textiness for everything in our universe
+        if cs == "UTF-8":
+            assert is_text_type(mime) or mime == "application/javascript"

@@ -108,3 +108,26 @@ def test_metadata_cache_rejects_reconfigure(spark):
     eng.reset_metadata_cache()
     c2 = eng.metadata_cache(ttl=10, fetcher=lambda b, k: {"key": k})
     assert c2 is not c1 and c2.ttl == 10
+
+
+def test_driver_window_covers_previously_unrecorded_queries():
+    """The correctness harness records only the FIRST 50 registered
+    queries. Round 4 reordered registration so the 30 never-recorded
+    ones (x6-x10 families, x12-x27, mm_*) fall inside that window —
+    this pins the invariant against future import reshuffles."""
+    from rehiver_spark.queries import QUERIES, load_all
+
+    load_all()
+    first50 = set(list(QUERIES)[:50])
+    need = {
+        n
+        for n in QUERIES
+        if n.startswith("mm_")
+        or n.split("_")[0]
+        in {"x6", "x6b", "x6c", "x7", "x7p", "x8", "x8p", "x9", "x9p", "x10"}
+        or (n.startswith("x") and n.split("_")[0][1:].isdigit()
+            and 12 <= int(n.split("_")[0][1:]) <= 27)
+    }
+    assert need, "query registry unexpectedly empty"
+    missing = need - first50
+    assert not missing, f"driver window no longer covers: {sorted(missing)}"
