@@ -38,6 +38,30 @@ def main() -> int:
     # so per-query numbers reflect steady state, not startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     spark.createDataFrame([(1,)], "x int").write.format("noop").mode("overwrite").save()
+    # ALSO warm with a handful of real queries, untimed: queries early
+    # in registration order otherwise pay the first C2-compile of the
+    # shared agg/window/shuffle machinery and the Python-worker-pool
+    # spin-up that mid-suite queries get for free. Measured on x1 (a
+    # 0.3 s query): 0.72 s when first in the suite vs 0.37 s mid-suite
+    # on the same host — a positional artifact the per-query envelope
+    # gate would misread as a 2x regression. The warm set covers hash
+    # agg, window, window-dedup, string codegen, and a pandas UDF.
+    all_queries = E.queries()
+    for warm_name in (
+        "c6_agg",
+        "c8_window",
+        "c16_dedup",
+        "c11_string",
+        "c18_pandas_udf",
+    ):
+        if warm_name in all_queries:
+            try:
+                all_queries[warm_name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # warmup must never kill the bench
+    spark.catalog.clearCache()
 
     # Each query runs twice and records the best time: the first
     # execution pays Janino codegen compilation (seconds for the large

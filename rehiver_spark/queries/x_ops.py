@@ -84,33 +84,6 @@ FROM documents WHERE doc_id % 4 = 0
 """
 
 
-@query(
-    "x1_exact_dedup",
-    f"""
-    WITH corpus AS ({_NOISY_SQL}),
-    hashed AS (SELECT doc_id, sha256({_NORM_SQL}) AS sha FROM corpus)
-    SELECT doc_id, substr(sha, 1, 16) AS sha16,
-      (row_number() OVER (PARTITION BY sha ORDER BY doc_id ASC) = 1) AS is_keeper,
-      CAST(count(*) OVER (PARTITION BY sha) AS BIGINT) AS dup_count
-    FROM hashed
-    """,
-)
-def x1_exact_dedup(spark, sf_dir):
-    """X1: sha256(normalized) + deterministic keep-min-id (C16 rule)."""
-    out = exact_dedup(_noisy_corpus(spark, sf_dir), "text", "doc_id")
-    return out.select(
-        "doc_id",
-        F.substring("content_sha", 1, 16).alias("sha16"),
-        "is_keeper",
-        F.col("dup_count").cast("bigint").alias("dup_count"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# X2 — near-dup pairs: exact shingle-Jaccard (blocking join, no all-pairs)
-# ---------------------------------------------------------------------------
-
-
 def _neardup_corpus(spark, sf_dir):
     """documents ∪ token-tail-mutated copies: J(copy, original) ≈ 0.95."""
     d = tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "text")
@@ -174,6 +147,33 @@ def x2_jaccard_pairs(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # X3 — cosine top-k (exact brute force; ANN variants below are X6-class)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x1_exact_dedup",
+    f"""
+    WITH corpus AS ({_NOISY_SQL}),
+    hashed AS (SELECT doc_id, sha256({_NORM_SQL}) AS sha FROM corpus)
+    SELECT doc_id, substr(sha, 1, 16) AS sha16,
+      (row_number() OVER (PARTITION BY sha ORDER BY doc_id ASC) = 1) AS is_keeper,
+      CAST(count(*) OVER (PARTITION BY sha) AS BIGINT) AS dup_count
+    FROM hashed
+    """,
+)
+def x1_exact_dedup(spark, sf_dir):
+    """X1: sha256(normalized) + deterministic keep-min-id (C16 rule)."""
+    out = exact_dedup(_noisy_corpus(spark, sf_dir), "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.substring("content_sha", 1, 16).alias("sha16"),
+        "is_keeper",
+        F.col("dup_count").cast("bigint").alias("dup_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — near-dup pairs: exact shingle-Jaccard (blocking join, no all-pairs)
 # ---------------------------------------------------------------------------
 
 
