@@ -702,3 +702,123 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# X28 — incremental exact dedup against a persisted corpus hash index
+# ---------------------------------------------------------------------------
+
+
+def dedup_index(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content-hash index of an existing corpus: one ``content_sha``
+    column, distinct.  This is the only state incremental dedup needs —
+    at 100 TB the index is ~64 bytes/doc (a few TB for a trillion docs,
+    parquet-compressed far less) while the corpus text never has to be
+    re-read again.  Persist it with
+    :func:`rehiver_spark.sources.writer.write_bucketed` bucketed on
+    ``content_sha`` and the per-batch anti-join below becomes
+    shuffle-free on the index side."""
+    return corpus.select(content_hash(F.col(text_col)).alias("content_sha")).distinct()
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch of documents against an already-ingested corpus
+    without touching corpus text — the production dedup mode at scale
+    (nobody re-dedups 100 TB to ingest a daily 100 GB increment; the
+    reference's whole change-detection surface, src/index.ts:528-571,
+    exists for the same reason: process only what's new).
+
+    Adds ``content_sha`` and ``status``:
+
+    - ``dup_corpus`` — the hash already exists in ``index``;
+    - ``dup_batch``  — first seen in this batch, but an earlier
+      (min-``id_col``) batch row has the same hash;
+    - ``new``        — first occurrence anywhere; exactly these rows
+      (and their hashes) should be appended to corpus and index.
+
+    Plan: one shuffle of the batch on ``content_sha`` (window keep-min
+    + the index join share the same key); the index side ships ONLY its
+    hash column.  Spark broadcasts the index when it is small; for a
+    corpus-scale index, store it bucketed on ``content_sha`` so the
+    join is co-located with no index shuffle.  The corpus relation
+    itself is never read.
+    """
+    hashed = batch.withColumn("content_sha", content_hash(F.col(text_col)))
+    w = Window.partitionBy("content_sha").orderBy(F.col(id_col).asc())
+    idx = index.select("content_sha").distinct().withColumn(
+        "_in_corpus", F.lit(True)
+    )
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .join(idx, "content_sha", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("_in_corpus"), F.lit("dup_corpus"))
+            .when(F.col("_rn") > 1, F.lit("dup_batch"))
+            .otherwise(F.lit("new")),
+        )
+        .drop("_rn", "_in_corpus")
+    )
+
+
+def index_update(index: DataFrame, accepted_batch: DataFrame) -> DataFrame:
+    """The index after ingesting the ``status = 'new'`` rows of an
+    :func:`incremental_exact_dedup` result (idempotent union-distinct;
+    write with mode=append on a bucketed table in production)."""
+    return index.select("content_sha").unionByName(
+        accepted_batch.filter(F.col("status") == "new").select("content_sha")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# X29 — end-to-end fuzzy dedup (MinHash-LSH ∘ verify ∘ components ∘ keep)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One-call fuzzy-dedup pipeline over a corpus — the composition a
+    training-data run actually executes (NeMo-Curator-style):
+    MinHash sketches → LSH banding candidates → exact Jaccard
+    verification → connected components over the verified pair graph →
+    min-id keeper per cluster.
+
+    Adds ``cluster_id`` (the component's minimum ``id_col``; a doc with
+    no near-dup is its own cluster), ``is_keeper`` (true exactly for
+    the representative, i.e. ``id_col == cluster_id``) and
+    ``cluster_size``.
+
+    Scale shape: every stage is the already-audited scale path —
+    banding/bucket join for candidates (never all-pairs), pair-graph
+    components via pointer-jumped min-label propagation (graph is tiny
+    vs corpus: only docs WITH a near-dup appear), and the final
+    labeling is one join of the corpus against the (small) component
+    map, broadcast when it fits.  Cluster sizes are computed on the
+    component map, not the corpus, so no extra corpus shuffle.
+    """
+    pairs = minhash_neardup_pairs(
+        df, id_col, text_col, k, threshold, num_hashes, bands, seed, hash_fn
+    )
+    comp = connected_components(pairs).withColumnsRenamed({"doc_id": id_col})
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    lab = comp.join(sizes, "cluster_id")
+    return (
+        df.join(lab, id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .withColumn("cluster_size", F.coalesce(F.col("cluster_size"), F.lit(1)))
+        .withColumn("is_keeper", F.col("cluster_id") == F.col(id_col))
+    )

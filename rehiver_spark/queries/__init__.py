@@ -61,6 +61,7 @@ def load_all() -> None:
     from rehiver_spark.queries import x_ops  # noqa: F401  (isort: skip)
     from rehiver_spark.queries import r_ops  # noqa: F401
     from rehiver_spark.queries import c_ops  # noqa: F401
+    from rehiver_spark.queries import e_ops  # noqa: F401  (round-4 X28-X30; tail by design)
 
 
 def tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):

@@ -1,0 +1,203 @@
+"""X28–X30: round-4 scale-path extensions (SURVEY §2 Part B).
+
+Registered LAST (after c_ops) on purpose: the driver's correctness
+harness records the first 50 registered queries, and that window is
+pinned to the round-4 set (tests/test_engine.py). These queries get
+their driver evidence the same way the tail always has — the identical
+local gate (tools/check_oracle.py) at sf0.01.
+
+- X28 incremental exact dedup: dedup a new batch against a persisted
+  corpus hash index; the corpus itself is never re-read.
+- X29 end-to-end fuzzy dedup: MinHash-LSH ∘ exact verify ∘ connected
+  components ∘ min-id keeper, as ONE call — portable-md5 sketch, so
+  the oracle reproduces candidates, clusters, and keepers exactly.
+- X30 Z-order layout write: multi-dimensional clustering for file-level
+  min/max pruning; the oracle certifies the roundtrip is lossless and
+  tests/test_zorder.py measures the skipping itself.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from rehiver_spark.operators.dedup import (
+    dedup_index,
+    fuzzy_dedup,
+    incremental_exact_dedup,
+)
+from rehiver_spark.queries import query, tables
+from rehiver_spark.queries.x_ops import (
+    _MH_BASE,
+    _NEARDUP_SQL,
+    _NORM_SQL,
+    _TOKS_SQL,
+    _mh_consts_sql,
+    _neardup_corpus,
+)
+from rehiver_spark.sources.writer import write_zordered
+
+
+# ---------------------------------------------------------------------------
+# X28 — incremental exact dedup against a corpus hash index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x28_incremental_dedup",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text
+      FROM documents WHERE doc_id % 15 = 0
+    ),
+    idx AS (SELECT DISTINCT sha256({_NORM_SQL}) AS sha FROM corpus),
+    hashed AS (SELECT doc_id, sha256({_NORM_SQL}) AS sha FROM batch),
+    rn AS (
+      SELECT doc_id, sha,
+        row_number() OVER (PARTITION BY sha ORDER BY doc_id ASC) AS rn
+      FROM hashed
+    )
+    SELECT r.doc_id, substr(r.sha, 1, 16) AS sha16,
+      CASE WHEN i.sha IS NOT NULL THEN 'dup_corpus'
+           WHEN r.rn > 1 THEN 'dup_batch'
+           ELSE 'new' END AS status
+    FROM rn r LEFT JOIN idx i ON i.sha = r.sha
+    """,
+)
+def x28_incremental_dedup(spark, sf_dir):
+    """X28: the production dedup mode at 100 TB — a daily increment is
+    deduped against the full corpus via its content-hash INDEX (one
+    64-byte column), never the corpus text. Fixture: corpus = 90% of
+    documents; batch = the held-out 10% plus verbatim re-submissions of
+    every 15th document (those whose original sits in the corpus come
+    back ``dup_corpus``; in-batch collisions keep the min doc_id)."""
+    d = tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0).unionByName(
+        d.filter(F.col("doc_id") % 15 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    out = incremental_exact_dedup(batch, dedup_index(corpus))
+    return out.select(
+        "doc_id",
+        F.substring("content_sha", 1, 16).alias("sha16"),
+        "status",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X29 — end-to-end fuzzy dedup (portable sketch: oracle checks clusters)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x29_fuzzy_dedup",
+    f"""
+    WITH RECURSIVE corpus AS ({_NEARDUP_SQL}),
+    consts AS ({_mh_consts_sql()}),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM corpus),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(tk) - 2, 1) + 1),
+        i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    based AS (SELECT doc_id, {_MH_BASE} % 1073741824 AS hb FROM ex),
+    hashed AS (
+      SELECT doc_id, i, min((aa[i + 1] * hb + cc[i + 1]) % 2147483647) AS h
+      FROM based CROSS JOIN consts CROSS JOIN range(0, 32) t(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band, string_agg(h::TEXT, ',' ORDER BY i) AS bh
+      FROM hashed GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT c.doc_id,
+      CAST(coalesce(k.cluster_id, c.doc_id) AS BIGINT) AS cluster_id,
+      CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+      (coalesce(k.cluster_id, c.doc_id) = c.doc_id) AS is_keeper
+    FROM corpus c
+    LEFT JOIN comp k ON k.node = c.doc_id
+    LEFT JOIN sizes s ON s.cluster_id = k.cluster_id
+    """,
+)
+def x29_fuzzy_dedup(spark, sf_dir):
+    """X29: the one-call fuzzy-dedup pipeline a training-data run
+    executes — MinHash sketches → LSH banding → exact verification →
+    connected components → min-id keeper per cluster. The md5-portable
+    sketch means the oracle recomputes candidates, clusters AND keeper
+    flags bit-identically; production swaps ``hash_fn='xxhash64'`` with
+    the same plan shape (every stage is the audited scale path:
+    banding join, pointer-jumped components, one corpus-vs-map join)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    out = fuzzy_dedup(
+        corpus, "doc_id", "text", k=3, threshold=0.8, num_hashes=32, bands=8,
+        hash_fn="md5",
+    )
+    return out.select(
+        "doc_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "is_keeper",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X30 — Z-order layout write (lossless roundtrip; skipping measured in tests)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x30_zorder_layout",
+    """
+    SELECT event_id, user_id, round(value, 6) AS value FROM events
+    """,
+)
+def x30_zorder_layout(spark, sf_dir):
+    """X30: multi-dimensional data layout — events written clustered on
+    a Z-order curve over (user_id, value), then read back. The oracle
+    certifies the layout is content-lossless; tests/test_zorder.py
+    measures the actual file-level min/max skipping the curve buys for
+    box predicates on either column (a linear sort prunes only its
+    leading key). This is the lakehouse 'optimized data-fetching'
+    counterpart to the reference's prefix-listing claim."""
+    ev = tables(spark, sf_dir, ["events"])["events"].select(
+        "event_id", "user_id", "value"
+    )
+    out_dir = tempfile.mkdtemp(prefix="zorder_") + "/events"
+    write_zordered(ev, out_dir, ["user_id", "value"], bits=6, n_files=8)
+    back = spark.read.parquet(out_dir)
+    return back.select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )

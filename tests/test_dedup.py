@@ -202,3 +202,65 @@ def test_jaccard_blocking_leaves_no_persisted_rdds(spark):
     # DISAPPEAR); the invariant is that this call ADDS none
     new = persisted_ids() - before
     assert not new, f"blocking jaccard persisted RDDs: {new}"
+
+
+def test_incremental_exact_dedup_statuses(spark):
+    from rehiver_spark.operators.dedup import (
+        dedup_index,
+        incremental_exact_dedup,
+        index_update,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], "doc_id bigint, text string"
+    )
+    idx = dedup_index(corpus)
+    batch = spark.createDataFrame(
+        [
+            (10, "Alpha  Doc"),   # normalizes to corpus text 1 -> dup_corpus
+            (11, "gamma doc"),    # first occurrence -> new
+            (12, "GAMMA DOC "),   # same normalized hash as 11 -> dup_batch
+            (13, "delta doc"),    # new
+        ],
+        "doc_id bigint, text string",
+    )
+    out = incremental_exact_dedup(batch, idx)
+    got = {r["doc_id"]: r["status"] for r in out.collect()}
+    assert got == {10: "dup_corpus", 11: "new", 12: "dup_batch", 13: "new"}
+
+    # ingest the accepted rows; a replayed batch is now all dup_corpus
+    idx2 = index_update(idx, out)
+    assert idx2.count() == 4
+    replay = incremental_exact_dedup(batch, idx2)
+    assert {r["status"] for r in replay.collect()} == {"dup_corpus"}
+
+
+def test_incremental_dedup_no_corpus_text_scan(spark):
+    """The plan must touch only the index's hash column, never a corpus
+    text column — the point of incremental dedup at 100 TB."""
+    from rehiver_spark.operators.dedup import dedup_index, incremental_exact_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha doc", "HUGE_PAYLOAD")], "doc_id bigint, text string, payload string"
+    )
+    idx = dedup_index(corpus).localCheckpoint()  # materialized index, corpus out of lineage
+    batch = spark.createDataFrame([(10, "alpha doc")], "doc_id bigint, text string")
+    plan = incremental_exact_dedup(batch, idx)._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan
+
+
+def test_fuzzy_dedup_end_to_end(spark):
+    from rehiver_spark.operators.dedup import fuzzy_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (4, base), (3, "a completely different document about spark")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in fuzzy_dedup(df).collect()}
+    assert out[1]["cluster_id"] == 1 and out[1]["is_keeper"] and out[1]["cluster_size"] == 3
+    assert out[2]["cluster_id"] == 1 and not out[2]["is_keeper"]
+    assert out[4]["cluster_id"] == 1 and not out[4]["is_keeper"]
+    assert out[3]["cluster_id"] == 3 and out[3]["is_keeper"] and out[3]["cluster_size"] == 1
+    # exactly one keeper per cluster, corpus row count preserved
+    assert len(out) == 4
