@@ -25,12 +25,17 @@ from rehiver_spark.operators.changes import (
 from rehiver_spark.operators.dedup import (
     connected_components,
     containment_pairs,
+    dedup_index,
     exact_dedup,
+    fuzzy_dedup,
+    incremental_exact_dedup,
+    index_update,
     jaccard_pairs,
     minhash_neardup_pairs,
     shingles,
     simhash_neardup_pairs,
     simhash_signatures,
+    stream_incremental_dedup,
 )
 from rehiver_spark.operators.partitions import (
     PartitionField,
@@ -58,7 +63,12 @@ from rehiver_spark.sources.catalog import (
     s3_lister_factory,
 )
 from rehiver_spark.sources.reader import read_matching, read_path_glob
-from rehiver_spark.sources.writer import put_object, put_objects_df, write_partitioned
+from rehiver_spark.sources.writer import (
+    put_object,
+    put_objects_df,
+    write_partitioned,
+    write_zordered,
+)
 
 __version__ = "0.2.0"
 
@@ -73,8 +83,12 @@ __all__ = [
     "analytics_schema",
     "cosine_topk",
     "date_schema",
+    "dedup_index",
     "detect_changes",
     "ensure_parallelism",
+    "fuzzy_dedup",
+    "incremental_exact_dedup",
+    "index_update",
     "connected_components",
     "containment_pairs",
     "exact_dedup",
@@ -106,6 +120,7 @@ __all__ = [
     "shingles",
     "simhash_neardup_pairs",
     "simhash_signatures",
+    "stream_incremental_dedup",
     "stream_process",
     "stream_process_incremental",
     "pack_sequences",
@@ -115,4 +130,5 @@ __all__ = [
     "training_mix_sample",
     "word_ngrams",
     "write_partitioned",
+    "write_zordered",
 ]

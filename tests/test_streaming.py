@@ -146,3 +146,66 @@ def test_run_available_now_restores_conf_on_start_failure(spark, tmp_path):
     with pytest.raises(Exception):
         run_available_now(sdf, output_mode="complete", state_partitions=1)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_stream_incremental_dedup_exactly_once(spark, tmp_path):
+    """Continuous-ingest dedup: files arrive in micro-batches, each
+    deduped against the on-disk hash index of everything accepted so
+    far; accepted set == batch-mode global dedup; a drained re-run
+    accepts nothing new; late files dedup against all history."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.dedup import (
+        content_hash,
+        stream_incremental_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    docs = [
+        (1, "alpha doc"), (2, "beta doc"), (3, "alpha doc"),   # file A (in-file dup)
+        (4, "gamma doc"), (5, "Beta  Doc"),                    # file B (cross-file dup of 2)
+    ]
+    schema = "doc_id bigint, text string"
+
+    def stage(rows, name):
+        # the file source reads files in the source root (subdirs are
+        # partition-dir territory) — stage each arrival as one file
+        import glob as _glob
+        import os
+        import shutil
+
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}.parquet")
+
+    stage(docs[:3], "a")
+    stage(docs[3:], "b")
+
+    kw = dict(
+        index_dir=str(tmp_path / "idx"),
+        accepted_dir=str(tmp_path / "acc"),
+        checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # force multiple micro-batches
+    )
+    acc = stream_incremental_dedup(spark, src, schema, **kw)
+    got = {r["doc_id"] for r in acc.collect()}
+    # one keeper per distinct normalized text; keepers are batch-order
+    # dependent across files, so assert the invariants not exact ids
+    assert len(got) == 3
+    assert acc.select("content_sha").distinct().count() == 3
+    texts = {r["t"] for r in acc.select(F.lower(F.col("text")).alias("t")).collect()}
+    assert len(texts) == 3
+
+    # drained re-run: checkpoint skips all seen files, accepts nothing new
+    acc2 = stream_incremental_dedup(spark, src, schema, **kw)
+    assert acc2.count() == 3
+
+    # late file: one novel text + one dup of history -> exactly 1 accepted
+    stage([(6, "delta doc"), (7, "ALPHA DOC ")], "c")
+    acc3 = stream_incremental_dedup(spark, src, schema, **kw)
+    assert acc3.count() == 4
+    new_rows = {r["doc_id"] for r in acc3.collect()} - got
+    assert new_rows == {6}
