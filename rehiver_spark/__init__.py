@@ -62,7 +62,7 @@ from rehiver_spark.sources.catalog import (
     local_lister_factory,
     s3_lister_factory,
 )
-from rehiver_spark.sources.reader import read_matching, read_path_glob
+from rehiver_spark.sources.reader import read_documents, read_matching, read_path_glob
 from rehiver_spark.sources.writer import (
     put_object,
     put_objects_df,
@@ -111,6 +111,7 @@ __all__ = [
     "process_matching",
     "put_object",
     "put_objects_df",
+    "read_documents",
     "read_events",
     "read_matching",
     "read_path_glob",

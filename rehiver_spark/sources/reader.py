@@ -65,3 +65,76 @@ def read_path_glob(
     """Built-in ``pathGlobFilter`` fast path for single-segment globs
     (applies to file NAMES only, per Spark semantics)."""
     return spark.read.format(fmt).option("pathGlobFilter", tail_glob).load(base)
+
+
+DOCUMENT_FORMATS = ("parquet", "jsonl", "json", "csv", "text")
+
+
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest a document corpus from any of the formats a training-data
+    pipeline actually receives — parquet, JSONL (the lingua franca of
+    web-scale text drops; ``.jsonl``/``.jsonl.gz``/``.json``), CSV with
+    a header, or one-document-per-file raw text — normalized to the
+    engine's documents shape::
+
+        doc_id BIGINT, text STRING, source STRING, n_chars BIGINT
+
+    ``fmt`` is inferred from the path's extension when omitted
+    (compressed extensions like ``.jsonl.gz`` are handled; Spark
+    decompresses transparently). Columns beyond the normalized four are
+    preserved. When the input carries no ``doc_id``, a deterministic
+    content-addressed id is synthesized (``xxhash64(source, text)``) —
+    stable across re-reads and partition layouts, which is what
+    downstream incremental dedup needs; colliding (source, text) pairs
+    are exact duplicates by construction and collapse to one id.
+
+    Scale: every format maps to Spark's native distributed readers —
+    no driver-side parsing; raw-text mode uses ``wholetext`` with the
+    ``_metadata`` file path, so a million files become a million
+    ordinary scan splits.
+    """
+    from pyspark.sql import functions as F
+
+    if fmt is None:
+        stripped = path.rstrip("/").removesuffix(".gz").removesuffix(".zst")
+        ext = os.path.splitext(stripped)[1].lstrip(".").lower()
+        fmt = {
+            "jsonl": "jsonl", "json": "jsonl", "ndjson": "jsonl",
+            "csv": "csv", "txt": "text", "parquet": "parquet",
+        }.get(ext, "parquet")
+    if fmt not in DOCUMENT_FORMATS:
+        raise ValueError(f"unsupported document format {fmt!r}; one of {DOCUMENT_FORMATS}")
+
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt in ("jsonl", "json"):
+        df = spark.read.json(path)
+    elif fmt == "csv":
+        df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    else:  # text: one document per file
+        df = (
+            spark.read.option("wholetext", True)
+            .text(path)
+            .select(
+                F.col("value").alias(text_col),
+                F.col("_metadata.file_path").alias("source"),
+            )
+        )
+
+    if text_col not in df.columns:
+        raise ValueError(f"ingested data has no {text_col!r} column: {df.columns}")
+    if "source" not in df.columns:
+        df = df.withColumn("source", F.lit(path))
+    if id_col not in df.columns:
+        df = df.withColumn(id_col, F.xxhash64("source", text_col))
+    df = df.withColumn(id_col, F.col(id_col).cast("bigint"))
+    if "n_chars" not in df.columns:
+        df = df.withColumn("n_chars", F.length(text_col).cast("bigint"))
+    front = [id_col, text_col, "source", "n_chars"]
+    return df.select(*front, *[c for c in df.columns if c not in front])

@@ -159,3 +159,54 @@ def test_read_events_raw_int64_millis_and_seconds(spark, tmp_path):
         r["ts"] for r in read_events(spark, str(tmp_path)).select("ts").collect()
     )
     assert s_rows == ms_rows
+
+
+def test_read_documents_formats(spark, tmp_path, sf_dir):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.sources.reader import read_documents
+
+    # parquet passthrough keeps ids and extra columns
+    d = read_documents(spark, f"{sf_dir}/documents.parquet")
+    ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert d.count() == ref.count()
+    assert d.columns[:4] == ["doc_id", "text", "source", "n_chars"]
+
+    # jsonl: with and without doc_id
+    rows = [
+        {"doc_id": 7, "text": "seven", "source": "s1"},
+        {"doc_id": 8, "text": "eight", "source": "s1"},
+    ]
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text("\n".join(json.dumps(r) for r in rows))
+    dj = read_documents(spark, str(jl))
+    assert {r["doc_id"] for r in dj.collect()} == {7, 8}
+    assert dj.filter("n_chars = 5").count() == 2
+
+    noid = tmp_path / "noid.jsonl"
+    noid.write_text('{"text": "alpha", "source": "s2"}\n{"text": "alpha", "source": "s2"}')
+    dn = read_documents(spark, str(noid))
+    ids = [r["doc_id"] for r in dn.collect()]
+    assert len(ids) == 2 and ids[0] == ids[1]  # content-addressed: dup text, same id
+    # and the id is deterministic across re-reads
+    assert ids[0] == read_documents(spark, str(noid)).first()["doc_id"]
+
+    # csv
+    cv = tmp_path / "docs.csv"
+    cv.write_text("text,source\nhello world,web\nbye,web\n")
+    dc = read_documents(spark, str(cv))
+    assert dc.count() == 2 and dc.filter(F.col("text") == "hello world").count() == 1
+
+    # raw text: one doc per file, source = file path
+    tdir = tmp_path / "raw"
+    tdir.mkdir()
+    (tdir / "a.txt").write_text("doc a body")
+    (tdir / "b.txt").write_text("doc b body longer")
+    dt = read_documents(spark, str(tdir), fmt="text")
+    got = {r["source"].split("/")[-1]: r["n_chars"] for r in dt.collect()}
+    assert got == {"a.txt": 10, "b.txt": 17}
+
+    with pytest.raises(ValueError):
+        read_documents(spark, str(cv), fmt="avro")
