@@ -178,3 +178,33 @@ def test_x27_line_dedup_broadcasts_hot_lines(spark, queries):
     # be a broadcast join; the corpus lines never sort-merge-shuffle
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_x28_index_membership_is_semi_join(spark):
+    """The corpus hash index must never be shuffled for a small batch:
+    membership is index ⋉ batch-hashes (semi join, batch side the
+    build/broadcast side), not a sort-merge of the index."""
+    from rehiver_spark.operators.dedup import dedup_index, incremental_exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    idx = dedup_index(docs.filter("doc_id % 10 != 0")).localCheckpoint()
+    batch = docs.filter("doc_id % 10 = 0")
+    p = plan_of(incremental_exact_dedup(batch, idx))
+    assert "LeftSemi" in p
+    # at this scale both joins must resolve to broadcast — a SortMergeJoin
+    # would mean the index side got shuffled
+    assert "SortMergeJoin" not in p
+
+
+def test_x30_zorder_plan_no_extra_shuffle(spark, tmp_path):
+    """Z-order write = quantile sketch + ONE range exchange + in-task
+    sort; the bucket lookup stays codegen (no python UDF in the plan)."""
+    from rehiver_spark.sources.writer import zorder_value
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id", "value")
+    z = zorder_value(ev, ["user_id", "value"], bits=6)
+    out = ev.withColumn("_z", z).repartitionByRange(4, "_z").sortWithinPartitions("_z")
+    p = plan_of(out)
+    assert p.count("Exchange") == 1, p
+    assert "rangepartitioning" in p.lower()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
