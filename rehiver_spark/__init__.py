@@ -23,6 +23,7 @@ from rehiver_spark.operators.changes import (
     filter_changes,
 )
 from rehiver_spark.operators.dedup import (
+    compact_dedup_index,
     connected_components,
     containment_pairs,
     dedup_index,
@@ -81,6 +82,7 @@ __all__ = [
     "SnapshotStore",
     "TimePartitioner",
     "analytics_schema",
+    "compact_dedup_index",
     "cosine_topk",
     "date_schema",
     "dedup_index",

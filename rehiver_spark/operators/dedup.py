@@ -803,17 +803,25 @@ def fuzzy_dedup(
     bands: int = 8,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    keep: str = "min_id",
 ) -> DataFrame:
     """One-call fuzzy-dedup pipeline over a corpus — the composition a
     training-data run actually executes (NeMo-Curator-style):
     MinHash sketches → LSH banding candidates → exact Jaccard
     verification → connected components over the verified pair graph →
-    min-id keeper per cluster.
+    one keeper per cluster.
 
     Adds ``cluster_id`` (the component's minimum ``id_col``; a doc with
-    no near-dup is its own cluster), ``is_keeper`` (true exactly for
-    the representative, i.e. ``id_col == cluster_id``) and
-    ``cluster_size``.
+    no near-dup is its own cluster), ``is_keeper`` (true for exactly
+    one representative per cluster) and ``cluster_size``.
+
+    ``keep`` picks the representative: ``"min_id"`` (default — the
+    cluster label itself, zero extra work) or ``"longest"`` (the
+    cluster's longest text, id-ascending tiebreak — the usual quality
+    proxy in production dedup, where near-dup clusters keep the most
+    complete variant). The longest-policy window runs ONLY over docs
+    that appear in the (small) component map — the corpus's singleton
+    majority never enters that shuffle.
 
     Scale shape: every stage is the already-audited scale path —
     banding/bucket join for candidates (never all-pairs), pair-graph
@@ -823,17 +831,41 @@ def fuzzy_dedup(
     map, broadcast when it fits.  Cluster sizes are computed on the
     component map, not the corpus, so no extra corpus shuffle.
     """
+    if keep not in ("min_id", "longest"):
+        raise ValueError(f"keep must be 'min_id' or 'longest', got {keep!r}")
     pairs = minhash_neardup_pairs(
         df, id_col, text_col, k, threshold, num_hashes, bands, seed, hash_fn
     )
     comp = connected_components(pairs).withColumnsRenamed({"doc_id": id_col})
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     lab = comp.join(sizes, "cluster_id")
-    return (
+    out = (
         df.join(lab, id_col, "left")
         .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
         .withColumn("cluster_size", F.coalesce(F.col("cluster_size"), F.lit(1)))
-        .withColumn("is_keeper", F.col("cluster_id") == F.col(id_col))
+    )
+    if keep == "min_id":
+        return out.withColumn("is_keeper", F.col("cluster_id") == F.col(id_col))
+    # longest: rank only the clustered docs (comp-map-sized, not corpus)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.length(text_col).desc(), F.col(id_col).asc()
+    )
+    winners = (
+        df.join(comp, id_col)  # inner: clustered docs only, + cluster_id
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col).alias("_winner_id"))
+        .withColumn("_w", F.lit(True))
+    )
+    return (
+        out.join(winners, out[id_col] == winners["_winner_id"], "left")
+        .withColumn(
+            "is_keeper",
+            F.when(F.col("cluster_size") == 1, F.lit(True)).otherwise(
+                F.coalesce(F.col("_w"), F.lit(False))
+            ),
+        )
+        .drop("_winner_id", "_w")
     )
 
 
@@ -918,3 +950,44 @@ def stream_incremental_dedup(
             "content_sha", F.lit(None).cast("string")
         )
     return spark.read.parquet(accepted_dir)
+
+
+def compact_dedup_index(spark, index_dir: str, n_files: int = 16) -> int:
+    """Compact a :func:`stream_incremental_dedup` index: fold every
+    ``batch_id=N`` partition into one consolidated ``batch_id=-1``
+    partition of ``n_files`` files, then drop the per-batch partitions.
+
+    Run it between streaming runs (NOT while a query is writing): a
+    long-lived ingest stream otherwise accumulates one partition
+    directory per micro-batch, and the per-batch index read degrades
+    into a many-small-files listing problem. Compaction preserves the
+    replay contract — real batch ids are non-negative, so the
+    consolidated partition is never excluded by a batch's
+    own-partition filter.
+
+    Ordering is crash-safe for dedup semantics: the consolidated
+    partition is fully written BEFORE old partitions are removed, and
+    a crash in between only leaves duplicate hashes, which a
+    membership join is insensitive to. Returns the number of distinct
+    hashes in the compacted index.
+    """
+    import os
+    import shutil
+
+    olds = [
+        e
+        for e in os.listdir(index_dir)
+        if e.startswith("batch_id=") and e != "batch_id=-1"
+    ]
+    hashes = spark.read.parquet(index_dir).select("content_sha").distinct()
+    # stage under a dotted name (hidden from parquet discovery), then
+    # promote — readers never see a half-written consolidated partition
+    stage = f"{index_dir}/.compact_tmp"
+    hashes.repartition(n_files, "content_sha").write.mode("overwrite").parquet(stage)
+    final = f"{index_dir}/batch_id=-1"
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(stage, final)
+    for e in olds:
+        shutil.rmtree(os.path.join(index_dir, e))
+    return spark.read.parquet(index_dir).count()

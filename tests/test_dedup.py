@@ -264,3 +264,24 @@ def test_fuzzy_dedup_end_to_end(spark):
     assert out[3]["cluster_id"] == 3 and out[3]["is_keeper"] and out[3]["cluster_size"] == 1
     # exactly one keeper per cluster, corpus row count preserved
     assert len(out) == 4
+
+
+def test_fuzzy_dedup_keep_longest(spark):
+    from rehiver_spark.operators.dedup import fuzzy_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail tokens here"),  # longest in cluster {1,2}
+            (3, "a completely different document about spark"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in fuzzy_dedup(df, threshold=0.5, keep="longest").collect()}
+    assert out[1]["cluster_id"] == 1 and not out[1]["is_keeper"]
+    assert out[2]["cluster_id"] == 1 and out[2]["is_keeper"]  # longest wins
+    assert out[3]["is_keeper"] and out[3]["cluster_size"] == 1
+
+    with pytest.raises(ValueError):
+        fuzzy_dedup(df, keep="newest")

@@ -209,3 +209,50 @@ def test_stream_incremental_dedup_exactly_once(spark, tmp_path):
     assert acc3.count() == 4
     new_rows = {r["doc_id"] for r in acc3.collect()} - got
     assert new_rows == {6}
+
+
+def test_compact_dedup_index_preserves_membership(spark, tmp_path):
+    import os
+
+    from rehiver_spark.operators.dedup import (
+        compact_dedup_index,
+        stream_incremental_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "doc_id bigint, text string"
+
+    def stage(rows, name):
+        import glob as _glob
+        import shutil
+
+        tmp = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}.parquet")
+
+    stage([(1, "alpha"), (2, "beta")], "a")
+    stage([(3, "gamma")], "b")
+    kw = dict(
+        index_dir=str(tmp_path / "idx"),
+        accepted_dir=str(tmp_path / "acc"),
+        checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    stream_incremental_dedup(spark, src, schema, **kw)
+    idx_dir = kw["index_dir"]
+    before = {e for e in os.listdir(idx_dir) if e.startswith("batch_id=")}
+    assert len(before) >= 2  # one partition per micro-batch
+
+    n = compact_dedup_index(spark, idx_dir)
+    assert n == 3
+    after = {e for e in os.listdir(idx_dir) if e.startswith("batch_id=")}
+    assert after == {"batch_id=-1"}
+
+    # post-compaction ingest still dedups against compacted history
+    stage([(4, "alpha"), (5, "delta")], "c")
+    acc = stream_incremental_dedup(spark, src, schema, **kw)
+    got = {r["doc_id"] for r in acc.collect()}
+    assert 4 not in got and 5 in got and len(got) == 4
