@@ -54,7 +54,12 @@ from rehiver_spark.operators.pipeline import (
 from rehiver_spark.operators.skew import salted_join
 from rehiver_spark.operators.textops import pack_sequences, repetition_stats, text_stats, tf_idf, training_mix_sample, word_ngrams
 from rehiver_spark.operators.timeparts import TimePartitioner
-from rehiver_spark.operators.vectorops import cosine_topk, ivf_topk, lsh_cosine_neardup
+from rehiver_spark.operators.vectorops import (
+    cosine_topk,
+    ivf_topk,
+    lsh_cosine_neardup,
+    semantic_contamination_pairs,
+)
 from rehiver_spark.session import ensure_parallelism, get_spark, read_events
 from rehiver_spark.sources.catalog import (
     from_file_scan,
@@ -120,6 +125,7 @@ __all__ = [
     "s3_lister_factory",
     "salted_join",
     "segment_glob_match",
+    "semantic_contamination_pairs",
     "shingles",
     "simhash_neardup_pairs",
     "simhash_signatures",

@@ -713,3 +713,44 @@ def quantize_int8(
         amax > 0, F.transform(v, lambda x: F.round(x / (amax / 127.0)).cast("int"))
     ).otherwise(F.transform(v, lambda x: F.lit(0))).alias("q")
     return emb.select(F.col(id_col), scale, q)
+
+
+def semantic_contamination_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.8,
+    corpus_id: str = "vec_id",
+    bench_id: str = "bench_id",
+    corpus_vec: str = "embedding",
+    bench_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-level train/test decontamination: every (corpus item,
+    benchmark item) pair with cosine ≥ ``threshold`` — the semantic
+    complement of n-gram containment (operators/dedup.py
+    containment_pairs): paraphrased or re-worded benchmark leakage has
+    near-zero n-gram overlap but high embedding similarity, which is
+    how modern data audits (FineWeb/DCLM-style) catch it.
+
+    Scale shape mirrors X15: the benchmark side is small by definition
+    → its normalized vectors BROADCAST; the corpus streams through one
+    map-side nested-loop score + filter and is never shuffled. Cost is
+    |corpus|·|bench| dot products — all inside codegen; for a very
+    large benchmark suite, IVF-bucket both sides instead (ivf_topk).
+
+    Output: (corpus_id, bench_id, cosine), one row per contaminated
+    pair above threshold.
+    """
+    c = ensure_parallelism(corpus).select(
+        F.col(corpus_id).alias("_cid"), l2_normalize(corpus_vec).alias("_cv")
+    )
+    b = bench.select(
+        F.col(bench_id).alias("_bid"), l2_normalize(bench_vec).alias("_bv")
+    )
+    scored = c.join(F.broadcast(b)).select(
+        F.col("_cid").alias(corpus_id),
+        F.col("_bid").alias(bench_id),
+        F.aggregate(
+            F.zip_with("_cv", "_bv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= F.lit(threshold))

@@ -1,4 +1,4 @@
-"""X28–X30: round-4 scale-path extensions (SURVEY §2 Part B).
+"""X28–X31: round-4 scale-path extensions (SURVEY §2 Part B).
 
 Registered LAST (after c_ops) on purpose: the driver's correctness
 harness records the first 50 registered queries, and that window is
@@ -14,6 +14,8 @@ local gate (tools/check_oracle.py) at sf0.01.
 - X30 Z-order layout write: multi-dimensional clustering for file-level
   min/max pruning; the oracle certifies the roundtrip is lossless and
   tests/test_zorder.py measures the skipping itself.
+- X31 semantic decontamination: embedding-cosine benchmark overlap —
+  catches the paraphrased leakage n-gram containment (X15) cannot.
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ from rehiver_spark.queries.x_ops import (
     _mh_consts_sql,
     _neardup_corpus,
 )
+from rehiver_spark.operators.vectorops import semantic_contamination_pairs
 from rehiver_spark.sources.writer import write_zordered
 
 
@@ -200,4 +203,53 @@ def x30_zorder_layout(spark, sf_dir):
     back = spark.read.parquet(out_dir)
     return back.select(
         "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X31 — semantic (embedding-level) decontamination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x31_semantic_decontamination",
+    """
+    WITH bench AS (
+      SELECT vec_id + 500000 AS bench_id,
+        list_transform(range(1, len(embedding) + 1),
+          i -> embedding[i]::DOUBLE * (1.0 + 0.02 * ((i - 1) % 7))
+               + 0.01 * (((i - 1) % 3) - 1)) AS bv
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, b.bench_id,
+        list_cosine_similarity(e.embedding::DOUBLE[], bv) AS c
+      FROM embeddings e CROSS JOIN bench b
+    )
+    SELECT vec_id, bench_id, round(c, 6) AS cos_sim
+    FROM scored WHERE c >= 0.9
+    """,
+)
+def x31_semantic_decontamination(spark, sf_dir):
+    """X31: embedding-level train/test decontamination — the semantic
+    complement of X15's n-gram containment: paraphrased benchmark
+    leakage has near-zero n-gram overlap but high embedding cosine.
+    Benchmark items are synthesized as deterministic per-dimension
+    perturbations ('paraphrases') of every 25th corpus vector, so each
+    plants exactly its source (plus that source's exact duplicates)
+    above the 0.9 threshold. Benchmark side broadcasts; the corpus is
+    scored map-side and never shuffled (same scale shape as X15)."""
+    emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    bench = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 500000).alias("bench_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.02 * (i % 7)) + 0.01 * ((i % 3) - 1),
+        ).alias("embedding"),
+    )
+    out = semantic_contamination_pairs(emb, bench, threshold=0.9)
+    return out.select(
+        "vec_id",
+        "bench_id",
+        F.round("cosine", 6).alias("cos_sim"),
     )

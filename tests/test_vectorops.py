@@ -317,3 +317,30 @@ def test_split_hot_cells_warns_when_cap_unmet(spark):
         out.count()  # materialize inside the catch block
         hits = [x for x in w if issubclass(x.category, RuntimeWarning)]
     assert hits and "still holds" in str(hits[0].message)
+
+
+def test_semantic_contamination_pairs(spark):
+    from rehiver_spark.operators.vectorops import semantic_contamination_pairs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.9, 0.1, 0.0, 0.0]),  # near 1
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0, 0.0])],  # a 'paraphrase' of vec 1
+        "bench_id bigint, embedding array<float>",
+    )
+    got = {
+        (r["vec_id"], r["bench_id"])
+        for r in semantic_contamination_pairs(corpus, bench, threshold=0.9).collect()
+    }
+    assert got == {(1, 100), (3, 100)}  # orthogonal vec 2 excluded
+
+    plan = semantic_contamination_pairs(corpus, bench, threshold=0.9)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus must not shuffle
