@@ -52,7 +52,7 @@ from rehiver_spark.operators.pipeline import (
     stream_process_incremental,
 )
 from rehiver_spark.operators.skew import salted_join
-from rehiver_spark.operators.textops import pack_sequences, repetition_stats, text_stats, tf_idf, training_mix_sample, word_ngrams
+from rehiver_spark.operators.textops import corpus_report, pack_sequences, repetition_stats, text_stats, tf_idf, training_mix_sample, word_ngrams
 from rehiver_spark.operators.timeparts import TimePartitioner
 from rehiver_spark.operators.vectorops import (
     cosine_topk,
@@ -88,6 +88,7 @@ __all__ = [
     "TimePartitioner",
     "analytics_schema",
     "compact_dedup_index",
+    "corpus_report",
     "cosine_topk",
     "date_schema",
     "dedup_index",

@@ -761,3 +761,45 @@ def charlm_score(
             6,
         ).alias("cross_entropy"),
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus "data card" — the summary table a training run
+    records per shard/dump before mixing: volume (docs, tokens),
+    length profile (avg/min/max tokens), exact-duplicate rate, English
+    share, and a quality-pass share.
+
+    One map-side per-doc projection (token count, lang-ID, quality,
+    normalized content hash — all codegen) + ONE aggregation keyed on
+    source. Every reported ratio is a quotient of exact integer
+    aggregates (counts / countDistinct / integer sums), never a float
+    avg — float summation order is engine- and partition-dependent,
+    integer sums are not, so the report is bit-stable at any
+    parallelism. Quality passes are counted on the 6-decimal-rounded
+    per-doc score for the same reason.
+    """
+    df = ensure_parallelism(df)
+    c = F.col(text_col)
+    per = df.select(
+        F.col(source_col).alias("source"),
+        token_count(c).alias("_nt"),
+        lang_id(c).alias("_lang"),
+        F.round(quality_score(c), 6).alias("_q"),
+        F.sha2(normalize_text(c), 256).alias("_sha"),
+    )
+    n = F.count("*")
+    return per.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("_nt") / n, 6).alias("avg_tokens"),
+        F.min("_nt").cast("bigint").alias("min_tokens"),
+        F.max("_nt").cast("bigint").alias("max_tokens"),
+        F.round(F.lit(1.0) - F.countDistinct("_sha") / n, 6).alias("dup_rate"),
+        F.round(F.count_if(F.col("_lang") == "en") / n, 6).alias("en_share"),
+        F.round(F.count_if(F.col("_q") >= 0.5) / n, 6).alias("quality_pass_share"),
+    )

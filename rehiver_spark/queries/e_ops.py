@@ -1,4 +1,4 @@
-"""X28–X31: round-4 scale-path extensions (SURVEY §2 Part B).
+"""X28–X32: round-4 scale-path extensions (SURVEY §2 Part B).
 
 Registered LAST (after c_ops) on purpose: the driver's correctness
 harness records the first 50 registered queries, and that window is
@@ -16,6 +16,8 @@ local gate (tools/check_oracle.py) at sf0.01.
   tests/test_zorder.py measures the skipping itself.
 - X31 semantic decontamination: embedding-cosine benchmark overlap —
   catches the paraphrased leakage n-gram containment (X15) cannot.
+- X32 corpus report: the per-source data card (volume, length, dup
+  rate, language/quality shares) from exact integer aggregates only.
 """
 
 from __future__ import annotations
@@ -31,13 +33,16 @@ from rehiver_spark.operators.dedup import (
 )
 from rehiver_spark.queries import query, tables
 from rehiver_spark.queries.x_ops import (
+    _LANG_SQL,
     _MH_BASE,
     _NEARDUP_SQL,
     _NORM_SQL,
+    _SW,
     _TOKS_SQL,
     _mh_consts_sql,
     _neardup_corpus,
 )
+from rehiver_spark.operators.textops import corpus_report
 from rehiver_spark.operators.vectorops import semantic_contamination_pairs
 from rehiver_spark.sources.writer import write_zordered
 
@@ -253,3 +258,60 @@ def x31_semantic_decontamination(spark, sf_dir):
         "bench_id",
         F.round("cosine", 6).alias("cos_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X32 — per-source corpus report ("data card")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x32_corpus_report",
+    f"""
+    WITH base AS (
+      SELECT source, {_TOKS_SQL} AS tk, {_NORM_SQL} AS norm,
+        length(text) AS n,
+        length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, len(tk) AS nt, sha256(norm) AS sha,
+        greatest(len(tk), 1) AS n_tok1,
+        len(list_filter(tk, t -> list_contains({_SW}, t))) AS sw_hits,
+        len(list_filter(tk, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) AS s_en,
+        len(list_filter(tk, t -> list_contains(['der','die','das','und','nicht','ist','ein'], t))) AS s_de,
+        len(list_filter(tk, t -> list_contains(['le','la','les','et','est','une','des'], t))) AS s_fr,
+        len(list_filter(tk, t -> list_contains(['el','la','los','y','es','una','que'], t))) AS s_es,
+        n, n_alpha, norm
+      FROM base
+    ),
+    per AS (
+      SELECT source, nt, sha,
+        ({_LANG_SQL}) AS lang,
+        round(0.4 * (n_alpha / greatest(n, 1))
+          + 0.3 * least(sw_hits / greatest(nt, 1) * 5.0, 1.0)
+          + 0.3 * greatest(0.0, 1.0 - abs((length(norm) - (n_tok1 - 1)) / n_tok1 - 5.0) / 10.0),
+          6) AS q
+      FROM scored
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(nt) AS BIGINT) AS total_tokens,
+      round(sum(nt)::DOUBLE / count(*), 6) AS avg_tokens,
+      CAST(min(nt) AS BIGINT) AS min_tokens,
+      CAST(max(nt) AS BIGINT) AS max_tokens,
+      round(1.0 - count(DISTINCT sha)::DOUBLE / count(*), 6) AS dup_rate,
+      round(count(*) FILTER (WHERE lang = 'en')::DOUBLE / count(*), 6) AS en_share,
+      round(count(*) FILTER (WHERE q >= 0.5)::DOUBLE / count(*), 6) AS quality_pass_share
+    FROM per GROUP BY source
+    """,
+)
+def x32_corpus_report(spark, sf_dir):
+    """X32: the per-source corpus 'data card' a training run records
+    before mixing — volume, length profile, exact-dup rate, English
+    share, quality-pass share. One map-side per-doc projection + one
+    source-keyed aggregation; every ratio is a quotient of exact
+    integer aggregates, so the report is bit-stable at any
+    parallelism (no float-summation-order dependence)."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    return corpus_report(d)

@@ -297,3 +297,26 @@ def test_boilerplate_exempts_blank_lines(spark):
         # not boilerplate — it must survive
         assert out[i]["cleaned_text"] == f"para one {i}\n\npara two {i}"
         assert out[i]["n_removed"] == 0
+
+
+def test_corpus_report_basics(spark):
+    from rehiver_spark.operators.textops import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox is here", "web"),
+            (2, "the quick brown fox is here", "web"),   # exact dup of 1
+            (3, "one two", "web"),
+            (4, "der hund ist nicht da und das ist gut", "books"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    rep = {r["source"]: r for r in corpus_report(df).collect()}
+    web = rep["web"]
+    assert web["n_docs"] == 3 and web["total_tokens"] == 14
+    assert web["min_tokens"] == 2 and web["max_tokens"] == 6
+    assert abs(web["dup_rate"] - (1 - 2 / 3)) < 1e-6
+    assert abs(web["en_share"] - 2 / 3) < 1e-6
+    books = rep["books"]
+    assert books["n_docs"] == 1 and books["dup_rate"] == 0.0
+    assert books["en_share"] == 0.0  # German profile wins
