@@ -52,7 +52,7 @@ from rehiver_spark.operators.pipeline import (
     stream_process_incremental,
 )
 from rehiver_spark.operators.skew import salted_join
-from rehiver_spark.operators.textops import corpus_report, pack_sequences, repetition_stats, text_stats, tf_idf, training_mix_sample, word_ngrams
+from rehiver_spark.operators.textops import corpus_report, pack_sequences, quality_select, repetition_stats, text_stats, tf_idf, training_mix_sample, word_ngrams
 from rehiver_spark.operators.timeparts import TimePartitioner
 from rehiver_spark.operators.vectorops import (
     cosine_topk,
@@ -119,6 +119,7 @@ __all__ = [
     "process_matching",
     "put_object",
     "put_objects_df",
+    "quality_select",
     "read_documents",
     "read_events",
     "read_matching",

@@ -803,3 +803,47 @@ def corpus_report(
         F.round(F.count_if(F.col("_lang") == "en") / n, 6).alias("en_share"),
         F.round(F.count_if(F.col("_q") >= 0.5) / n, 6).alias("quality_pass_share"),
     )
+
+
+def quality_select(
+    df: DataFrame,
+    budgets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget_col: str = "budget_tokens",
+) -> DataFrame:
+    """Quality-ranked data selection: per group, keep the HIGHEST
+    quality documents first until the token budget is reached — the
+    modern data-selection step (educational-value / classifier-ranked
+    subsetting) where :func:`training_mix_sample` is its unbiased
+    hash-ordered counterpart.
+
+    Ordering key is (6-decimal-rounded quality DESC, ``id_col`` ASC):
+    rounding makes the order engine-portable (raw float scores differ
+    in the last bits across engines; rounded ones are proven identical
+    by the X4 oracle), and the id tiebreak makes it total. Same
+    greedy-prefix rule as the mixer: keep iff the cumulative token
+    offset starts inside the budget — ≤ 1 doc overshoot, resumable.
+
+    Plan: quality + token count are map-side; one window cumsum per
+    group; ``budgets`` is a small (group, budget) relation — broadcast.
+    """
+    from pyspark.sql import Window
+
+    q = F.round(quality_score(F.col(text_col)), 6)
+    n = F.coalesce(token_count(F.col(text_col)), F.lit(0))
+    sized = df.select(
+        F.col(id_col), F.col(group_col), n.alias("n_tokens"), q.alias("quality")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("quality").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return cum.join(F.broadcast(budgets), group_col).filter(
+        F.col("cum_before") < F.col(budget_col)
+    ).select(id_col, group_col, "n_tokens", "quality", "cum_before")

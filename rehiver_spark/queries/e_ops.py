@@ -1,4 +1,4 @@
-"""X28–X32: round-4 scale-path extensions (SURVEY §2 Part B).
+"""X28–X33: round-4 scale-path extensions (SURVEY §2 Part B).
 
 Registered LAST (after c_ops) on purpose: the driver's correctness
 harness records the first 50 registered queries, and that window is
@@ -18,6 +18,8 @@ local gate (tools/check_oracle.py) at sf0.01.
   catches the paraphrased leakage n-gram containment (X15) cannot.
 - X32 corpus report: the per-source data card (volume, length, dup
   rate, language/quality shares) from exact integer aggregates only.
+- X33 quality-ranked token-budget selection: highest-quality docs
+  first per source until budget — the DCLM-style selection step.
 """
 
 from __future__ import annotations
@@ -42,7 +44,7 @@ from rehiver_spark.queries.x_ops import (
     _mh_consts_sql,
     _neardup_corpus,
 )
-from rehiver_spark.operators.textops import corpus_report
+from rehiver_spark.operators.textops import corpus_report, quality_select
 from rehiver_spark.operators.vectorops import semantic_contamination_pairs
 from rehiver_spark.sources.writer import write_zordered
 
@@ -315,3 +317,62 @@ def x32_corpus_report(spark, sf_dir):
     parallelism (no float-summation-order dependence)."""
     d = tables(spark, sf_dir, ["documents"])["documents"]
     return corpus_report(d)
+
+
+# ---------------------------------------------------------------------------
+# X33 — quality-ranked token-budget selection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x33_quality_select",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS tk, {_NORM_SQL} AS norm,
+        length(text) AS n,
+        length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, len(tk) AS nt, greatest(len(tk), 1) AS n_tok1,
+        len(list_filter(tk, t -> list_contains({_SW}, t))) AS sw_hits,
+        n, n_alpha, norm
+      FROM base
+    ),
+    per AS (
+      SELECT doc_id, source, nt,
+        round(0.4 * (n_alpha / greatest(n, 1))
+          + 0.3 * least(sw_hits / greatest(nt, 1) * 5.0, 1.0)
+          + 0.3 * greatest(0.0, 1.0 - abs((length(norm) - (n_tok1 - 1)) / n_tok1 - 5.0) / 10.0),
+          6) AS q
+      FROM scored
+    ),
+    ranked AS (
+      SELECT doc_id, source, nt, q,
+        sum(nt) OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS cum_before
+      FROM per
+    )
+    SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens, q AS quality,
+      CAST(cum_before AS BIGINT) AS cum_before
+    FROM ranked WHERE cum_before < 1000
+    """,
+)
+def x33_quality_select(spark, sf_dir):
+    """X33: quality-ranked data selection — per source, the
+    highest-quality documents are kept first until a 1000-token budget
+    is reached (greedy prefix, ≤ 1 doc overshoot). The ordering key is
+    the 6-decimal-rounded X4 quality score (engine-portable) with a
+    doc_id tiebreak, so the selected subset is bit-identical in SQL."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    budgets = d.select("source").distinct().withColumn(
+        "budget_tokens", F.lit(1000)
+    )
+    out = quality_select(d, budgets)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "quality",
+        F.col("cum_before").cast("bigint").alias("cum_before"),
+    )

@@ -320,3 +320,36 @@ def test_corpus_report_basics(spark):
     books = rep["books"]
     assert books["n_docs"] == 1 and books["dup_rate"] == 0.0
     assert books["en_share"] == 0.0  # German profile wins
+
+
+def test_quality_select_prefix_rule(spark):
+    from rehiver_spark.operators.textops import quality_select, quality_score
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox is in the barn today again", "web"),
+            (2, "zzz qqq xxx", "web"),
+            (3, "the and of to in is a an the and", "web"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    budgets = spark.createDataFrame([("web", 12)], "source string, budget_tokens int")
+    out = quality_select(df, budgets).collect()
+    got = {r["doc_id"]: r for r in out}
+    # ordering follows rounded quality desc; the greedy prefix rule
+    # admits docs whose cumulative offset starts inside 12 tokens
+    qs = {r["doc_id"]: r["quality"] for r in out}
+    order = sorted(got, key=lambda d: (-got[d]["quality"], d))
+    cum = 0
+    for d in order:
+        assert got[d]["cum_before"] == cum
+        cum += got[d]["n_tokens"]
+    # the lowest-quality doc (2: no stopwords, gibberish) is cut when
+    # the budget binds before it
+    all_q = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("q")).collect()
+    }
+    assert min(all_q, key=all_q.get) == 2
+    assert 2 not in got or got[2]["cum_before"] < 12
