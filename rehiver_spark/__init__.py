@@ -30,7 +30,9 @@ from rehiver_spark.operators.dedup import (
     exact_dedup,
     fuzzy_dedup,
     incremental_exact_dedup,
+    incremental_minhash_neardup,
     index_update,
+    minhash_index,
     jaccard_pairs,
     minhash_neardup_pairs,
     shingles,
@@ -96,6 +98,7 @@ __all__ = [
     "ensure_parallelism",
     "fuzzy_dedup",
     "incremental_exact_dedup",
+    "incremental_minhash_neardup",
     "index_update",
     "connected_components",
     "containment_pairs",
@@ -114,6 +117,7 @@ __all__ = [
     "local_lister_factory",
     "log_schema",
     "lsh_cosine_neardup",
+    "minhash_index",
     "minhash_neardup_pairs",
     "path_capture",
     "process_matching",

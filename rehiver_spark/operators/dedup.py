@@ -991,3 +991,112 @@ def compact_dedup_index(spark, index_dir: str, n_files: int = 16) -> int:
     for e in olds:
         shutil.rmtree(os.path.join(index_dir, e))
     return spark.read.parquet(index_dir).count()
+
+
+# ---------------------------------------------------------------------------
+# X34 — incremental NEAR-dup ingestion against a persisted signature index
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signature index of a corpus: ``(id, sig array<bigint>)``
+    — the persistent state for INCREMENTAL near-dup detection, the
+    fuzzy analog of :func:`dedup_index`. ~8·num_hashes bytes per doc
+    (vs the full text), written once at ingest; corpus text is never
+    needed again for near-dup checks."""
+    sh = corpus.select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("_sh")
+    )
+    return sh.select(
+        F.col(id_col),
+        minhash_signature("_sh", num_hashes, seed, hash_fn).alias("sig"),
+    )
+
+
+def incremental_minhash_neardup(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    est_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an already-ingested
+    corpus, using only the corpus's persisted signature index — no
+    corpus text, the production ingest-time fuzzy filter (exact-dup
+    filtering is :func:`incremental_exact_dedup`; this catches the
+    re-crawls and templated variants exact hashing misses).
+
+    Candidates come from an LSH band-bucket join; similarity is the
+    SIGNATURE-ESTIMATED Jaccard (matching components / num_hashes) —
+    the standard estimator, since exact verification would require
+    corpus shingles. Precision/recall are tuned by (num_hashes, bands,
+    est_threshold); with the portable ``hash_fn='md5'`` sketch the
+    whole pipeline is reproducible in SQL.
+
+    Scale shape mirrors the re-planned X28: the batch's band keys and
+    signatures are small → candidates = index-bands ⋉ broadcast(batch
+    bands), so the index is only STREAMED map-side (its signature rides
+    along to the estimator — wide rows, but never shuffled); nothing
+    index-sized crosses the wire.
+
+    Output: (batch ``id_col``, ``corpus_id``, ``est_jaccard``).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+
+    def banded(sigs: DataFrame, id_alias: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(id_alias),
+            F.col("sig").alias(f"_sig_{id_alias}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at(F.col("sig"), bi * r + j + 1)
+                                    for j in range(r)
+                                ]
+                            ).alias("bh"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select(id_alias, f"_sig_{id_alias}", "b.band", "b.bh")
+
+    bsig = minhash_index(batch, id_col, text_col, k, num_hashes, seed, hash_fn)
+    bb = banded(bsig, "batch_id")
+    ib = banded(index.withColumnRenamed("sig", "sig").select(F.col(id_col), "sig"), "corpus_id")
+    cand = (
+        ib.join(F.broadcast(bb), ["band", "bh"])
+        .select("batch_id", "corpus_id", "_sig_batch_id", "_sig_corpus_id")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("_sig_batch_id", "_sig_corpus_id", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(num_hashes))
+    out = cand.withColumn("est_jaccard", est).filter(
+        F.col("est_jaccard") >= F.lit(est_threshold)
+    )
+    return out.select(
+        F.col("batch_id").alias(id_col), "corpus_id", "est_jaccard"
+    )

@@ -1,4 +1,4 @@
-"""X28–X33: round-4 scale-path extensions (SURVEY §2 Part B).
+"""X28–X34: round-4 scale-path extensions (SURVEY §2 Part B).
 
 Registered LAST (after c_ops) on purpose: the driver's correctness
 harness records the first 50 registered queries, and that window is
@@ -20,6 +20,8 @@ local gate (tools/check_oracle.py) at sf0.01.
   rate, language/quality shares) from exact integer aggregates only.
 - X33 quality-ranked token-budget selection: highest-quality docs
   first per source until budget — the DCLM-style selection step.
+- X34 incremental near-dup vs the persisted MinHash signature index —
+  the fuzzy analog of X28; corpus text never read.
 """
 
 from __future__ import annotations
@@ -32,6 +34,8 @@ from rehiver_spark.operators.dedup import (
     dedup_index,
     fuzzy_dedup,
     incremental_exact_dedup,
+    incremental_minhash_neardup,
+    minhash_index,
 )
 from rehiver_spark.queries import query, tables
 from rehiver_spark.queries.x_ops import (
@@ -375,4 +379,94 @@ def x33_quality_select(spark, sf_dir):
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         "quality",
         F.col("cum_before").cast("bigint").alias("cum_before"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X34 — incremental near-dup vs persisted signature index (portable twin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x34_incremental_neardup",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id, text || ' zz yy xx' AS text
+      FROM documents WHERE doc_id % 12 = 0
+    ),
+    consts AS ({_mh_consts_sql()}),
+    alld AS (
+      SELECT 'c' AS side, doc_id, text FROM corpus
+      UNION ALL
+      SELECT 'b' AS side, doc_id, text FROM batch
+    ),
+    toks AS (SELECT side, doc_id, {_TOKS_SQL} AS tk FROM alld),
+    sh AS (
+      SELECT side, doc_id, list_distinct(list_transform(
+        range(1, greatest(len(tk) - 2, 1) + 1),
+        i -> array_to_string(tk[i:i+2], ' '))) AS s
+      FROM toks
+    ),
+    ex AS (SELECT side, doc_id, unnest(s) AS shingle FROM sh),
+    based AS (SELECT side, doc_id, {_MH_BASE} % 1073741824 AS hb FROM ex),
+    hashed AS (
+      SELECT side, doc_id, i, min((aa[i + 1] * hb + cc[i + 1]) % 2147483647) AS h
+      FROM based CROSS JOIN consts CROSS JOIN range(0, 32) t(i)
+      GROUP BY side, doc_id, i
+    ),
+    bands AS (
+      SELECT side, doc_id, i // 4 AS band, string_agg(h::TEXT, ',' ORDER BY i) AS bh
+      FROM hashed GROUP BY side, doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      FROM bands b JOIN bands c
+        ON b.band = c.band AND b.bh = c.bh
+      WHERE b.side = 'b' AND c.side = 'c'
+    ),
+    sigs AS (
+      SELECT side, doc_id, list(h ORDER BY i) AS sig
+      FROM hashed GROUP BY side, doc_id
+    ),
+    est AS (
+      SELECT batch_id, corpus_id,
+        len(list_filter(range(1, 33), i -> sb.sig[i] = sc.sig[i]))::DOUBLE / 32 AS e
+      FROM cand
+      JOIN sigs sb ON sb.side = 'b' AND sb.doc_id = batch_id
+      JOIN sigs sc ON sc.side = 'c' AND sc.doc_id = corpus_id
+    )
+    SELECT batch_id AS doc_id, corpus_id, round(e, 6) AS est_jaccard
+    FROM est WHERE e >= 0.5
+    """,
+)
+def x34_incremental_neardup(spark, sf_dir):
+    """X34: ingest-time NEAR-dup filtering against the persisted corpus
+    MinHash signature index — the fuzzy analog of X28: re-crawled or
+    lightly-edited submissions are caught with NO access to corpus
+    text, via LSH banding on the stored signatures + signature-
+    estimated Jaccard. Fixture: batch = held-out 10% of documents plus
+    token-tail-mutated re-submissions of every 12th document (J≈0.95
+    vs their corpus originals). The md5-portable sketch reproduces
+    candidates AND estimates bit-identically in SQL; production uses
+    hash_fn='xxhash64' with the same plan (index streamed map-side,
+    batch side broadcast — the X28 shape)."""
+    d = tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0).unionByName(
+        d.filter(F.col("doc_id") % 12 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat("text", F.lit(" zz yy xx")).alias("text"),
+        )
+    )
+    idx = minhash_index(corpus, hash_fn="md5")
+    out = incremental_minhash_neardup(
+        batch, idx, est_threshold=0.5, hash_fn="md5"
+    )
+    return out.select(
+        "doc_id",
+        "corpus_id",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
     )

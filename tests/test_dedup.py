@@ -285,3 +285,29 @@ def test_fuzzy_dedup_keep_longest(spark):
 
     with pytest.raises(ValueError):
         fuzzy_dedup(df, keep="newest")
+
+
+def test_incremental_minhash_neardup(spark):
+    from rehiver_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "an entirely different corpus document about spark plans")],
+        "doc_id bigint, text string",
+    )
+    idx = minhash_index(corpus).localCheckpoint()
+    batch = spark.createDataFrame(
+        [(10, base + " zz"), (11, "no relation to anything in the corpus at all")],
+        "doc_id bigint, text string",
+    )
+    out = incremental_minhash_neardup(batch, idx, est_threshold=0.5)
+    rows = [(r["doc_id"], r["corpus_id"], r["est_jaccard"]) for r in out.collect()]
+    assert [(d, c) for d, c, _ in rows] == [(10, 1)]
+    assert rows[0][2] >= 0.5
+    # the index side must not be shuffled: candidates are a broadcast join
+    plan = incremental_minhash_neardup(batch, idx, est_threshold=0.5)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
