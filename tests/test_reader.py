@@ -210,3 +210,19 @@ def test_read_documents_formats(spark, tmp_path, sf_dir):
 
     with pytest.raises(ValueError):
         read_documents(spark, str(cv), fmt="avro")
+
+
+def test_read_documents_jsonl_gz(spark, tmp_path):
+    import gzip
+    import json
+
+    from rehiver_spark.sources.reader import read_documents
+
+    gz = tmp_path / "docs.jsonl.gz"
+    rows = [{"doc_id": i, "text": f"doc {i}", "source": "gz"} for i in range(5)]
+    with gzip.open(gz, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    d = read_documents(spark, str(gz))  # format inferred through .gz
+    assert d.count() == 5
+    assert {r["doc_id"] for r in d.collect()} == set(range(5))
