@@ -970,6 +970,12 @@ def compact_dedup_index(spark, index_dir: str, n_files: int = 16) -> int:
     a crash in between only leaves duplicate hashes, which a
     membership join is insensitive to. Returns the number of distinct
     hashes in the compacted index.
+
+    The stage-then-promote step uses a local-filesystem rename; on an
+    object store (no atomic dir rename) write the consolidated
+    partition directly and rely on the same duplicate-tolerance —
+    only the listing-cost benefit, not correctness, depends on the
+    old partitions actually disappearing.
     """
     import os
     import shutil

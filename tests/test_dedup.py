@@ -311,3 +311,18 @@ def test_incremental_minhash_neardup(spark):
     plan = incremental_minhash_neardup(batch, idx, est_threshold=0.5)\
         ._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_minhash_empty_sides(spark):
+    from rehiver_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_index,
+    )
+
+    schema = "doc_id bigint, text string"
+    docs = spark.createDataFrame([(1, "some corpus text here")], schema)
+    empty = spark.createDataFrame([], schema)
+    idx = minhash_index(docs)
+    assert incremental_minhash_neardup(empty, idx).count() == 0
+    empty_idx = minhash_index(empty)
+    assert incremental_minhash_neardup(docs, empty_idx).count() == 0

@@ -256,3 +256,21 @@ def test_compact_dedup_index_preserves_membership(spark, tmp_path):
     acc = stream_incremental_dedup(spark, src, schema, **kw)
     got = {r["doc_id"] for r in acc.collect()}
     assert 4 not in got and 5 in got and len(got) == 4
+
+
+def test_compact_dedup_index_idempotent(spark, tmp_path):
+    import os
+
+    from rehiver_spark.operators.dedup import compact_dedup_index
+
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame([("a",), ("b",)], "content_sha string").write.parquet(
+        f"{idx}/batch_id=0"
+    )
+    spark.createDataFrame([("b",), ("c",)], "content_sha string").write.parquet(
+        f"{idx}/batch_id=1"
+    )
+    assert compact_dedup_index(spark, idx) == 3
+    # re-compacting an already-compacted index is a no-op in content
+    assert compact_dedup_index(spark, idx) == 3
+    assert {e for e in os.listdir(idx) if e.startswith("batch_id=")} == {"batch_id=-1"}

@@ -60,3 +60,21 @@ def test_zorder_single_dim_still_prunes(spark, events, tmp_path_factory):
     lo, hi = df.approxQuantile("value", [0.0, 0.1], 0.001)
     frac = skip_fraction(stats, {"value": (lo, hi)})
     assert frac > 0.0, "second-dimension predicate should skip some files"
+
+
+def test_zorder_constant_and_null_columns(spark):
+    """Degenerate inputs must not break the curve: a constant column
+    collapses to one bucket; nulls go to bucket 0."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.sources.writer import zorder_value
+
+    df = spark.createDataFrame(
+        [(1, 5.0, None), (2, 5.0, 3.0), (3, 5.0, 9.0)],
+        "id bigint, const double, sparse double",
+    )
+    z = df.select(F.col("id"), zorder_value(df, ["const", "sparse"], bits=4).alias("z"))
+    rows = {r["id"]: r["z"] for r in z.collect()}
+    assert len(rows) == 3 and all(v is not None for v in rows.values())
+    # null sorts to the lowest z among these rows (bucket 0 on sparse)
+    assert rows[1] == min(rows.values())
