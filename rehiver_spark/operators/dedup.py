@@ -19,6 +19,18 @@ Spark's xxhash64 (JVM-side, fastest) and accepts ``hash_fn="md5"`` —
 the portable 60-bit hash (functions/hashing.py) any SQL engine computes
 bit-identically, which makes even the sketches oracle-checkable.
 Exact paths never hash at all (dictionary-encoded ids, sha256 keys).
+
+CACHING CONTRACT: the prefix-Jaccard, MinHash and SimHash pair
+operators ``persist()`` their shingle/signature projection because the
+plan reads it 2-4 times (candidate generation plus both verify sides);
+dropping the cache measures 8-24% slower (x2 +20%, x8 +24% at sf0.1).
+The returned DataFrames are lazy, so these handles cannot be
+unpersisted in-function; they are released by
+``spark.catalog.clearCache()`` (what the bench does between queries)
+or naturally bounded by Spark's LRU block eviction — each is a
+projection of the operator's input, small relative to the data being
+deduped. Long-lived sessions calling these in a loop should
+``clearCache()`` periodically (tested in test_dedup.py).
 """
 
 from __future__ import annotations

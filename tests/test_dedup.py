@@ -326,3 +326,23 @@ def test_incremental_minhash_empty_sides(spark):
     assert incremental_minhash_neardup(empty, idx).count() == 0
     empty_idx = minhash_index(empty)
     assert incremental_minhash_neardup(docs, empty_idx).count() == 0
+
+
+def test_dedup_caches_released_by_clear_cache(spark):
+    """The documented release path for the operators' internal
+    persist() handles (see module docstring CACHING CONTRACT)."""
+    from rehiver_spark.operators.dedup import minhash_neardup_pairs
+
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+    spark.catalog.clearCache()
+    before = persisted_ids()
+    df = spark.createDataFrame(
+        [(1, "some text for the sketch here"), (2, "other text entirely")],
+        "doc_id bigint, text string",
+    )
+    minhash_neardup_pairs(df).count()
+    assert persisted_ids() - before  # the documented cache exists...
+    spark.catalog.clearCache()
+    assert not (persisted_ids() - before)  # ...and clearCache releases it
