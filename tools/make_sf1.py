@@ -12,7 +12,7 @@ ANN paths the way a real crawled corpus would); document text is
 replicated verbatim, which inflates near-dup pair outputs ~100x — a
 deliberate stress of the pair-verification paths.
 
-Usage: python tools/make_sf1.py [out_dir]   (default .sfwork/sf1)
+Usage: python tools/make_sf1.py [out_dir] [reps]   (default .sfwork/sf1, 10)
 """
 import os
 import shutil
@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from rehiver_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
-REPS = 10
+REPS = 10  # overridable via argv[2] (e.g. 100 -> sf10)
 # strides: > max key at sf0.1, round numbers for debuggability
 STRIDES = {
     "custkey": 1_000_000,
@@ -56,6 +56,7 @@ def main() -> int:
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sfwork", "sf1"
     )
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else REPS
     os.makedirs(out, exist_ok=True)
     spark = get_spark(app_name="make-sf1")
     spark.sparkContext.setLogLevel("ERROR")
@@ -64,7 +65,7 @@ def main() -> int:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
         print(f"{t}: copied 1x")
 
-    rep = spark.range(REPS).select(F.col("id").alias("_rep"))
+    rep = spark.range(reps).select(F.col("id").alias("_rep"))
     for t, shifts in SHIFTS.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet").crossJoin(F.broadcast(rep))
         for col, stride in shifts.items():
@@ -84,7 +85,7 @@ def main() -> int:
         dest = f"{out}/{t}.parquet"
         if os.path.isdir(dest):
             shutil.rmtree(dest)
-        df.select(*cols).repartition(8).write.mode("overwrite").parquet(dest)
+        df.select(*cols).repartition(8 if reps <= 10 else 32).write.mode("overwrite").parquet(dest)
         n = spark.read.parquet(dest).count()
         print(f"{t}: {n} rows")
     spark.stop()
