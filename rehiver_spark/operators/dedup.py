@@ -1100,7 +1100,7 @@ def incremental_minhash_neardup(
 
     bsig = minhash_index(batch, id_col, text_col, k, num_hashes, seed, hash_fn)
     bb = banded(bsig, "batch_id")
-    ib = banded(index.withColumnRenamed("sig", "sig").select(F.col(id_col), "sig"), "corpus_id")
+    ib = banded(index.select(F.col(id_col), "sig"), "corpus_id")
     cand = (
         ib.join(F.broadcast(bb), ["band", "bh"])
         .select("batch_id", "corpus_id", "_sig_batch_id", "_sig_corpus_id")

@@ -493,22 +493,30 @@ def tf_idf(
       idf       ln(N_docs / df_docs)
       tf_idf    tf * idf
 
-    Plan shape: explode(tokens) → two hash aggregations (per-group TF and
-    corpus DF) + one broadcast-sized join on token. The exploded relation
-    shuffles once per agg on (group, token)/(token) — both map-side
-    combinable, no row explosion survives the aggs. At 100 TB the DF agg
-    output is |vocab| rows → broadcast join, not sort-merge.
+    Plan shape: tokenize once (cached array per doc) → two explodes
+    feeding two PLAIN count aggregations: per-(group, token) TF over the
+    full multiset, and per-token document frequency over each doc's
+    DISTINCT tokens (array_distinct is map-side, so df_docs needs no
+    distinct aggregate — a count of per-doc distinct rows IS the number
+    of docs containing the token). Both aggs are map-side combinable;
+    no row explosion survives them. At 100 TB the DF agg output is
+    |vocab| rows → broadcast join, not sort-merge.
     """
     df = ensure_parallelism(df)
     n_docs = df.select(F.countDistinct(doc_id_col)).first()[0]
-    toks = df.select(
+    base = df.select(
         doc_id_col,
         *( [group_col] if group_col else [] ),
-        F.explode(tokens(F.col(text_col))).alias("token"),
-    ).persist()  # read by both the TF and DF aggregations
+        tokens(F.col(text_col)).alias("_tk"),
+    ).persist()  # tokenization is the expensive expression; read twice
     group_keys = ([group_col] if group_col else []) + ["token"]
-    tf = toks.groupBy(*group_keys).agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("token").agg(F.countDistinct(doc_id_col).alias("df_docs"))
+    tf = base.select(
+        *( [group_col] if group_col else [] ),
+        F.explode("_tk").alias("token"),
+    ).groupBy(*group_keys).agg(F.count("*").alias("tf"))
+    dfreq = base.select(
+        F.explode(F.array_distinct("_tk")).alias("token")
+    ).groupBy("token").agg(F.count("*").alias("df_docs"))
     out = tf.join(F.broadcast(dfreq), "token")
     idf = F.log(F.lit(float(n_docs)) / F.col("df_docs"))
     return out.select(
