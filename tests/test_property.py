@@ -240,3 +240,71 @@ def test_extglob_regex_compiles_in_both_dialects_and_matches_alts(alts, kind, pr
             assert not m.is_match(alt, pat), (pat, alt)
     if kind == "!" and probe not in alts:
         assert m.is_match(probe, pat), (pat, probe)
+
+
+TEXTS = st.lists(
+    st.text(alphabet=list(string.ascii_lowercase) + [" "], min_size=0, max_size=30),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(TEXTS)
+def test_incremental_dedup_equals_batch_dedup(spark, texts):
+    """Splitting a corpus into (corpus, batch) and running incremental
+    dedup must accept exactly the batch texts whose normalized hash is
+    unseen — i.e. union(corpus-keepers, accepted) == global keepers in
+    hash terms, for ANY split."""
+    from rehiver_spark.operators.dedup import (
+        dedup_exact,
+        dedup_index,
+        incremental_exact_dedup,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    corpus = df.filter("doc_id % 2 = 0")
+    batch = df.filter("doc_id % 2 = 1")
+    out = incremental_exact_dedup(batch, dedup_index(corpus))
+    accepted_hashes = {
+        r["content_sha"] for r in out.filter("status = 'new'").collect()
+    }
+    corpus_hashes = {r["content_sha"] for r in dedup_exact(corpus).collect()}
+    global_hashes = {r["content_sha"] for r in dedup_exact(df).collect()}
+    assert corpus_hashes | accepted_hashes == global_hashes
+    assert not (corpus_hashes & accepted_hashes)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.floats(-100, 100, allow_nan=False)),
+        min_size=4,
+        max_size=50,
+    )
+)
+def test_zorder_value_locality_per_dimension(spark, points):
+    """For rows differing ONLY in one dimension, z-order keys must be
+    monotone in that dimension's bucket (bit interleave preserves
+    per-dimension order), and equal rows get equal keys."""
+    from rehiver_spark.sources.writer import zorder_value
+
+    rows = [(i, float(a), float(b)) for i, (a, b) in enumerate(points)]
+    df = spark.createDataFrame(rows, "id bigint, a double, b double")
+    z = df.select("id", "a", "b", zorder_value(df, ["a", "b"], bits=4).alias("z"))
+    got = sorted((r["a"], r["b"], r["z"]) for r in z.collect())
+    # equal (a, b) -> equal z
+    seen = {}
+    for a, b, zv in got:
+        assert seen.setdefault((a, b), zv) == zv
+    # fixing b, z is non-decreasing in a (quantile buckets are monotone)
+    from collections import defaultdict
+
+    by_b = defaultdict(list)
+    for a, b, zv in got:
+        by_b[b].append((a, zv))
+    for b, pairs in by_b.items():
+        pairs.sort()
+        zs = [zv for _, zv in pairs]
+        assert all(x <= y for x, y in zip(zs, zs[1:])), (b, pairs)
