@@ -274,3 +274,48 @@ def test_compact_dedup_index_idempotent(spark, tmp_path):
     # re-compacting an already-compacted index is a no-op in content
     assert compact_dedup_index(spark, idx) == 3
     assert {e for e in os.listdir(idx) if e.startswith("batch_id=")} == {"batch_id=-1"}
+
+
+def test_stream_incremental_dedup_replay_overwrites_partial_partition(spark, tmp_path):
+    """Crash-replay safety: if an epoch died after half-writing its
+    index partition, the replayed batch must OVERWRITE that partition —
+    stale hashes from the failed attempt must neither survive nor cause
+    the replayed batch to drop its own rows (it reads the index
+    excluding its own batch_id)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from rehiver_spark.operators.dedup import stream_incremental_dedup
+
+    src = str(tmp_path / "src")
+    schema = "doc_id bigint, text string"
+    tmp = str(tmp_path / "stage")
+    spark.createDataFrame([(1, "alpha"), (2, "beta")], schema).coalesce(1)\
+        .write.parquet(tmp)
+    os.makedirs(src)
+    shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/a.parquet")
+
+    idx = str(tmp_path / "idx")
+    # simulate a crashed epoch 0: its partition exists and already holds
+    # this very batch's hashes (the worst case: trusting it would make
+    # the replay drop every row) plus a stale garbage hash
+    from rehiver_spark.operators.dedup import content_hash
+    from pyspark.sql import functions as F
+
+    crashed = spark.createDataFrame([(1, "alpha")], schema).select(
+        content_hash(F.col("text")).alias("content_sha")
+    ).unionByName(spark.createDataFrame([("deadbeef",)], "content_sha string"))
+    crashed.write.parquet(f"{idx}/batch_id=0")
+
+    acc = stream_incremental_dedup(
+        spark, src, schema,
+        index_dir=idx,
+        accepted_dir=str(tmp_path / "acc"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    # both rows accepted (own half-written partition was ignored)...
+    assert acc.count() == 2
+    # ...and the garbage hash did not survive the overwrite
+    hashes = {r["content_sha"] for r in spark.read.parquet(idx).collect()}
+    assert "deadbeef" not in hashes and len(hashes) == 2
