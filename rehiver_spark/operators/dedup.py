@@ -1050,6 +1050,7 @@ def incremental_minhash_neardup(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     est_threshold: float = 0.7,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an already-ingested
     corpus, using only the corpus's persisted signature index — no
@@ -1068,7 +1069,11 @@ def incremental_minhash_neardup(
     signatures are small → candidates = index-bands ⋉ broadcast(batch
     bands), so the index is only STREAMED map-side (its signature rides
     along to the estimator — wide rows, but never shuffled); nothing
-    index-sized crosses the wire.
+    index-sized crosses the wire.  ``broadcast_batch=True`` (default)
+    FORCES that shape and assumes an ingest-sized batch; for a
+    one-off batch comparable to the corpus (initial load), pass
+    ``False`` so the planner falls back to a shuffle join instead of
+    broadcasting something executor-memory-sized.
 
     Output: (batch ``id_col``, ``corpus_id``, ``est_jaccard``).
     """
@@ -1101,8 +1106,9 @@ def incremental_minhash_neardup(
     bsig = minhash_index(batch, id_col, text_col, k, num_hashes, seed, hash_fn)
     bb = banded(bsig, "batch_id")
     ib = banded(index.select(F.col(id_col), "sig"), "corpus_id")
+    bb_side = F.broadcast(bb) if broadcast_batch else bb
     cand = (
-        ib.join(F.broadcast(bb), ["band", "bh"])
+        ib.join(bb_side, ["band", "bh"])
         .select("batch_id", "corpus_id", "_sig_batch_id", "_sig_corpus_id")
         .distinct()
     )
