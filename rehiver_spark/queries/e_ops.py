@@ -22,6 +22,8 @@ local gate (tools/check_oracle.py) at sf0.01.
   first per source until budget — the DCLM-style selection step.
 - X34 incremental near-dup vs the persisted MinHash signature index —
   the fuzzy analog of X28; corpus text never read.
+- C18b Python UDTF (Spark 4): the lateral table-function extension
+  surface, oracle-checked via an RE2-portable sentence split.
 """
 
 from __future__ import annotations
@@ -469,4 +471,67 @@ def x34_incremental_neardup(spark, sf_dir):
         "doc_id",
         "corpus_id",
         F.round("est_jaccard", 6).alias("est_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C18b — Python UDTF surface (Spark 4 user-defined TABLE function)
+# ---------------------------------------------------------------------------
+
+
+def _split_sentences_udtf():
+    """The UDTF class, built lazily so importing this module never
+    requires a live session. Split rule is RE2-portable (no lookbehind):
+    mark each sentence-ending punctuation-then-whitespace with a
+    record separator, split on it, trim, drop empties — the oracle
+    reproduces it with regexp_replace + string_split."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            import re
+
+            marked = re.sub(r"([.!?])\s+", "\\1\x1e", text or "")
+            parts = [p.strip() for p in marked.split("\x1e") if p.strip()]
+            for i, p in enumerate(parts):
+                yield i, p
+
+    return SplitSentences
+
+
+@query(
+    "c18b_python_udtf",
+    """
+    WITH sent AS (
+      SELECT doc_id,
+        list_filter(list_transform(
+          string_split(regexp_replace(replace(text, 'table ', 'table. '),
+                                      '([.!?])\\s+', '\\1' || chr(30), 'g'),
+                       chr(30)),
+          p -> trim(p)), p -> p <> '') AS s
+      FROM documents
+    )
+    SELECT doc_id, CAST(unnest(range(0, len(s))) AS INT) AS idx,
+      unnest(s) AS sentence
+    FROM sent
+    """,
+)
+def c18b_python_udtf(spark, sf_dir):
+    """C18 (UDTF form): the Spark 4 Python user-defined TABLE function
+    surface — one input row yields many output rows with their own
+    schema, the lateral-join extension point the reference's processor
+    callback (src/index.ts:1382) maps to when per-item processing must
+    EMIT records rather than return one value. Here: document →
+    (idx, sentence) rows. This is the per-row-Python extension surface,
+    not the scale path — the same semantics compile to codegen via
+    regexp_replace + split + posexplode (X11's relational pattern)
+    when throughput matters."""
+    tables(spark, sf_dir, ["documents"])  # registers the temp view
+    spark.udtf.register("split_sentences", _split_sentences_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.sentence
+        FROM documents d, LATERAL split_sentences(replace(d.text, 'table ', 'table. ')) s
+        """
     )
