@@ -1,10 +1,11 @@
 """X28–X34: round-4 scale-path extensions (SURVEY §2 Part B).
 
-Registered LAST (after c_ops) on purpose: the driver's correctness
-harness records the first 50 registered queries, and that window is
-pinned to the round-4 set (tests/test_engine.py). These queries get
-their driver evidence the same way the tail always has — the identical
-local gate (tools/check_oracle.py) at sf0.01.
+Registered SECOND (right after x_ops) on purpose: the driver's
+correctness harness records the first 50 registered queries, and these
+eight have never had a driver row — importing e_ops before r_ops puts
+them inside the window (pinned by tests/test_engine.py) while the
+displaced r7-r17/c_ops queries keep their round-2 AND round-3 driver
+evidence.
 
 - X28 incremental exact dedup: dedup a new batch against a persisted
   corpus hash index; the corpus itself is never re-read.

@@ -112,21 +112,23 @@ def test_metadata_cache_rejects_reconfigure(spark):
 
 def test_driver_window_covers_previously_unrecorded_queries():
     """The correctness harness records only the FIRST 50 registered
-    queries. Round 4 reordered registration so the 30 never-recorded
-    ones (x6-x10 families, x12-x27, mm_*) fall inside that window —
-    this pins the invariant against future import reshuffles."""
+    queries. Round 4 reordered registration so every query that has
+    never had a driver row — the x6-x10 families, x12-x27, mm_*, and
+    the round-4 additions x28-x34 + c18b — falls inside that window;
+    the displaced r7-r17/c_ops rows were driver-green in rounds 2 AND
+    3. This pins the invariant against future import reshuffles."""
     from rehiver_spark.queries import QUERIES, load_all
 
     load_all()
     first50 = set(list(QUERIES)[:50])
-    need = {
+    need = {"c18b_python_udtf"} | {
         n
         for n in QUERIES
         if n.startswith("mm_")
         or n.split("_")[0]
         in {"x6", "x6b", "x6c", "x7", "x7p", "x8", "x8p", "x9", "x9p", "x10"}
         or (n.startswith("x") and n.split("_")[0][1:].isdigit()
-            and 12 <= int(n.split("_")[0][1:]) <= 27)
+            and 12 <= int(n.split("_")[0][1:]) <= 34)
     }
     assert need, "query registry unexpectedly empty"
     missing = need - first50
