@@ -855,3 +855,114 @@ def quality_select(
     return cum.join(F.broadcast(budgets), group_col).filter(
         F.col("cum_before") < F.col(budget_col)
     ).select(id_col, group_col, "n_tokens", "quality", "cum_before")
+
+
+_SPLIT_BITS = 60  # md5_hash60 range; thresholds are exact integers in it
+
+
+def split_thresholds(weights: list[tuple[str, float]]) -> list[tuple[str, int]]:
+    """(name, upper_bound) pairs partitioning the 60-bit hash space by
+    the given fractions. Computed ONCE on the driver and embedded as
+    integer literals in both the Spark plan and any SQL oracle, so the
+    assignment is exact by construction (no float comparison at row
+    scope). The last band's bound is forced to 2^60 so rounding can
+    never leave a row unassigned."""
+    total = sum(w for _, w in weights)
+    bounds, cum = [], 0.0
+    for name, w in weights:
+        cum += w / total
+        bounds.append((name, int(cum * (1 << _SPLIT_BITS))))
+    bounds[-1] = (bounds[-1][0], 1 << _SPLIT_BITS)
+    return bounds
+
+
+DEFAULT_SPLIT_WEIGHTS: list[tuple[str, float]] = [
+    ("train", 0.98),
+    ("val", 0.01),
+    ("test", 0.01),
+]
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    num_shards: int = 64,
+    split_weights: list[tuple[str, float]] | None = None,
+) -> DataFrame:
+    """Seeded deterministic epoch shuffle + stable train/val/test split
+    — the layout step that turns a deduped corpus into training input.
+
+    Adds three columns, all map-side codegen (ZERO shuffle in this
+    operator; the one range shuffle happens only when a caller
+    materializes the order):
+
+    - ``shuffle_key``: 60-bit portable hash of ``seed:id`` — a total
+      order (with the id tiebreak) that reshuffles the whole corpus
+      per epoch by changing ``seed``, with no RNG state to replay.
+    - ``shard``: ``shuffle_key % num_shards`` — balanced output-file
+      assignment for shard-parallel data loaders.
+    - ``split``: train/val/test band of a SEED-FREE hash of the id.
+      Deliberately a different hash than the order key: the split must
+      stay identical across epochs (a doc that was ever in val may
+      never drift into train when the epoch seed changes), while the
+      order must not correlate with it.
+
+    At scale, materialize with
+    ``.repartitionByRange(n, "shuffle_key", id_col)
+    .sortWithinPartitions("shuffle_key", id_col)`` — one range shuffle,
+    no global single-partition sort, and each output file is a
+    contiguous slice of the epoch order. A global ``row_number()`` (a
+    one-partition window) is exactly what this design avoids.
+    """
+    from rehiver_spark.functions.hashing import md5_hash60
+
+    sid = F.col(id_col).cast("string")
+    order_key = md5_hash60(F.concat(F.lit(f"{seed}:"), sid))
+    split_key = md5_hash60(F.concat(F.lit("split:"), sid))
+    bounds = split_thresholds(split_weights or DEFAULT_SPLIT_WEIGHTS)
+    split = F.lit(bounds[-1][0])
+    for name, ub in reversed(bounds[:-1]):
+        split = F.when(split_key < F.lit(ub), F.lit(name)).otherwise(split)
+    return df.select(
+        "*",
+        order_key.alias("shuffle_key"),
+        (order_key % F.lit(num_shards)).cast("bigint").alias("shard"),
+        split.alias("split"),
+    )
+
+
+def vocab_top_k(
+    df: DataFrame,
+    k: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_total: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary / heavy hitters: the ``k`` most frequent
+    tokens with exact total counts and document frequencies — the
+    vocabulary-building / corpus-inspection step of a training
+    pipeline.
+
+    Two-level aggregation: tokens are first collapsed per (token, doc)
+    — the map-side partial combine removes within-document repetition
+    before anything shuffles — then summed per token (second shuffle is
+    |distinct (token, doc)| sized, the same envelope the TF-IDF
+    operator already carries). Top-k is (count DESC, token ASC) with
+    ``limit`` → TakeOrderedAndProject: per-partition partial top-k,
+    never a full sort of the vocabulary.
+    """
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    per_doc = t.groupBy("token", "_id").agg(F.count("*").alias("tf"))
+    agg = per_doc.groupBy("token").agg(
+        F.sum("tf").cast("bigint").alias("total_count"),
+        F.count("*").cast("bigint").alias("doc_freq"),
+    )
+    return (
+        agg.filter(F.col("total_count") >= F.lit(min_total))
+        .orderBy(F.col("total_count").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -51,7 +51,14 @@ from rehiver_spark.queries.x_ops import (
     _mh_consts_sql,
     _neardup_corpus,
 )
-from rehiver_spark.operators.textops import corpus_report, quality_select
+from rehiver_spark.operators.textops import (
+    DEFAULT_SPLIT_WEIGHTS,
+    corpus_report,
+    epoch_shuffle,
+    quality_select,
+    split_thresholds,
+    vocab_top_k,
+)
 from rehiver_spark.operators.vectorops import semantic_contamination_pairs
 from rehiver_spark.sources.writer import write_zordered
 
@@ -473,6 +480,82 @@ def x34_incremental_neardup(spark, sf_dir):
         "corpus_id",
         F.round("est_jaccard", 6).alias("est_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X35 — seeded epoch shuffle + stable train/val/test split
+# ---------------------------------------------------------------------------
+
+_EPOCH_SEED = 7
+_SPLIT_BOUNDS = split_thresholds(DEFAULT_SPLIT_WEIGHTS)
+
+
+def _md5h60_sql(expr: str) -> str:
+    from rehiver_spark.functions.hashing import md5_hash60_sql
+
+    return md5_hash60_sql(expr)
+
+
+@query(
+    "x35_epoch_shuffle",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+        {_md5h60_sql(f"'{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key,
+        {_md5h60_sql("'split:' || CAST(doc_id AS VARCHAR)")} AS split_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key, shuffle_key % 64 AS shard,
+      CASE WHEN split_key < {_SPLIT_BOUNDS[0][1]} THEN '{_SPLIT_BOUNDS[0][0]}'
+           WHEN split_key < {_SPLIT_BOUNDS[1][1]} THEN '{_SPLIT_BOUNDS[1][0]}'
+           ELSE '{_SPLIT_BOUNDS[2][0]}' END AS split
+    FROM keyed
+    """,
+)
+def x35_epoch_shuffle(spark, sf_dir):
+    """X35: seeded deterministic epoch shuffle + stable split — the
+    training-layout step. Everything here is map-side codegen (zero
+    shuffle in the operator itself); the epoch order is a portable
+    60-bit hash of ``seed:id`` (new seed = new epoch order, no RNG
+    state), the shard is its modulus, and the split band uses a
+    SEED-FREE hash so membership never drifts between epochs. At scale
+    the order is materialized with repartitionByRange on shuffle_key —
+    one range shuffle, never a global row_number window."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    out = epoch_shuffle(d, seed=_EPOCH_SEED, num_shards=64)
+    return out.select("doc_id", "shuffle_key", "shard", "split")
+
+
+# ---------------------------------------------------------------------------
+# X36 — corpus vocabulary / heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x36_vocab_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    per_doc AS (SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+    agg AS (
+      SELECT token, CAST(sum(tf) AS BIGINT) AS total_count,
+        CAST(count(*) AS BIGINT) AS doc_freq
+      FROM per_doc GROUP BY 1
+    )
+    SELECT token, total_count, doc_freq FROM agg
+    ORDER BY total_count DESC, token ASC LIMIT 200
+    """,
+)
+def x36_vocab_topk(spark, sf_dir):
+    """X36: exact corpus heavy hitters (vocabulary building / corpus
+    inspection). Two-level aggregation collapses within-document
+    repetition map-side before the token-keyed shuffle; the top-k is
+    (count DESC, token ASC) via limit → TakeOrderedAndProject, i.e.
+    per-partition partial top-k, never a full vocabulary sort. The
+    boundary tiebreak on token makes the selected SET deterministic."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    return vocab_top_k(d, k=200)
 
 
 # ---------------------------------------------------------------------------

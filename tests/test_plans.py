@@ -208,3 +208,22 @@ def test_x30_zorder_plan_no_extra_shuffle(spark, tmp_path):
     assert p.count("Exchange") == 1, p
     assert "rangepartitioning" in p.lower()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_x35_epoch_shuffle_map_only(spark, queries):
+    p = plan_of(queries["x35_epoch_shuffle"](spark, SF))
+    # the layout operator itself is pure projection: no join, no
+    # aggregate, no window, no shuffle — the one range shuffle belongs
+    # to the caller's materialization, not the key assignment
+    assert "Join" not in p and "Window" not in p
+    assert "Aggregate" not in p.replace("aggregate(", "")
+    assert "Exchange" not in p
+
+
+def test_x36_vocab_partial_topk_and_agg(spark, queries):
+    p = plan_of(queries["x36_vocab_topk"](spark, SF))
+    assert "CartesianProduct" not in p and "Join" not in p
+    # top-k must be per-partition partial (never a full vocabulary sort)
+    assert "TakeOrderedAndProject" in p
+    # both aggregation levels partial+final
+    assert p.count("HashAggregate") >= 4
