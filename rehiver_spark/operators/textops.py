@@ -375,6 +375,42 @@ def chunk_documents(
     )
 
 
+def reassemble_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    text_col: str = "chunk_text",
+    overlap: int = 8,
+) -> DataFrame:
+    """Inverse of :func:`chunk_documents` at the SAME ``overlap``:
+    rebuild each document's normalized text from its chunks — the
+    recovery path when only the chunked/embedded form of a corpus
+    survives (or the certification that chunking lost nothing).
+
+    Chunk 0 contributes all its tokens; chunk i>0 drops its first
+    ``overlap`` tokens (they re-state the previous chunk's tail by
+    construction). One shuffle keyed on the doc id: chunks collapse
+    via ``collect_list(struct(idx, tokens))`` → ``array_sort`` →
+    ``flatten`` — an aggregate, not a window, so docs rebuild in
+    parallel regardless of chunk order or partitioning.
+
+    Output: (id, text) where text == normalize_text(original).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    contrib = F.when(F.col(idx_col) == 0, toks).otherwise(
+        F.slice(toks, overlap + 1, F.greatest(F.size(toks) - overlap, F.lit(0)))
+    )
+    per = df.select(
+        F.col(id_col),
+        F.struct(F.col(idx_col).alias("i"), contrib.alias("t")).alias("_c"),
+    )
+    return per.groupBy(id_col).agg(
+        F.array_join(
+            F.flatten(F.array_sort(F.collect_list("_c")).getField("t")), " "
+        ).alias("text")
+    )
+
+
 # PII patterns shared by the Column and oracle forms (RE2+Java-safe)
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),

@@ -53,9 +53,11 @@ from rehiver_spark.queries.x_ops import (
 )
 from rehiver_spark.operators.textops import (
     DEFAULT_SPLIT_WEIGHTS,
+    chunk_documents,
     corpus_report,
     epoch_shuffle,
     quality_select,
+    reassemble_chunks,
     split_thresholds,
     vocab_top_k,
 )
@@ -556,6 +558,29 @@ def x36_vocab_topk(spark, sf_dir):
     boundary tiebreak on token makes the selected SET deterministic."""
     d = tables(spark, sf_dir, ["documents"])["documents"]
     return vocab_top_k(d, k=200)
+
+
+# ---------------------------------------------------------------------------
+# X37 — chunk reassembly (inverse of X11; roundtrip certified vs original)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x37_chunk_reassembly",
+    f"""
+    SELECT doc_id, {_NORM_SQL} AS text FROM documents
+    """,
+)
+def x37_chunk_reassembly(spark, sf_dir):
+    """X37: rebuild documents from their overlapping token-window
+    chunks (inverse of X11). The oracle is the ORIGINAL normalized
+    text, computed independently in SQL — so a hash match certifies
+    the chunk → reassemble roundtrip is lossless, not merely
+    self-consistent. Chunking is map-side; reassembly is one doc-keyed
+    aggregate (collect_list → array_sort → flatten), never a window."""
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    chunks = chunk_documents(d, chunk_tokens=64, overlap=8)
+    return reassemble_chunks(chunks, overlap=8)
 
 
 # ---------------------------------------------------------------------------

@@ -227,3 +227,11 @@ def test_x36_vocab_partial_topk_and_agg(spark, queries):
     assert "TakeOrderedAndProject" in p
     # both aggregation levels partial+final
     assert p.count("HashAggregate") >= 4
+
+
+def test_x37_reassembly_single_aggregate_no_window(spark, queries):
+    p = plan_of(queries["x37_chunk_reassembly"](spark, SF))
+    assert "Join" not in p and "Window" not in p
+    assert "CartesianProduct" not in p
+    # one doc-keyed aggregate (partial+final object hash agg), nothing else
+    assert "Aggregate" in p

@@ -389,3 +389,29 @@ def test_vocab_top_k_exact_counts_and_tiebreak(spark):
     # b and c tie on total=3 → token ASC decides both rank and the
     # boundary cut; 'a' (total=1) falls outside k=2
     assert out == [("b", 3, 2), ("c", 3, 2)]
+
+
+def test_chunk_reassembly_roundtrip_small(spark):
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.textops import (
+        chunk_documents,
+        normalize_text,
+        reassemble_chunks,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "  The   quick brown FOX jumps over the lazy dog " * 20),
+            (2, "tiny"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    chunks = chunk_documents(df, chunk_tokens=10, overlap=3)
+    back = {r["doc_id"]: r["text"] for r in reassemble_chunks(chunks, overlap=3).collect()}
+    want = {
+        r["doc_id"]: r["norm"]
+        for r in df.select("doc_id", normalize_text(F.col("text")).alias("norm")).collect()
+    }
+    assert back == want
