@@ -256,6 +256,48 @@ def write_zordered(
     out.write.mode(mode).format(fmt).save(path)
 
 
+def write_epoch_shards(
+    df: DataFrame,
+    path: str,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    num_shards: int = 64,
+    split_weights: list[tuple[str, float]] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "json",
+) -> None:
+    """Materialize the training layout (X35): one ``split=.../part-*``
+    tree where, within each split, reading the shard files in filename
+    order replays the seeded epoch order exactly — what a sequential
+    data loader consumes, with per-shard parallelism for distributed
+    loaders.
+
+    Plan: the X35 key assignment is map-side; ONE range shuffle on
+    (split, shuffle_key, id) + in-task sort gives every writer task a
+    contiguous slice of its split's epoch order. The in-task sort
+    already satisfies the dynamic-partition writer's required ordering
+    on ``split``, so Spark inserts no second (stability-unspecified)
+    sort that could scramble the order inside a file. New ``seed`` →
+    new epoch layout; the split membership itself never moves (X35's
+    seed-free split hash).
+    """
+    from rehiver_spark.operators.textops import epoch_shuffle
+
+    ann = epoch_shuffle(
+        df,
+        seed=seed,
+        id_col=id_col,
+        num_shards=num_shards,
+        split_weights=split_weights,
+    )
+    out = (
+        ann.repartitionByRange(num_shards, "split", "shuffle_key", id_col)
+        .sortWithinPartitions("split", "shuffle_key", id_col)
+        .drop("shard")
+    )
+    out.write.partitionBy("split").mode(mode).format(fmt).save(path)
+
+
 def file_skip_stats(spark, path: str, cols: list[str]) -> DataFrame:
     """Per-file min/max of ``cols`` for a parquet dir — the same stats
     a scan's file-pruning consults, surfaced as a DataFrame via the

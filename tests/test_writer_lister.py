@@ -328,3 +328,36 @@ def _make_fake_factory():
         return C()
 
     return client_factory
+
+
+def test_write_epoch_shards_replayable_order(spark, tmp_path_factory):
+    """Reading a split's shard files in filename order must replay the
+    seeded epoch order exactly, and split membership must match X35's
+    seed-free assignment."""
+    import glob
+    import json
+    import os
+
+    from rehiver_spark.operators.textops import epoch_shuffle
+    from rehiver_spark.sources.writer import write_epoch_shards
+
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path_factory.mktemp("epoch") / "shards")
+    write_epoch_shards(df, out, seed=3, num_shards=4)
+
+    want = epoch_shuffle(df, seed=3, num_shards=4).collect()
+    by_split = {}
+    for r in sorted(want, key=lambda r: (r["shuffle_key"], r["doc_id"])):
+        by_split.setdefault(r["split"], []).append(r["doc_id"])
+
+    got_splits = {
+        os.path.basename(p).split("=", 1)[1]
+        for p in glob.glob(f"{out}/split=*")
+    }
+    assert got_splits == set(by_split)
+    for split, want_ids in by_split.items():
+        ids = []
+        for f in sorted(glob.glob(f"{out}/split={split}/part-*")):
+            with open(f) as fh:
+                ids += [json.loads(line)["doc_id"] for line in fh if line.strip()]
+        assert ids == want_ids, f"epoch order not replayed for split={split}"
