@@ -308,3 +308,34 @@ def test_zorder_value_locality_per_dimension(spark, points):
         pairs.sort()
         zs = [zv for _, zv in pairs]
         assert all(x <= y for x, y in zip(zs, zs[1:])), (b, pairs)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=5),
+            st.floats(min_value=1e-6, max_value=10.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_split_thresholds_partition_hash_space(weights):
+    """The split bands must exactly partition the 60-bit hash space for
+    ANY weight vector: strictly increasing upper bounds, last bound
+    pinned at 2^60 (rounding can never leave a key unassigned), and
+    each band's width proportional to its normalized weight."""
+    from rehiver_spark.operators.textops import split_thresholds
+
+    bounds = split_thresholds(weights)
+    assert len(bounds) == len(weights)
+    assert bounds[-1][1] == 1 << 60
+    ubs = [b for _, b in bounds]
+    assert all(0 <= a <= b for a, b in zip(ubs, ubs[1:]))
+    total = sum(w for _, w in weights)
+    lo = 0
+    for (_, ub), (_, w) in zip(bounds, weights):
+        frac = (ub - lo) / float(1 << 60)
+        assert abs(frac - w / total) < 1e-6 + 1.0 / (1 << 59)
+        lo = ub
