@@ -1,11 +1,11 @@
 """X28–X34: round-4 scale-path extensions (SURVEY §2 Part B).
 
 Registered SECOND (right after x_ops) on purpose: the driver's
-correctness harness records the first 50 registered queries, and these
-eight have never had a driver row — importing e_ops before r_ops puts
-them inside the window (pinned by tests/test_engine.py) while the
-displaced r7-r17/c_ops queries keep their round-2 AND round-3 driver
-evidence.
+correctness harness records the first 50 registered queries, and none
+of this module's queries has ever had a driver row — importing e_ops
+before r_ops puts them inside the window (pinned by
+tests/test_engine.py) while the displaced r7-r17/c_ops queries keep
+their round-2 AND round-3 driver evidence.
 
 - X28 incremental exact dedup: dedup a new batch against a persisted
   corpus hash index; the corpus itself is never re-read.
@@ -643,4 +643,41 @@ def c18b_python_udtf(spark, sf_dir):
         SELECT d.doc_id, s.idx, s.sentence
         FROM documents d, LATERAL split_sentences(replace(d.text, 'table ', 'table. ')) s
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# C17g — sliding-window aggregation (the C17 form that had no query row)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c17g_sliding_window",
+    """
+    WITH w AS (
+      SELECT ts::TIMESTAMP AS ts,
+        time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP)
+          - (k * INTERVAL '15 minutes') AS ws
+      FROM events, unnest([0, 1, 2, 3]) AS t(k)
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws,
+      CAST(count(*) AS BIGINT) AS n_events
+    FROM w WHERE ts < ws + INTERVAL '1 hour'
+    GROUP BY 1
+    """,
+)
+def c17g_sliding_window(spark, sf_dir):
+    """C17 (sliding form): 1-hour windows sliding every 15 minutes via
+    the SAME transform the streaming path runs
+    (rehiver_spark.streaming.windows.sliding_counts — batch-replayable
+    per C17; streaming execution covered in tests/test_streaming).
+    Each event lands in length/slide = 4 windows; the oracle enumerates
+    those four epoch-aligned window starts per event explicitly."""
+    from rehiver_spark.streaming.windows import sliding_counts
+
+    ev = tables(spark, sf_dir, ["events"])["events"]
+    s = sliding_counts(ev, "ts", "1 hour", "15 minutes")
+    return s.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "n_events",
     )

@@ -121,7 +121,7 @@ def test_driver_window_covers_previously_unrecorded_queries():
 
     load_all()
     first50 = set(list(QUERIES)[:50])
-    need = {"c18b_python_udtf"} | {
+    need = {"c18b_python_udtf", "c17g_sliding_window"} | {
         n
         for n in QUERIES
         if n.startswith("mm_")
