@@ -375,6 +375,79 @@ def chunk_documents(
     )
 
 
+def token_drift(
+    df: DataFrame,
+    ref_source: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus drift monitor: exact total-variation distance between
+    each source's token distribution and a reference source's — the
+    between-crawls / between-dumps distribution-shift check a training
+    pipeline runs before mixing new data in.
+
+    TV(P,Q) = ½·Σ_t |p_t − q_t| with p_t = cnt_s/T_s, q_t = cnt_r/T_r.
+    Computed WITHOUT float summation: the numerator
+    Σ|cnt_s·T_r − cnt_r·T_s| is summed in DECIMAL(38,0) (exact, order-
+    independent; bigint would overflow at corpus scale since the
+    products reach T_s·T_r), tokens present only in the reference are
+    folded in closed form as T_s·(T_r − Σ_present cnt_r), and the ONE
+    float division happens at the very end per source — the X32
+    "quotient of exact integer aggregates" rule, so the report is
+    bit-stable at any parallelism.
+
+    Plan: one (source, token) count aggregation (map-side partial
+    combine collapses repeats), reference counts broadcast (vocab-
+    sized), per-source totals broadcast, one source-keyed final
+    aggregate. The corpus shuffles once, on token counts.
+
+    Output: (source, n_tokens, tv_distance) for every source except
+    the reference, tv ∈ [0, 1].
+    """
+    dec = "decimal(38,0)"
+    counts = (
+        df.select(F.col(source_col).alias("source"),
+                  F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("cnt").cast(dec).alias("total")
+    )
+    ref = counts.filter(F.col("source") == ref_source).select(
+        "token", F.col("cnt").alias("cnt_r")
+    )
+    ref_total = totals.filter(F.col("source") == ref_source).select(
+        F.col("total").alias("t_r")
+    )
+    cur = counts.filter(F.col("source") != ref_source)
+    joined = (
+        cur.join(F.broadcast(ref), "token", "left")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(ref_total))
+    )
+    cnt_r = F.coalesce(F.col("cnt_r"), F.lit(0)).cast(dec)
+    term = F.abs(F.col("cnt").cast(dec) * F.col("t_r") - cnt_r * F.col("total"))
+    per_source = joined.groupBy("source").agg(
+        F.sum(term).alias("num_present"),
+        F.sum(cnt_r).alias("ref_overlap"),
+        F.first("total").alias("t_s"),
+        F.first("t_r").alias("t_r"),
+    )
+    num = F.col("num_present") + F.col("t_s") * (F.col("t_r") - F.col("ref_overlap"))
+    return per_source.select(
+        "source",
+        F.col("t_s").cast("bigint").alias("n_tokens"),
+        F.round(
+            num.cast("double")
+            / (F.lit(2).cast("double") * F.col("t_s").cast("double")
+               * F.col("t_r").cast("double")),
+            6,
+        ).alias("tv_distance"),
+    )
+
+
 def reassemble_chunks(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -647,6 +647,54 @@ def c18b_python_udtf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# X38 — corpus drift: exact total-variation distance vs a reference source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x38_corpus_drift",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    counts AS (SELECT source, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    totals AS (
+      SELECT source, CAST(sum(cnt) AS HUGEINT) AS total FROM counts GROUP BY 1
+    ),
+    ref AS (SELECT token, cnt AS cnt_r FROM counts WHERE source = 'src0'),
+    rt AS (SELECT total AS t_r FROM totals WHERE source = 'src0'),
+    per AS (
+      SELECT c.source,
+        sum(abs(CAST(c.cnt AS HUGEINT) * rt.t_r
+                - CAST(coalesce(r.cnt_r, 0) AS HUGEINT) * t.total)) AS np,
+        sum(CAST(coalesce(r.cnt_r, 0) AS HUGEINT)) AS ref_overlap,
+        any_value(t.total) AS t_s, any_value(rt.t_r) AS t_r
+      FROM counts c
+      LEFT JOIN ref r USING (token)
+      JOIN totals t ON t.source = c.source
+      CROSS JOIN rt
+      WHERE c.source <> 'src0'
+      GROUP BY 1
+    )
+    SELECT source, CAST(t_s AS BIGINT) AS n_tokens,
+      round(CAST(np + t_s * (t_r - ref_overlap) AS DOUBLE)
+            / (2.0 * CAST(t_s AS DOUBLE) * CAST(t_r AS DOUBLE)), 6) AS tv_distance
+    FROM per
+    """,
+)
+def x38_corpus_drift(spark, sf_dir):
+    """X38: distribution-shift monitor — exact total-variation distance
+    between every source's token distribution and the reference
+    source's. All summation is DECIMAL(38,0)/HUGEINT integer arithmetic
+    (the X32 rule: one float division at the end), so the report is
+    bit-stable at any parallelism and reproduces exactly in SQL."""
+    from rehiver_spark.operators.textops import token_drift
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    return token_drift(d, ref_source="src0")
+
+
+# ---------------------------------------------------------------------------
 # C17g — sliding-window aggregation (the C17 form that had no query row)
 # ---------------------------------------------------------------------------
 

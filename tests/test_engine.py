@@ -128,7 +128,7 @@ def test_driver_window_covers_previously_unrecorded_queries():
         or n.split("_")[0]
         in {"x6", "x6b", "x6c", "x7", "x7p", "x8", "x8p", "x9", "x9p", "x10"}
         or (n.startswith("x") and n.split("_")[0][1:].isdigit()
-            and 12 <= int(n.split("_")[0][1:]) <= 37)
+            and 12 <= int(n.split("_")[0][1:]) <= 38)
     }
     assert need, "query registry unexpectedly empty"
     missing = need - first50

@@ -415,3 +415,56 @@ def test_chunk_reassembly_roundtrip_small(spark):
         for r in df.select("doc_id", normalize_text(F.col("text")).alias("norm")).collect()
     }
     assert back == want
+
+
+def test_new_layout_ops_degenerate_inputs(spark):
+    """Empty frames, null text, and single-band splits must not wedge
+    the layout/vocabulary operators."""
+    from rehiver_spark.operators.textops import (
+        epoch_shuffle,
+        reassemble_chunks,
+        vocab_top_k,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert vocab_top_k(empty).count() == 0
+    assert epoch_shuffle(empty).count() == 0
+    assert reassemble_chunks(
+        spark.createDataFrame([], "doc_id bigint, chunk_idx int, chunk_text string")
+    ).count() == 0
+
+    # null text: the doc contributes no tokens but must not poison aggs
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "a a b")], "doc_id bigint, text string"
+    )
+    v = {r["token"]: r["total_count"] for r in vocab_top_k(nulls).collect()}
+    assert v == {"a": 2, "b": 1}
+
+    # a one-band split assigns every row to that band
+    one = epoch_shuffle(
+        spark.range(0, 50).withColumnRenamed("id", "doc_id"),
+        split_weights=[("all", 1.0)],
+    )
+    assert one.select("split").distinct().collect()[0][0] == "all"
+
+
+def test_token_drift_exact_tv_distance(spark):
+    from rehiver_spark.operators.textops import token_drift
+
+    df = spark.createDataFrame(
+        [(1, "a a b", "ref"), (2, "a b b c", "cur")],
+        "doc_id bigint, text string, source string",
+    )
+    rows = token_drift(df, ref_source="ref").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # p_cur = (1/4, 2/4, 1/4), q_ref = (2/3, 1/3, 0)
+    # TV = (|1/4-2/3| + |1/2-1/3| + |1/4-0|) / 2 = 5/12
+    assert r["source"] == "cur" and r["n_tokens"] == 4
+    assert r["tv_distance"] == round(5 / 12, 6)
+    # identical distributions drift 0
+    same = spark.createDataFrame(
+        [(1, "x y", "ref"), (2, "y x", "cur")],
+        "doc_id bigint, text string, source string",
+    )
+    assert token_drift(same, "ref").collect()[0]["tv_distance"] == 0.0
