@@ -235,3 +235,13 @@ def test_x37_reassembly_single_aggregate_no_window(spark, queries):
     assert "CartesianProduct" not in p
     # one doc-keyed aggregate (partial+final object hash agg), nothing else
     assert "Aggregate" in p
+
+
+def test_x38_drift_broadcasts_reference_side(spark, queries):
+    p = plan_of(queries["x38_corpus_drift"](spark, SF))
+    assert "CartesianProduct" not in p
+    # reference vocab + per-source totals ride broadcast joins; the
+    # corpus-sized count relation must never shuffle for the join
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # the one cross join is the scalar t_r row
+    assert p.count("BroadcastNestedLoopJoin") <= 1
