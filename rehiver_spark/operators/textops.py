@@ -381,6 +381,7 @@ def token_drift(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    broadcast_ref: bool = True,
 ) -> DataFrame:
     """Corpus drift monitor: exact total-variation distance between
     each source's token distribution and a reference source's — the
@@ -401,6 +402,12 @@ def token_drift(
     combine collapses repeats), reference counts broadcast (vocab-
     sized), per-source totals broadcast, one source-keyed final
     aggregate. The corpus shuffles once, on token counts.
+
+    ``broadcast_ref``: a web-scale reference vocabulary (long tail of
+    URLs/typos) can reach GBs — pass False to let Catalyst/AQE choose
+    the join strategy instead of forcing the broadcast; the counts are
+    already co-keyed on token, so the fallback is one extra vocab-sized
+    shuffle, never a corpus reshuffle.
 
     Output: (source, n_tokens, tv_distance) for every source except
     the reference, tv ∈ [0, 1].
@@ -423,7 +430,7 @@ def token_drift(
     )
     cur = counts.filter(F.col("source") != ref_source)
     joined = (
-        cur.join(F.broadcast(ref), "token", "left")
+        cur.join(F.broadcast(ref) if broadcast_ref else ref, "token", "left")
         .join(F.broadcast(totals), "source")
         .crossJoin(F.broadcast(ref_total))
     )
