@@ -379,7 +379,6 @@ def token_drift(
     df: DataFrame,
     ref_source: str,
     text_col: str = "text",
-    id_col: str = "doc_id",
     source_col: str = "source",
     broadcast_ref: bool = True,
 ) -> DataFrame:
@@ -398,10 +397,18 @@ def token_drift(
     "quotient of exact integer aggregates" rule, so the report is
     bit-stable at any parallelism.
 
-    Plan: one (source, token) count aggregation (map-side partial
-    combine collapses repeats), reference counts broadcast (vocab-
-    sized), per-source totals broadcast, one source-keyed final
-    aggregate. The corpus shuffles once, on token counts.
+    Plan: ONE (source, token) count aggregation over the corpus,
+    PERSISTED (memory-and-disk) because four sub-relations read it
+    (per-source counts, per-source totals, reference counts, reference
+    total) — without the persist, filter pushdown makes the subtrees
+    non-identical, ReuseExchange never fires, and the corpus is
+    scanned and re-tokenized 4×. The cached relation is vocab-sized
+    (distinct (source, token)), orders of magnitude smaller than the
+    corpus. Caching contract (same as operators/dedup.py): the handle
+    cannot be unpersisted in-function — the returned frame is lazy —
+    so release is `spark.catalog.clearCache()` or LRU block eviction.
+    Reference counts and totals then ride broadcast joins; the corpus
+    itself shuffles once, into the count aggregation.
 
     ``broadcast_ref``: a web-scale reference vocabulary (long tail of
     URLs/typos) can reach GBs — pass False to let Catalyst/AQE choose
@@ -412,12 +419,15 @@ def token_drift(
     Output: (source, n_tokens, tv_distance) for every source except
     the reference, tv ∈ [0, 1].
     """
+    from pyspark import StorageLevel
+
     dec = "decimal(38,0)"
     counts = (
         df.select(F.col(source_col).alias("source"),
                   F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     totals = counts.groupBy("source").agg(
         F.sum("cnt").cast(dec).alias("total")

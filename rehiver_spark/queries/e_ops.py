@@ -1,11 +1,13 @@
-"""X28–X34: round-4 scale-path extensions (SURVEY §2 Part B).
+"""X28–X38 + C18b + C17g: round-4 scale-path extensions (SURVEY §2
+Part B).
 
 Registered SECOND (right after x_ops) on purpose: the driver's
 correctness harness records the first 50 registered queries, and none
-of this module's queries has ever had a driver row — importing e_ops
-before r_ops puts them inside the window (pinned by
-tests/test_engine.py) while the displaced r7-r17/c_ops queries keep
-their round-2 AND round-3 driver evidence.
+of this module's 13 queries has ever had a driver row — importing
+e_ops before r_ops puts them inside the window (pinned by
+tests/test_engine.py; 36 x_ops + 13 e_ops + r1 = 50) while every
+displaced query (r2-r17, all of c_ops) keeps its round-2 AND round-3
+driver evidence.
 
 - X28 incremental exact dedup: dedup a new batch against a persisted
   corpus hash index; the corpus itself is never re-read.

@@ -262,15 +262,27 @@ def write_epoch_shards(
     seed: int = 0,
     id_col: str = "doc_id",
     num_shards: int = 64,
+    num_files: int | None = None,
     split_weights: list[tuple[str, float]] | None = None,
     mode: str = "overwrite",
     fmt: str = "json",
 ) -> None:
     """Materialize the training layout (X35): one ``split=.../part-*``
-    tree where, within each split, reading the shard files in filename
-    order replays the seeded epoch order exactly — what a sequential
-    data loader consumes, with per-shard parallelism for distributed
-    loaders.
+    tree where, within each split, reading the files in filename order
+    replays the seeded epoch order exactly.
+
+    Two DISTINCT sharding axes come out of this, on purpose:
+
+    - **files** are contiguous slices of the epoch order (``num_files``
+      range partitions across all splits, so a 98/1/1 split puts ~98%
+      of the files in train and ~1 file in each small split —
+      proportional, which is what a sequential reader wants);
+    - the written ``shard`` column is X35's ``shuffle_key %
+      num_shards`` — an INTERLEAVED worker-assignment key for loaders
+      that hash-shard across workers. It deliberately does NOT
+      correspond to file boundaries; a loader picks ONE axis: read
+      files in order (sequential replay) or filter on ``shard``
+      (parallel workers), never both.
 
     Plan: the X35 key assignment is map-side; ONE range shuffle on
     (split, shuffle_key, id) + in-task sort gives every writer task a
@@ -291,9 +303,8 @@ def write_epoch_shards(
         split_weights=split_weights,
     )
     out = (
-        ann.repartitionByRange(num_shards, "split", "shuffle_key", id_col)
+        ann.repartitionByRange(num_files or num_shards, "split", "shuffle_key", id_col)
         .sortWithinPartitions("split", "shuffle_key", id_col)
-        .drop("shard")
     )
     out.write.partitionBy("split").mode(mode).format(fmt).save(path)
 

@@ -113,10 +113,10 @@ def test_metadata_cache_rejects_reconfigure(spark):
 def test_driver_window_covers_previously_unrecorded_queries():
     """The correctness harness records only the FIRST 50 registered
     queries. Round 4 reordered registration so every query that has
-    never had a driver row — the x6-x10 families, x12-x27, mm_*, and
-    the round-4 additions x28-x34 + c18b — falls inside that window;
-    the displaced r7-r17/c_ops rows were driver-green in rounds 2 AND
-    3. This pins the invariant against future import reshuffles."""
+    never had a driver row — the x6-x10 families, x12-x38, mm_*,
+    c18b, c17g — falls inside that window; every displaced query
+    (r2-r17, all of c_ops) was driver-green in rounds 2 AND 3. This
+    pins the invariant against future import reshuffles."""
     from rehiver_spark.queries import QUERIES, load_all
 
     load_all()

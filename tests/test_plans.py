@@ -245,3 +245,7 @@ def test_x38_drift_broadcasts_reference_side(spark, queries):
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
     # the one cross join is the scalar t_r row
     assert p.count("BroadcastNestedLoopJoin") <= 1
+    # all four sub-relations (cur/ref counts, totals, ref total) must
+    # read the PERSISTED count aggregation — without the cache, filter
+    # pushdown de-duplicates nothing and the corpus is tokenized 4x
+    assert p.count("InMemoryTableScan") >= 4

@@ -361,3 +361,24 @@ def test_write_epoch_shards_replayable_order(spark, tmp_path_factory):
             with open(f) as fh:
                 ids += [json.loads(line)["doc_id"] for line in fh if line.strip()]
         assert ids == want_ids, f"epoch order not replayed for split={split}"
+
+
+def test_write_epoch_shards_shard_column_is_loader_axis(spark, tmp_path_factory):
+    """The written shard column (interleaved worker assignment) must
+    partition each split's rows completely and match the modulus rule —
+    it is a different axis than the contiguous file slices."""
+    import glob
+    import json
+
+    from rehiver_spark.sources.writer import write_epoch_shards
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path_factory.mktemp("epoch2") / "shards")
+    write_epoch_shards(df, out, seed=5, num_shards=8, num_files=4)
+    rows = []
+    for f in glob.glob(f"{out}/split=*/part-*"):
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh if line.strip()]
+    assert len(rows) == 300
+    assert all(r["shard"] == r["shuffle_key"] % 8 for r in rows)
+    assert len({r["shard"] for r in rows}) == 8
