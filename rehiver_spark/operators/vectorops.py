@@ -754,3 +754,81 @@ def semantic_contamination_pairs(
         ).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= F.lit(threshold))
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    recall_n: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Hybrid retrieval — lexical recall then vector rerank, the
+    canonical two-stage search over a corpus with both text and
+    embedding columns (RAG retrieval, near-query mining).
+
+    Stage 1 (recall): score every corpus doc by its DISTINCT-token
+    overlap with each query doc (an exact integer — no float scoring
+    in the wide stage) and keep the top ``recall_n`` per query by
+    (overlap DESC, id ASC). Query token sets are broadcast; the corpus
+    token relation joins them map-side and the only corpus-sized
+    shuffle is the (query, doc) overlap count. The per-query window
+    partitions by query — queries rank in parallel.
+
+    Stage 2 (rerank): join the tiny candidate set (|queries|·recall_n
+    rows, broadcast) to the embeddings table — the embeddings NEVER
+    shuffle — and order by (round(cosine, 6) DESC, id ASC); the
+    rounding makes the rank boundary engine-portable, the id tiebreak
+    makes it total.
+
+    ``query_ids``: a small (id) relation naming the query docs; they
+    are excluded from the corpus side. Output: (query_id, doc_id,
+    shared_tokens, cos_sim, rank ≤ k).
+    """
+    from rehiver_spark.operators.textops import tokens
+
+    qids = query_ids.select(F.col(id_col).alias("query_id"))
+    dtoks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+    )
+    qtoks = dtoks.join(
+        F.broadcast(qids), dtoks[id_col] == qids["query_id"]
+    ).select("query_id", "token")
+    corpus_toks = dtoks.join(
+        F.broadcast(qids), dtoks[id_col] == qids["query_id"], "left_anti"
+    )
+    shared = (
+        corpus_toks.join(F.broadcast(qtoks), "token")
+        .groupBy("query_id", id_col)
+        .agg(F.count("*").cast("bigint").alias("shared_tokens"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("shared_tokens").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        shared.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= recall_n)
+        .drop("_rn")
+    )
+    qe = embeddings.join(
+        F.broadcast(qids), embeddings[vec_id_col] == qids["query_id"]
+    ).select("query_id", F.col(emb_col).alias("_qv"))
+    ce = embeddings.select(
+        F.col(vec_id_col).alias(id_col), F.col(emb_col).alias("_dv")
+    )
+    scored = (
+        ce.join(F.broadcast(cand.join(F.broadcast(qe), "query_id")), id_col)
+        .withColumn("cos_sim", F.round(cosine("_qv", "_dv"), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "shared_tokens", "cos_sim", "rank")
+    )

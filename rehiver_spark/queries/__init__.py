@@ -53,16 +53,16 @@ def load_all() -> None:
     (all in x_ops) never received a driver correctness row despite
     passing the identical local gate (tools/check_oracle.py).  x_ops
     is imported FIRST so its 36 queries — including every previously
-    unrecorded one — fall inside the driver window; e_ops (the 13
-    round-4 additions x28-x38 + c18b + c17g, also never
-    driver-recorded) comes next, bringing the window to 49; r_ops
-    contributes the final slot (r1).  Every displaced query (r2-r17,
-    all of c_ops) was driver-green in rounds 2 AND 3, so no query
+    unrecorded one — fall inside the driver window; e_ops (the 14
+    round-4 additions x28-x39 + c18b + c17g, also never
+    driver-recorded) fills the remaining 14 slots exactly (36 + 14 =
+    50).  Every displaced query (all of r_ops and c_ops) was
+    driver-green in rounds 2 AND 3, so no query
     loses its only evidence.  Do not reorder without checking
     driver-window coverage (tests/test_engine.py pins it).
     """
     from rehiver_spark.queries import x_ops  # noqa: F401  (isort: skip)
-    from rehiver_spark.queries import e_ops  # noqa: F401  (round-4 X28-X34 + c18b)
+    from rehiver_spark.queries import e_ops  # noqa: F401  (round-4 X28-X39 + c18b + c17g)
     from rehiver_spark.queries import r_ops  # noqa: F401
     from rehiver_spark.queries import c_ops  # noqa: F401
 

@@ -1,13 +1,13 @@
-"""X28–X38 + C18b + C17g: round-4 scale-path extensions (SURVEY §2
+"""X28–X39 + C18b + C17g: round-4 scale-path extensions (SURVEY §2
 Part B).
 
 Registered SECOND (right after x_ops) on purpose: the driver's
 correctness harness records the first 50 registered queries, and none
-of this module's 13 queries has ever had a driver row — importing
+of this module's 14 queries has ever had a driver row — importing
 e_ops before r_ops puts them inside the window (pinned by
-tests/test_engine.py; 36 x_ops + 13 e_ops + r1 = 50) while every
-displaced query (r2-r17, all of c_ops) keeps its round-2 AND round-3
-driver evidence.
+tests/test_engine.py; 36 x_ops + 14 e_ops = 50 exactly) while every
+displaced query (all of r_ops and c_ops) keeps its round-2 AND
+round-3 driver evidence.
 
 - X28 incremental exact dedup: dedup a new batch against a persisted
   corpus hash index; the corpus itself is never re-read.
@@ -27,6 +27,14 @@ driver evidence.
   the fuzzy analog of X28; corpus text never read.
 - C18b Python UDTF (Spark 4): the lateral table-function extension
   surface, oracle-checked via an RE2-portable sentence split.
+- X35 seeded epoch shuffle + seed-free train/val/test split.
+- X36 corpus vocabulary / heavy hitters (exact counts, partial top-k).
+- X37 chunk reassembly — X11's inverse, certified against the
+  original normalized text.
+- X38 corpus drift: exact TV distance between token distributions
+  (integer summation only).
+- X39 hybrid search: integer token-overlap recall → cosine rerank.
+- C17g sliding-window aggregation (the C17 form that had no row).
 """
 
 from __future__ import annotations
@@ -694,6 +702,66 @@ def x38_corpus_drift(spark, sf_dir):
 
     d = tables(spark, sf_dir, ["documents"])["documents"]
     return token_drift(d, ref_source="src0")
+
+
+# ---------------------------------------------------------------------------
+# X39 — hybrid search: lexical recall → vector rerank
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x39_hybrid_search",
+    f"""
+    WITH dtoks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS token FROM documents
+    ),
+    q AS (SELECT doc_id AS query_id, token FROM dtoks WHERE doc_id % 100 = 7),
+    shared AS (
+      SELECT q.query_id, dt.doc_id, CAST(count(*) AS BIGINT) AS shared_tokens
+      FROM dtoks dt JOIN q ON q.token = dt.token
+      WHERE dt.doc_id % 100 <> 7
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, doc_id, shared_tokens FROM (
+        SELECT query_id, doc_id, shared_tokens,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY shared_tokens DESC, doc_id ASC) AS rn
+        FROM shared
+      ) WHERE rn <= 50
+    ),
+    qe AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 100 = 7
+    ),
+    scored AS (
+      SELECT c.query_id, c.doc_id, c.shared_tokens,
+        round(list_cosine_similarity(qe.qv, e.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM cand c
+      JOIN qe ON qe.query_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.doc_id
+    )
+    SELECT query_id, doc_id, shared_tokens, cos_sim, rank FROM (
+      SELECT query_id, doc_id, shared_tokens, cos_sim,
+        CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def x39_hybrid_search(spark, sf_dir):
+    """X39: two-stage retrieval — exact integer token-overlap recall
+    (top-50 per query, query tokens broadcast, corpus shuffles only
+    into the overlap count) then cosine rerank over the candidate set
+    (candidates broadcast; the embeddings table never shuffles). The
+    rank orders on (round(cos, 6) DESC, id ASC) so the boundary is
+    engine-portable and total. doc_id ≡ vec_id in the testdata."""
+    from rehiver_spark.operators.vectorops import hybrid_search
+
+    t = tables(spark, sf_dir, ["documents", "embeddings"])
+    d, e = t["documents"], t["embeddings"]
+    qids = d.filter(F.col("doc_id") % 100 == 7).select("doc_id")
+    return hybrid_search(d, e, qids, recall_n=50, k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -113,9 +113,9 @@ def test_metadata_cache_rejects_reconfigure(spark):
 def test_driver_window_covers_previously_unrecorded_queries():
     """The correctness harness records only the FIRST 50 registered
     queries. Round 4 reordered registration so every query that has
-    never had a driver row — the x6-x10 families, x12-x38, mm_*,
+    never had a driver row — the x6-x10 families, x12-x39, mm_*,
     c18b, c17g — falls inside that window; every displaced query
-    (r2-r17, all of c_ops) was driver-green in rounds 2 AND 3. This
+    (all of r_ops and c_ops) was driver-green in rounds 2 AND 3. This
     pins the invariant against future import reshuffles."""
     from rehiver_spark.queries import QUERIES, load_all
 
@@ -128,7 +128,7 @@ def test_driver_window_covers_previously_unrecorded_queries():
         or n.split("_")[0]
         in {"x6", "x6b", "x6c", "x7", "x7p", "x8", "x8p", "x9", "x9p", "x10"}
         or (n.startswith("x") and n.split("_")[0][1:].isdigit()
-            and 12 <= int(n.split("_")[0][1:]) <= 38)
+            and 12 <= int(n.split("_")[0][1:]) <= 39)
     }
     assert need, "query registry unexpectedly empty"
     missing = need - first50

@@ -249,3 +249,12 @@ def test_x38_drift_broadcasts_reference_side(spark, queries):
     # read the PERSISTED count aggregation — without the cache, filter
     # pushdown de-duplicates nothing and the corpus is tokenized 4x
     assert p.count("InMemoryTableScan") >= 4
+
+
+def test_x39_hybrid_search_embeddings_never_shuffle(spark, queries):
+    p = plan_of(queries["x39_hybrid_search"](spark, SF))
+    assert "CartesianProduct" not in p
+    # every join rides a broadcast: query ids/tokens against the corpus
+    # token relation, and the tiny candidate set against embeddings —
+    # neither the corpus tokens nor the embeddings sort-merge
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
