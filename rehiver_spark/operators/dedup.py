@@ -393,6 +393,28 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def _band_keys(sig: Column, num_hashes: int, bands: int) -> Column:
+    """ARRAY<STRUCT<band INT, bh BIGINT>> of LSH band bucket keys over
+    a minhash signature — the ONE definition of banding, shared by the
+    batch self-join (:func:`lsh_candidates`) and the incremental index
+    join (:func:`incremental_minhash_neardup`) so the two paths can
+    never diverge on how a band hashes. The bucket key is xxhash64 of
+    the band's signature values in either hash mode: it is an internal
+    join key, so only tuple equality matters."""
+    r = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[F.element_at(sig, bi * r + j + 1) for j in range(r)]
+                ).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+
+
 def lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -413,21 +435,10 @@ def lsh_candidates(
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    r = num_hashes // bands
     sig = minhash_signature(shingle_col, num_hashes, seed, hash_fn)
     banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.element_at(F.col("_sig"), bi * r + j + 1) for j in range(r)]).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
+        F.explode(_band_keys(F.col("_sig"), num_hashes, bands)).alias("b"),
     ).select("_id", "b.band", "b.bh")
     a = banded.withColumnRenamed("_id", "id_a")
     b = banded.withColumnRenamed("_id", "id_b")
@@ -958,54 +969,63 @@ def stream_incremental_dedup(
     )
     foreach_batch_collecting(sdf, handle, checkpoint=checkpoint)
     if not os.path.isdir(accepted_dir):  # empty source: nothing accepted
-        return spark.createDataFrame([], schema).withColumn(
-            "content_sha", F.lit(None).cast("string")
+        # same shape as the non-empty path (which reads the partitioned
+        # dir and therefore carries batch_id) — downstream unionByName /
+        # batch audits must not break on the first empty invocation
+        return (
+            spark.createDataFrame([], schema)
+            .withColumn("content_sha", F.lit(None).cast("string"))
+            .withColumn("batch_id", F.lit(None).cast("int"))
         )
     return spark.read.parquet(accepted_dir)
 
 
 def compact_dedup_index(spark, index_dir: str, n_files: int = 16) -> int:
     """Compact a :func:`stream_incremental_dedup` index: fold every
-    ``batch_id=N`` partition into one consolidated ``batch_id=-1``
-    partition of ``n_files`` files, then drop the per-batch partitions.
+    existing ``batch_id=`` partition into one consolidated partition
+    of ``n_files`` files under a FRESH negative batch id, then drop
+    the superseded partitions.
 
     Run it between streaming runs (NOT while a query is writing): a
     long-lived ingest stream otherwise accumulates one partition
     directory per micro-batch, and the per-batch index read degrades
     into a many-small-files listing problem. Compaction preserves the
-    replay contract — real batch ids are non-negative, so the
-    consolidated partition is never excluded by a batch's
-    own-partition filter.
+    replay contract — real batch ids are non-negative, so a
+    consolidated (negative-id) partition is never excluded by a
+    batch's own-partition filter.
 
-    Ordering is crash-safe for dedup semantics: the consolidated
-    partition is fully written BEFORE old partitions are removed, and
-    a crash in between only leaves duplicate hashes, which a
-    membership join is insensitive to. Returns the number of distinct
-    hashes in the compacted index.
+    Crash safety holds at EVERY step because the promote target is a
+    partition name that does not exist yet (each compaction uses the
+    next more-negative id, -1 then -2 then …): nothing is ever
+    deleted before the replacement is fully visible. A crash after
+    the promote and before (or during) the old-partition sweep only
+    leaves duplicate hashes, which a membership join is insensitive
+    to, and the next compaction folds them away. (The earlier
+    delete-then-rename ordering had a window where a crash lost the
+    previously consolidated partition outright.) Returns the number
+    of distinct hashes in the compacted index.
 
     The stage-then-promote step uses a local-filesystem rename; on an
     object store (no atomic dir rename) write the consolidated
-    partition directly and rely on the same duplicate-tolerance —
-    only the listing-cost benefit, not correctness, depends on the
-    old partitions actually disappearing.
+    partition directly under its fresh name and rely on the same
+    duplicate-tolerance — only the listing-cost benefit, not
+    correctness, depends on the old partitions actually disappearing.
     """
     import os
     import shutil
 
-    olds = [
-        e
-        for e in os.listdir(index_dir)
-        if e.startswith("batch_id=") and e != "batch_id=-1"
-    ]
+    olds = [e for e in os.listdir(index_dir) if e.startswith("batch_id=")]
+    new_id = min(
+        (int(e.split("=", 1)[1]) for e in olds), default=0
+    )
+    new_id = min(new_id, 0) - 1
     hashes = spark.read.parquet(index_dir).select("content_sha").distinct()
     # stage under a dotted name (hidden from parquet discovery), then
-    # promote — readers never see a half-written consolidated partition
+    # promote to a name that does not exist yet — readers never see a
+    # half-written consolidated partition and no delete precedes it
     stage = f"{index_dir}/.compact_tmp"
     hashes.repartition(n_files, "content_sha").write.mode("overwrite").parquet(stage)
-    final = f"{index_dir}/batch_id=-1"
-    if os.path.isdir(final):
-        shutil.rmtree(final)
-    os.rename(stage, final)
+    os.rename(stage, f"{index_dir}/batch_id={new_id}")
     for e in olds:
         shutil.rmtree(os.path.join(index_dir, e))
     return spark.read.parquet(index_dir).count()
@@ -1079,28 +1099,12 @@ def incremental_minhash_neardup(
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    r = num_hashes // bands
 
     def banded(sigs: DataFrame, id_alias: str) -> DataFrame:
         return sigs.select(
             F.col(id_col).alias(id_alias),
             F.col("sig").alias(f"_sig_{id_alias}"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            F.xxhash64(
-                                *[
-                                    F.element_at(F.col("sig"), bi * r + j + 1)
-                                    for j in range(r)
-                                ]
-                            ).alias("bh"),
-                        )
-                        for bi in range(bands)
-                    ]
-                )
-            ).alias("b"),
+            F.explode(_band_keys(F.col("sig"), num_hashes, bands)).alias("b"),
         ).select(id_alias, f"_sig_{id_alias}", "b.band", "b.bh")
 
     bsig = minhash_index(batch, id_col, text_col, k, num_hashes, seed, hash_fn)

@@ -96,6 +96,26 @@ class CancelHandle:
         return self._flag.is_set()
 
 
+def _is_cancel_failure(exc: BaseException, cancel: CancelHandle) -> bool:
+    """True iff a streaming-query failure provably originated from the
+    cancel path: the PipelineCancelled raised at a micro-batch boundary
+    (PySpark embeds the foreachBatch traceback in the
+    StreamingQueryException text) or a job killed via the handle's job
+    group. A processor bug or I/O error that merely RACES a cancel()
+    must not be absorbed as a clean cancellation."""
+    seen: set[int] = set()
+    e: BaseException | None = exc
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        if isinstance(e, PipelineCancelled):
+            return True
+        text = str(e)
+        if "PipelineCancelled" in text or cancel.group_id in text:
+            return True
+        e = e.__cause__ or e.__context__
+    return False
+
+
 def find_matching(
     objects: DataFrame,
     patterns: str | list[str],
@@ -265,6 +285,11 @@ def stream_process(
             if cancel is not None and cancel.cancelled:
                 log.unpersist()
                 raise PipelineCancelled("cancelled while the job was running") from e
+            # genuine failure (processor bug, executor loss): release
+            # the cache before propagating — the cancel path above
+            # already does, and leaking it here would accumulate
+            # executor storage across retry loops
+            log.unpersist()
             raise
         finally:
             if cancel is not None:
@@ -370,8 +395,11 @@ def stream_process_incremental(
 
     try:
         foreach_batch_collecting(sdf, handle, checkpoint=checkpoint)
-    except Exception:
-        if cancel is None or not cancel.cancelled:
+    except Exception as e:
+        if cancel is None or not cancel.cancelled or not _is_cancel_failure(e, cancel):
+            # NOT our cancellation: a processor bug or I/O error that
+            # happens to race a cancel() must still surface — only a
+            # failure provably caused by the cancel path is absorbed
             raise
         # cancelled: the failing epoch never committed, so everything
         # below reads exactly the batches that completed — the partial

@@ -620,13 +620,15 @@ def tf_idf(
       tf_idf    tf * idf
 
     Plan shape: tokenize once (cached array per doc) → two explodes
-    feeding two PLAIN count aggregations: per-(group, token) TF over the
-    full multiset, and per-token document frequency over each doc's
-    DISTINCT tokens (array_distinct is map-side, so df_docs needs no
-    distinct aggregate — a count of per-doc distinct rows IS the number
-    of docs containing the token). Both aggs are map-side combinable;
-    no row explosion survives them. At 100 TB the DF agg output is
-    |vocab| rows → broadcast join, not sort-merge.
+    feeding plain count aggregations: per-(group, token) TF over the
+    full multiset, and per-token document frequency as a two-level
+    aggregation over each doc's DISTINCT tokens — (token, doc) rows
+    collapse first (so a document stored across several rows still
+    counts ONCE; per-row counting would inflate df_docs past n_docs
+    and flip idf negative), then a plain per-token count. No
+    `countDistinct` aggregate anywhere; both levels are map-side
+    combinable. At 100 TB the DF agg output is |vocab| rows →
+    broadcast join, not sort-merge.
     """
     df = ensure_parallelism(df)
     n_docs = df.select(F.countDistinct(doc_id_col)).first()[0]
@@ -640,9 +642,13 @@ def tf_idf(
         *( [group_col] if group_col else [] ),
         F.explode("_tk").alias("token"),
     ).groupBy(*group_keys).agg(F.count("*").alias("tf"))
-    dfreq = base.select(
-        F.explode(F.array_distinct("_tk")).alias("token")
-    ).groupBy("token").agg(F.count("*").alias("df_docs"))
+    dfreq = (
+        base.select(doc_id_col, F.explode(F.array_distinct("_tk")).alias("token"))
+        .select("token", doc_id_col)
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df_docs"))
+    )
     out = tf.join(F.broadcast(dfreq), "token")
     idf = F.log(F.lit(float(n_docs)) / F.col("df_docs"))
     return out.select(
@@ -900,13 +906,15 @@ def charlm_score(
 def corpus_report(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     source_col: str = "source",
 ) -> DataFrame:
     """Per-source corpus "data card" — the summary table a training run
     records per shard/dump before mixing: volume (docs, tokens),
     length profile (avg/min/max tokens), exact-duplicate rate, English
-    share, and a quality-pass share.
+    share, and a quality-pass share. Grain is one input ROW = one
+    document (there is deliberately no id parameter — a corpus stored
+    with documents split across rows should be reassembled, e.g. via
+    :func:`reassemble_chunks`, before reporting).
 
     One map-side per-doc projection (token count, lang-ID, quality,
     normalized content hash — all codegen) + ONE aggregation keyed on

@@ -67,6 +67,28 @@ def load_all() -> None:
     from rehiver_spark.queries import c_ops  # noqa: F401
 
 
+def scratch_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf_dir) scratch directory, CLEARED and
+    recreated on each call. Queries that stage data on disk (streaming
+    file sources, z-order layouts, snapshot stores) previously leaked a
+    fresh ``mkdtemp`` per invocation — at sf1 that is hundreds of MB
+    per bench run. One reused dir bounds scratch disk at a single copy
+    per query, and clearing it keeps streaming checkpoints fresh (a
+    reused checkpoint would make an AvailableNow re-run emit nothing).
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"rehiver_scratch_{name}_{tag}")
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
+    return d
+
+
 def tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load testdata views with a pinned UTC session timezone so
     date rendering matches DuckDB's naive timestamps regardless of how

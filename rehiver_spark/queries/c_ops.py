@@ -648,8 +648,7 @@ def c17c_streaming_exec(spark, sf_dir):
     tumbling window agg → Trigger.AvailableNow → memory sink. The
     returned DataFrame is the sink table, so the oracle verifies the
     streaming execution itself, not just a batch replay."""
-    import tempfile
-
+    from rehiver_spark.queries import scratch_dir
     from rehiver_spark.streaming.windows import (
         read_file_stream,
         run_available_now,
@@ -657,13 +656,16 @@ def c17c_streaming_exec(spark, sf_dir):
     )
 
     ev = tables(spark, sf_dir, ["events"])["events"]
-    src = tempfile.mkdtemp(prefix="stream_src_")
+    scratch = scratch_dir("c17c", sf_dir)
+    src = f"{scratch}/src"
     ev.withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.mode(
         "overwrite"
     ).parquet(src)
     schema = spark.read.parquet(src).schema
     sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
-    res = run_available_now(tumbling_counts(sdf, "ts", "1 hour"))
+    res = run_available_now(
+        tumbling_counts(sdf, "ts", "1 hour"), checkpoint=f"{scratch}/ckpt"
+    )
     return res.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
         "n_events",
@@ -719,8 +721,8 @@ def c17d_stream_join(spark, sf_dir):
     streamed result equals the batch join exactly — the oracle verifies
     the streaming execution, not a replay."""
     import os as _os
-    import tempfile
 
+    from rehiver_spark.queries import scratch_dir
     from rehiver_spark.streaming.windows import (
         read_file_stream,
         run_available_now,
@@ -728,7 +730,8 @@ def c17d_stream_join(spark, sf_dir):
     )
 
     ev = tables(spark, sf_dir, ["events"])["events"]
-    src = tempfile.mkdtemp(prefix="stream_join_src_")
+    scratch = scratch_dir("c17d", sf_dir)
+    src = f"{scratch}/src"
     ev.withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.mode(
         "overwrite"
     ).parquet(src)
@@ -763,6 +766,7 @@ def c17d_stream_join(spark, sf_dir):
     res = run_available_now(
         joined,
         output_mode="append",
+        checkpoint=f"{scratch}/ckpt",
         state_partitions=suggest_state_partitions(spark, src_bytes),
     )
     return res.select(
@@ -790,8 +794,8 @@ def c17e_stream_static_join(spark, sf_dir):
     dimension-enrichment pattern, oracle-verified against the batch
     join."""
     import os as _os
-    import tempfile
 
+    from rehiver_spark.queries import scratch_dir
     from rehiver_spark.streaming.windows import (
         read_file_stream,
         run_available_now,
@@ -799,7 +803,8 @@ def c17e_stream_static_join(spark, sf_dir):
     )
 
     t = tables(spark, sf_dir, ["lineitem", "orders"])
-    src = tempfile.mkdtemp(prefix="stream_dim_src_")
+    scratch = scratch_dir("c17e", sf_dir)
+    src = f"{scratch}/src"
     t["lineitem"].select("l_orderkey", "l_extendedprice").repartition(4).write.mode(
         "overwrite"
     ).parquet(src)
@@ -817,6 +822,7 @@ def c17e_stream_static_join(spark, sf_dir):
     res = run_available_now(
         agg,
         output_mode="complete",
+        checkpoint=f"{scratch}/ckpt",
         state_partitions=suggest_state_partitions(spark, src_bytes),
     )
     return res.select(
@@ -839,8 +845,8 @@ def c17f_stream_dedup(spark, sf_dir):
     depends on partition order, so value columns stay out of the
     contract)."""
     import os as _os
-    import tempfile
 
+    from rehiver_spark.queries import scratch_dir
     from rehiver_spark.streaming.windows import (
         read_file_stream,
         run_available_now,
@@ -848,7 +854,8 @@ def c17f_stream_dedup(spark, sf_dir):
     )
 
     ev = tables(spark, sf_dir, ["events"])["events"]
-    src = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    scratch = scratch_dir("c17f", sf_dir)
+    src = f"{scratch}/src"
     ev.select(
         F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
     ).repartition(4).write.mode("overwrite").parquet(src)
@@ -865,6 +872,7 @@ def c17f_stream_dedup(spark, sf_dir):
     res = run_available_now(
         sdf,
         output_mode="append",
+        checkpoint=f"{scratch}/ckpt",
         state_partitions=suggest_state_partitions(spark, src_bytes),
     )
     return res.select("user_id", "event_type")

@@ -39,7 +39,6 @@ round-3 driver evidence.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -231,7 +230,9 @@ def x30_zorder_layout(spark, sf_dir):
     ev = tables(spark, sf_dir, ["events"])["events"].select(
         "event_id", "user_id", "value"
     )
-    out_dir = tempfile.mkdtemp(prefix="zorder_") + "/events"
+    from rehiver_spark.queries import scratch_dir
+
+    out_dir = scratch_dir("x30", sf_dir) + "/events"
     write_zordered(ev, out_dir, ["user_id", "value"], bits=6, n_files=8)
     back = spark.read.parquet(out_dir)
     return back.select(

@@ -12,7 +12,6 @@ use ``dot=True`` — the dotfile path is unit-tested instead).
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -494,7 +493,9 @@ def r12_snapshot_commit(spark, sf_dir):
         F.concat("etag", F.lit("v2")).alias("etag"),
         (F.col("last_modified") + F.expr("INTERVAL 2 HOUR")).alias("last_modified"),
     )
-    det = ChangeDetector(spark, tempfile.mkdtemp(prefix="snap_"))
+    from rehiver_spark.queries import scratch_dir
+
+    det = ChangeDetector(spark, scratch_dir("r12", sf_dir))
     det.add_objects(cur.unionByName(dup))
     det.commit()
     loaded = det.store.load()

@@ -283,3 +283,56 @@ def test_cancel_incremental_partial_stats(spark, tmp_path):
     st2 = stats2.first()
     assert st2["matched"] == n_all
     assert log2.select("key").distinct().count() == n_all
+
+
+def test_cancel_does_not_mask_real_processor_failure(spark, tmp_path):
+    """A genuine processor error that races a cancel() must still
+    surface — only failures provably caused by the cancel path are
+    absorbed as a clean partial return."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.pipeline import (
+        CancelHandle,
+        stream_process_incremental,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(20).select(F.col("id"), (F.col("id") % 2).alias("part")).write.partitionBy(
+        "part"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    h = CancelHandle()
+
+    def on_progress(p):
+        # a real bug in user code that fires in the same instant a
+        # cancel lands: the flag is set, but the failure is NOT the
+        # cancel path's PipelineCancelled
+        h._flag.set()
+        raise ValueError("genuine user-callback bug")
+
+    with pytest.raises(Exception) as ei:
+        stream_process_incremental(
+            spark,
+            src,
+            schema,
+            "**",
+            _make_processor(),
+            log_dir=str(tmp_path / "log"),
+            checkpoint=str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+            on_progress=on_progress,
+            cancel=h,
+        )
+    # the genuine failure surfaced (not swallowed as a clean cancel)
+    assert "genuine user-callback bug" in str(ei.value)
+
+    # unit check of the discriminator itself
+    from rehiver_spark.operators.pipeline import PipelineCancelled, _is_cancel_failure
+
+    assert _is_cancel_failure(PipelineCancelled("x"), h)
+    wrapped = RuntimeError("query failed: ... PipelineCancelled: cancelled before batch 3 ...")
+    assert _is_cancel_failure(wrapped, h)
+    assert _is_cancel_failure(RuntimeError(f"job killed: {h.group_id}"), h)
+    assert not _is_cancel_failure(ValueError("disk full"), h)

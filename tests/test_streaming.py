@@ -271,9 +271,35 @@ def test_compact_dedup_index_idempotent(spark, tmp_path):
         f"{idx}/batch_id=1"
     )
     assert compact_dedup_index(spark, idx) == 3
-    # re-compacting an already-compacted index is a no-op in content
+    # re-compacting an already-compacted index is a no-op in content;
+    # each compaction promotes into a FRESH negative id (crash safety:
+    # nothing is deleted before its replacement is fully visible)
     assert compact_dedup_index(spark, idx) == 3
-    assert {e for e in os.listdir(idx) if e.startswith("batch_id=")} == {"batch_id=-1"}
+    assert {e for e in os.listdir(idx) if e.startswith("batch_id=")} == {"batch_id=-2"}
+
+
+def test_compact_dedup_index_crash_window_loses_nothing(spark, tmp_path):
+    """A crash between the consolidated-partition promote and the old-
+    partition sweep must leave every hash readable (duplicates are
+    membership-neutral); the next compaction folds the leftovers."""
+    import os
+
+    from rehiver_spark.operators.dedup import compact_dedup_index
+
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame([("a",), ("b",)], "content_sha string").write.parquet(
+        f"{idx}/batch_id=0"
+    )
+    assert compact_dedup_index(spark, idx) == 2
+    # simulate the crash window of a SECOND compaction: the fresh
+    # consolidated partition exists alongside the superseded one
+    spark.read.parquet(idx).select("content_sha").distinct().write.parquet(
+        f"{idx}/batch_id=-2"
+    )
+    got = {r["content_sha"] for r in spark.read.parquet(idx).collect()}
+    assert got == {"a", "b"}  # nothing lost while both partitions exist
+    assert compact_dedup_index(spark, idx) == 2
+    assert {e for e in os.listdir(idx) if e.startswith("batch_id=")} == {"batch_id=-3"}
 
 
 def test_stream_incremental_dedup_replay_overwrites_partial_partition(spark, tmp_path):
@@ -319,3 +345,30 @@ def test_stream_incremental_dedup_replay_overwrites_partial_partition(spark, tmp
     # ...and the garbage hash did not survive the overwrite
     hashes = {r["content_sha"] for r in spark.read.parquet(idx).collect()}
     assert "deadbeef" not in hashes and len(hashes) == 2
+
+
+def test_stream_incremental_dedup_empty_source_schema_parity(spark, tmp_path):
+    """The empty-source fallback must return the SAME columns as the
+    normal path (which carries the batch_id partition column) so
+    downstream audits and unionByName survive a first empty run."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from rehiver_spark.operators.dedup import stream_incremental_dedup
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    empty = stream_incremental_dedup(
+        spark,
+        src,
+        schema,
+        index_dir=str(tmp_path / "idx"),
+        accepted_dir=str(tmp_path / "acc"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert empty.count() == 0
+    assert set(empty.columns) == {"doc_id", "text", "content_sha", "batch_id"}

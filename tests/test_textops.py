@@ -468,3 +468,22 @@ def test_token_drift_exact_tv_distance(spark):
         "doc_id bigint, text string, source string",
     )
     assert token_drift(same, "ref").collect()[0]["tv_distance"] == 0.0
+
+
+def test_tf_idf_df_docs_counts_documents_not_rows(spark):
+    """A document stored across multiple rows (chunked storage) must
+    count once in df_docs — per-row counting would let df_docs exceed
+    n_docs and flip idf negative."""
+    import math
+
+    from rehiver_spark.operators.textops import tf_idf
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "s"), (1, "alpha gamma", "s"), (2, "beta", "s")],
+        "doc_id bigint, text string, source string",
+    )
+    out = {r["token"]: r for r in tf_idf(df).collect()}
+    assert out["alpha"]["df_docs"] == 1        # doc 1 only, despite 2 rows
+    assert out["beta"]["df_docs"] == 2
+    assert abs(out["alpha"]["idf"] - math.log(2 / 1)) < 1e-12
+    assert out["gamma"]["idf"] >= 0            # never negative
