@@ -346,3 +346,41 @@ def test_dedup_caches_released_by_clear_cache(spark):
     assert persisted_ids() - before  # the documented cache exists...
     spark.catalog.clearCache()
     assert not (persisted_ids() - before)  # ...and clearCache releases it
+
+
+def test_incremental_banding_agrees_with_batch_lsh(spark):
+    """The incremental index join and the batch self-join share ONE
+    band-key definition (_band_keys): for the same corpus, the pairs
+    the incremental path finds between two halves must be exactly the
+    batch LSH candidate pairs that straddle the halves."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        lsh_candidates,
+        minhash_index,
+        shingles,
+    )
+
+    rows = [(i, f"alpha beta gamma delta epsilon token{i % 7} zeta eta") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    corpus = df.filter("doc_id % 2 = 0")
+    batch = df.filter("doc_id % 2 = 1")
+
+    sh = df.select("doc_id", shingles(F.col("text"), 3).alias("shingles"))
+    all_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates(sh, num_hashes=16, bands=8).collect()
+    }
+    straddling = {
+        tuple(sorted(p)) for p in all_pairs if (p[0] % 2) != (p[1] % 2)
+    }
+
+    idx = minhash_index(corpus, num_hashes=16)
+    got = {
+        tuple(sorted((r["doc_id"], r["corpus_id"])))
+        for r in incremental_minhash_neardup(
+            batch, idx, num_hashes=16, bands=8, est_threshold=0.0
+        ).collect()
+    }
+    assert got == straddling and straddling
