@@ -299,9 +299,18 @@ def _translate_one(pattern: str, dot: bool) -> str:
                 if body.startswith(("!", "^")):
                     # a glob class never matches the separator, so the
                     # negation set must include '/' (micromatch parity:
-                    # '[!b]' must not match across segment boundaries)
-                    body = "^/" + body[1:]
-                out.append("[" + _sub_posix(body.replace("\\", "\\\\")) + "]")
+                    # '[!b]' must not match across segment boundaries).
+                    # A literal ']' that was first-in-class ('[!]x]') is
+                    # no longer first once '^/' is prepended — escape it
+                    # or it would terminate the regex class early and
+                    # invert the match
+                    rest = body[1:].replace("\\", "\\\\")
+                    if rest.startswith("]"):
+                        rest = "\\]" + rest[1:]
+                    body = "^/" + rest
+                else:
+                    body = body.replace("\\", "\\\\")
+                out.append("[" + _sub_posix(body) + "]")
                 i = j + 1
             seg_start = False
         elif c == "/":
@@ -482,7 +491,14 @@ def segment_glob_to_regex(pattern: str) -> str:
     segs = pattern.split("/")
     parts = []
     for seg in segs:
-        body = "".join(".*" if ch == "*" else "." if ch == "?" else _escape(ch) for ch in seg)
+        # [^/] (not .) — the reference compares per SEGMENT, so its .*
+        # can never cross a '/'; a whole-path regex must forbid it
+        # explicitly or 'year=*' would swallow '/month=01' and break
+        # the equal-segment-count contract
+        body = "".join(
+            "[^/]*" if ch == "*" else "[^/]" if ch == "?" else _escape(ch)
+            for ch in seg
+        )
         parts.append(body)
     return "^" + "/".join(parts) + "$"
 

@@ -78,15 +78,36 @@ class PartitionField:
                 v = float(raw)
             except ValueError:
                 raise PartitionParseError(f"{self.name}: expected double, got {raw!r}")
+        elif self.dtype == "date":
+            # parity with the Column path's try_cast-to-null: malformed
+            # date values must FAIL driver parse, not pass as strings
+            from datetime import date
+
+            try:
+                v = date.fromisoformat(raw.strip())
+            except ValueError:
+                raise PartitionParseError(f"{self.name}: expected date, got {raw!r}")
+        elif self.dtype == "timestamp":
+            from datetime import datetime as _dt
+
+            try:
+                v = _dt.fromisoformat(raw.strip().replace(" ", "T", 1))
+            except ValueError:
+                raise PartitionParseError(
+                    f"{self.name}: expected timestamp, got {raw!r}"
+                )
         else:
             v = raw
         self._check(v, raw)
         return v
 
     def _check(self, v, raw: str):
-        if self.min is not None and v < self.min:
+        # min/max are numeric constraints; comparing them against a
+        # date/str value would raise TypeError instead of a parse error
+        numeric = isinstance(v, (int, float)) and not isinstance(v, bool)
+        if self.min is not None and numeric and v < self.min:
             raise PartitionParseError(f"{self.name}: {v} < min {self.min}")
-        if self.max is not None and v > self.max:
+        if self.max is not None and numeric and v > self.max:
             raise PartitionParseError(f"{self.name}: {v} > max {self.max}")
         if self.values is not None and raw not in self.values:
             raise PartitionParseError(f"{self.name}: {raw!r} not in {self.values}")
@@ -108,7 +129,11 @@ class PartitionField:
         ``unquote`` leaves invalid sequences in place) rather than
         aborting the job.
         """
-        raw = F.regexp_extract(key, rf"(?:^|/){re.escape(self.name)}=([^/]*)", 1)
+        # (?:.*/|^) — the GREEDY prefix makes a duplicated key resolve
+        # to its LAST occurrence, matching split_path's dict overwrite
+        # (driver parity); the first-occurrence form let the two parity
+        # surfaces disagree on pathological paths
+        raw = F.regexp_extract(key, rf"(?:.*/|^){re.escape(self.name)}=([^/]*)", 1)
         # regexp_extract returns '' on no-match; disambiguate via contains
         present = key.rlike(rf"(?:^|/){re.escape(self.name)}=")
         decodable = raw.rlike(r"^(?:[^%]|%[0-9A-Fa-f]{2})*$")

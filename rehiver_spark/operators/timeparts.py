@@ -110,14 +110,19 @@ class TimePartitioner:
     # ------------------------- Column-side ----------------------------
     _SPARK_FMT = {"year": "yyyy", "month": "MM", "day": "dd", "hour": "HH", "minute": "mm"}
 
-    def path_col(self, ts: Column | str) -> Column:
+    def path_col(self, ts: Column | str, wall: bool = False) -> Column:
         """Path projection from a timestamp column — pure
-        ``date_format``/``concat``; stays in whole-stage codegen."""
+        ``date_format``/``concat``; stays in whole-stage codegen.
+
+        ``wall=True`` means the column already HOLDS target-timezone
+        wall time (as :meth:`paths_df`'s generated sequence does) and
+        must not be shifted again."""
         c = F.col(ts) if isinstance(ts, str) else ts
         # session tz is UTC, so the stored instant renders as UTC wall
         # time; from_utc_timestamp converts it to the target wall clock
         # (mirrors path_for's dt.astimezone).
-        c = F.from_utc_timestamp(c, self.timezone) if self.timezone != "UTC" else c
+        if not wall:
+            c = F.from_utc_timestamp(c, self.timezone) if self.timezone != "UTC" else c
         parts = []
         for key, _ in self._components():
             v = F.date_format(c, self._SPARK_FMT[key])
@@ -127,10 +132,27 @@ class TimePartitioner:
             path = F.concat(F.lit(self.prefix + "/"), path)
         return path
 
+    def _wall(self, dt: datetime) -> datetime:
+        """Normalize an endpoint to NAIVE target-timezone wall time —
+        the same rule :meth:`path_for` applies (naive = already target
+        wall time; aware = convert), so the driver and Column range
+        APIs can never disagree by the tz offset."""
+        if dt.tzinfo is not None:
+            return dt.astimezone(ZoneInfo(self.timezone)).replace(tzinfo=None)
+        return dt
+
     def paths_df(self, spark: SparkSession, start: datetime, end: datetime) -> DataFrame:
         """Distributed path series: ``sequence(start, end, interval)`` +
         ``explode`` — never materializes the range on the driver
-        (SURVEY §2 R9). Columns: ``ts TIMESTAMP, path STRING``."""
+        (SURVEY §2 R9). Columns: ``ts TIMESTAMP, path STRING``.
+
+        The whole sequence is generated IN target-timezone wall time
+        (endpoints normalized like :meth:`path_for`; no per-row
+        from_utc_timestamp afterwards): a naive endpoint used to be
+        read as a UTC instant and then shifted, putting every emitted
+        path one tz-offset off the driver APIs, and stepping wall time
+        also keeps calendar steps aligned across DST the way
+        :meth:`range_paths` does."""
         interval = {
             "hourly": "interval 1 hour",
             "daily": "interval 1 day",
@@ -140,13 +162,13 @@ class TimePartitioner:
         df = spark.range(1).select(
             F.explode(
                 F.sequence(
-                    F.lit(self._truncate(start)),
-                    F.lit(self._truncate(end)),
+                    F.lit(self._truncate(self._wall(start))),
+                    F.lit(self._truncate(self._wall(end))),
                     F.expr(interval),
                 )
             ).alias("ts")
         )
-        return df.select("ts", self.path_col("ts").alias("path"))
+        return df.select("ts", self.path_col("ts", wall=True).alias("path"))
 
     def range_filter(self, start: datetime, end: datetime) -> Column:
         """Pruning predicate on hive partition columns (year/month/...)

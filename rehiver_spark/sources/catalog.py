@@ -247,23 +247,11 @@ def valid_bucket_name_col(name: Column | str) -> Column:
 
 def list_local(spark: SparkSession, base: str, prefix: str = "") -> DataFrame:
     """Walk a local directory into an objects DataFrame (test tier —
-    replaces the reference's MinIO integration tier, SURVEY §5)."""
-    rows = []
-    root = os.path.join(base, prefix) if prefix else base
-    for dirpath, _, files in os.walk(root):
-        for fn in files:
-            p = os.path.join(dirpath, fn)
-            st = os.stat(p)
-            key = os.path.relpath(p, base).replace(os.sep, "/")
-            rows.append(
-                (
-                    key,
-                    st.st_size,
-                    f"{st.st_mtime_ns:x}-{st.st_size:x}",  # etag stand-in
-                    datetime.fromtimestamp(st.st_mtime, tz=timezone.utc).replace(tzinfo=None),
-                    content_type_of(key),
-                )
-            )
+    replaces the reference's MinIO integration tier, SURVEY §5).
+    Driver-side wrapper over the SAME row generator the distributed
+    lister ships to executors (one walk/stat/etag definition, not two
+    copies that drift)."""
+    rows = list(local_lister_factory(base)()(prefix))
     return spark.createDataFrame(rows, OBJECTS_SCHEMA)
 
 
@@ -292,22 +280,15 @@ def list_s3(
             raise NotImplementedError("boto3 not available in this environment") from e
 
         client = boto3.client("s3")
-    paginator = client.get_paginator("list_objects_v2")
+    # one pagination/row-shaping definition shared with the distributed
+    # lister (the two copies had already drifted on LastModified tz)
+    lister = s3_lister_factory(
+        bucket, max_keys_per_request, client_factory=lambda: client
+    )()
     dfs: list[DataFrame] = []
     rows: list[tuple] = []
-    for page in paginator.paginate(
-        Bucket=bucket, Prefix=prefix, PaginationConfig={"PageSize": max_keys_per_request}
-    ):
-        for obj in page.get("Contents", []):
-            rows.append(
-                (
-                    decode_s3_key(obj["Key"]),
-                    int(obj.get("Size", 0)),
-                    (obj.get("ETag") or "").strip('"'),
-                    obj.get("LastModified"),
-                    content_type_of(obj["Key"]),
-                )
-            )
+    for row in lister(prefix):
+        rows.append(row)
         if len(rows) >= batch_rows:
             dfs.append(spark.createDataFrame(rows, OBJECTS_SCHEMA))
             rows = []
@@ -376,20 +357,26 @@ def s3_lister_factory(bucket: str, max_keys_per_request: int = 1000, client_fact
 
         def lister(prefix: str):
             paginator = client.get_paginator("list_objects_v2")
+            # EncodingType='url' makes S3 return keys URL-encoded, so
+            # decode_s3_key recovers the exact literal name — without
+            # it the response is RAW and decoding corrupts any key
+            # whose literal name contains %-sequences ('100%20done')
             for page in paginator.paginate(
                 Bucket=bucket,
                 Prefix=prefix,
+                EncodingType="url",
                 PaginationConfig={"PageSize": max_keys_per_request},
             ):
                 for obj in page.get("Contents", []):
+                    key = decode_s3_key(obj["Key"])
                     yield (
-                        decode_s3_key(obj["Key"]),
+                        key,
                         int(obj.get("Size", 0)),
                         (obj.get("ETag") or "").strip('"'),
                         obj.get("LastModified").replace(tzinfo=None)
                         if obj.get("LastModified")
                         else None,
-                        content_type_of(obj["Key"]),
+                        content_type_of(key),
                     )
 
         return lister

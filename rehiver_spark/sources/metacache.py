@@ -134,9 +134,29 @@ class MetadataCache:
         self._data: OrderedDict[str, _Entry] = OrderedDict()
         self._pending_refresh: set[str] = set()
         # per-key generation: bumped by invalidate()/clear() so an
-        # in-flight background refresh that started before the
-        # invalidation cannot re-cache pre-invalidation metadata
+        # in-flight fetch (background refresh OR a plain miss fetch)
+        # that started before the invalidation cannot re-cache
+        # pre-invalidation metadata. _pending_fetch counts in-flight
+        # fetches per key; _gen entries live only while one is pending,
+        # keeping the dict bounded by concurrency, not keys-ever-seen.
         self._gen: dict[str, int] = {}
+        self._pending_fetch: dict[str, int] = {}
+
+    def _fetch_begin(self, ck: str) -> int:
+        """Register an in-flight fetch; returns the generation to check
+        before storing its result."""
+        with self._lock:
+            self._pending_fetch[ck] = self._pending_fetch.get(ck, 0) + 1
+            return self._gen.get(ck, 0)
+
+    def _fetch_end(self, ck: str) -> None:
+        with self._lock:
+            n = self._pending_fetch.get(ck, 1) - 1
+            if n <= 0:
+                self._pending_fetch.pop(ck, None)
+                self._gen.pop(ck, None)
+            else:
+                self._pending_fetch[ck] = n
 
     @staticmethod
     def _cache_key(bucket: str, key: str) -> tuple[str, str]:
@@ -181,11 +201,19 @@ class MetadataCache:
                 return value
         with self._lock:
             self.stats.misses += 1
-        value = retry_with_backoff(lambda: self.fetcher(bucket, safe))
-        if value is not None and self.enabled:
-            with self._lock:
-                self._store(ck, value)
-        return value
+        gen = self._fetch_begin(ck)
+        try:
+            value = retry_with_backoff(lambda: self.fetcher(bucket, safe))
+            if value is not None and self.enabled:
+                with self._lock:
+                    # an invalidate() that landed while this miss-fetch
+                    # was in flight bumped the generation: storing now
+                    # would resurrect pre-invalidation metadata for ttl
+                    if self._gen.get(ck, 0) == gen:
+                        self._store(ck, value)
+            return value
+        finally:
+            self._fetch_end(ck)
 
     def _store(self, ck: str, value) -> None:
         self._data[ck] = _Entry(value)
@@ -195,8 +223,7 @@ class MetadataCache:
             self.stats.evictions += 1
 
     def _refresh(self, bucket: str, safe_key: str, ck: str) -> None:
-        with self._lock:
-            gen = self._gen.get(ck, 0)
+        gen = self._fetch_begin(ck)
 
         def work():
             try:
@@ -211,10 +238,7 @@ class MetadataCache:
             finally:
                 with self._lock:
                     self._pending_refresh.discard(ck)
-                    # the generation guard only matters while a refresh
-                    # is in flight; drop it so _gen stays bounded by the
-                    # number of concurrent refreshes, not keys-ever-seen
-                    self._gen.pop(ck, None)
+                self._fetch_end(ck)
 
         if self.background:
             threading.Thread(target=work, daemon=True).start()
@@ -232,15 +256,16 @@ class MetadataCache:
         ck = f"{bucket}:{safe}"
         with self._lock:
             self._data.pop(ck, None)
-            # only an in-flight refresh can re-cache stale data, so only
-            # pending keys need a generation bump — keys without one
-            # would otherwise accumulate a _gen entry forever
-            if ck in self._pending_refresh:
+            # only an in-flight fetch (refresh OR miss) can re-cache
+            # stale data, so only pending keys need a generation bump —
+            # keys without one would otherwise accumulate a _gen entry
+            # forever
+            if ck in self._pending_fetch:
                 self._gen[ck] = self._gen.get(ck, 0) + 1
 
     def clear(self) -> None:
         with self._lock:
-            for ck in self._pending_refresh:
+            for ck in self._pending_fetch:
                 self._gen[ck] = self._gen.get(ck, 0) + 1
             self._data.clear()
             self._pending_refresh.clear()

@@ -243,7 +243,15 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        if not q.awaitTermination(timeout_sec):
+            # timed out mid-drain: returning spark.table(name) here
+            # would hand back TRUNCATED aggregates indistinguishable
+            # from a complete run — fail loudly instead
+            raise TimeoutError(
+                f"streaming query did not drain within {timeout_sec}s; "
+                "partial results discarded (raise timeout_sec or shrink "
+                "the backlog)"
+            )
     finally:
         if q is not None and q.isActive:
             q.stop()
@@ -277,7 +285,13 @@ def foreach_batch_collecting(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        if not q.awaitTermination(timeout_sec):
+            # a silent partial drain would be indistinguishable from a
+            # complete one; committed epochs stay replay-safe in the
+            # checkpoint, so failing loudly loses nothing
+            raise TimeoutError(
+                f"streaming query did not drain within {timeout_sec}s"
+            )
     finally:
         if q.isActive:
             q.stop()

@@ -220,3 +220,32 @@ def test_clear_cancels_inflight_refresh():
     assert len(c) == 0
     assert c.stats.refreshes == 0
     assert len(c._gen) == 0
+
+
+def test_invalidate_during_miss_fetch_not_resurrected():
+    """An invalidate() that lands while a MISS fetch is in flight must
+    prevent the fetched (pre-invalidation) value from being cached —
+    the same guarantee the generation guard already gave refreshes."""
+    from rehiver_spark.sources.metacache import MetadataCache
+
+    cache = MetadataCache(fetcher=None, background=False)
+    state = {"v": "old"}
+
+    def fetcher(bucket, key):
+        # simulate the overwrite+invalidate racing the in-flight fetch
+        cache.invalidate(bucket, key)
+        state["v"] = "new"
+        return {"key": key, "etag": "old-etag"}
+
+    cache.fetcher = fetcher
+    got = cache.get("test-bucket", "a/k.parquet")
+    assert got["etag"] == "old-etag"  # the caller still gets the fetch result
+
+    def fetcher2(bucket, key):
+        return {"key": key, "etag": "new-etag"}
+
+    cache.fetcher = fetcher2
+    # the stale value must NOT have been cached: next get re-fetches
+    assert cache.get("test-bucket", "a/k.parquet")["etag"] == "new-etag"
+    # and the guard bookkeeping is fully drained (bounded memory)
+    assert not cache._gen and not cache._pending_fetch

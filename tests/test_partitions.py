@@ -190,3 +190,46 @@ def test_typed_col_ansi_safe_invalid_int(spark):
     rows = {r["key"]: (r["_valid"], r["year"]) for r in date_schema().apply(ks).collect()}
     assert rows["year=2024/month=01/day=15"] == (True, 2024)
     assert rows["year=oops/month=1/day=1"] == (False, None)
+
+
+def test_duplicate_key_driver_column_agree_on_last(spark):
+    """'year=2023/backup/year=2024': both parity surfaces must resolve
+    the duplicated key the same way (LAST occurrence, dict semantics)."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.partitions import PartitionField, PartitionSchema
+
+    sch = PartitionSchema([PartitionField("year", "int")])
+    path = "year=2023/backup/year=2024"
+    assert sch.parse(path) == {"year": 2024}
+    got = (
+        spark.createDataFrame([(path,)], "key string")
+        .select(sch.fields[0].typed_col(F.col("key")).alias("y"))
+        .first()["y"]
+    )
+    assert got == 2024
+
+
+def test_date_field_driver_column_validity_agree(spark):
+    """Malformed date values must be invalid on BOTH rails — the driver
+    used to pass them through as strings while try_cast nulled them."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.partitions import (
+        PartitionField,
+        PartitionParseError,
+        PartitionSchema,
+    )
+
+    sch = PartitionSchema([PartitionField("d", "date")])
+    from datetime import date
+
+    assert sch.parse("d=2024-03-05") == {"d": date(2024, 3, 5)}
+    with pytest.raises(PartitionParseError):
+        sch.parse("d=not-a-date")
+    assert not sch.is_valid("d=not-a-date")
+    f = sch.fields[0]
+    df = spark.createDataFrame([("d=2024-03-05",), ("d=not-a-date",)], "key string")
+    vals = [r["v"] for r in df.select(f.typed_col(F.col("key")).alias("v")).collect()]
+    assert vals[0] is not None and vals[1] is None

@@ -139,3 +139,26 @@ def test_path_col_non_utc_parity(spark):
         )
         got = [r[0] for r in df.select(tp.path_col("ts")).collect()]
         assert got == expected, tz
+
+
+def test_paths_df_agrees_with_range_paths_non_utc(spark):
+    """A NAIVE endpoint means target-timezone wall time in BOTH the
+    driver and the distributed API — paths_df used to read it as a UTC
+    instant and emit every path one tz-offset off range_paths."""
+    from datetime import datetime, timezone
+
+    from rehiver_spark.operators.timeparts import TimePartitioner
+
+    tp = TimePartitioner("hourly", timezone="America/New_York")
+    start, end = datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 2)
+    want = tp.range_paths(start, end)
+    got = [r["path"] for r in tp.paths_df(spark, start, end).orderBy("ts").collect()]
+    assert got == want
+    assert want[0].endswith("hour=00")  # wall time, not shifted to 2023-12-31/19
+
+    # aware endpoints convert — both APIs agree there too
+    aware = datetime(2024, 1, 1, 5, tzinfo=timezone.utc)  # = midnight NY
+    aware_end = datetime(2024, 1, 1, 7, tzinfo=timezone.utc)
+    assert [
+        r["path"] for r in tp.paths_df(spark, aware, aware_end).orderBy("ts").collect()
+    ] == tp.range_paths(aware, aware_end)

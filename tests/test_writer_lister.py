@@ -163,15 +163,20 @@ class _FakePaginator:
     def __init__(self, store, bucket):
         self.store, self.bucket = store, bucket
 
-    def paginate(self, Bucket, Prefix="", PaginationConfig=None):
+    def paginate(self, Bucket, Prefix="", EncodingType=None, PaginationConfig=None):
         assert Bucket == self.bucket
+        # faithful to S3: stored keys are LITERAL names; EncodingType
+        # 'url' returns them URL-encoded (per path segment)
+        assert EncodingType == "url", "listers must request EncodingType=url"
+        from rehiver_spark.sources.catalog import encode_s3_key
+
         size = (PaginationConfig or {}).get("PageSize", 1000)
         keys = sorted(k for k in self.store if k.startswith(Prefix))
         for i in range(0, len(keys), size):
             yield {
                 "Contents": [
                     {
-                        "Key": k,
+                        "Key": encode_s3_key(k),
                         "Size": len(self.store[k]),
                         "ETag": f'"etag-{k}"',  # quoted, as S3 returns it
                         "LastModified": __import__("datetime").datetime(
@@ -225,16 +230,20 @@ class _FakeS3Client:
 def test_list_s3_full_pagination_and_decode(spark):
     """250 keys at PageSize=100 must all arrive (the reference's
     as-implemented loop schedules only page 1 — the cautionary tale),
-    with URL-encoded keys decoded and quoted etags stripped."""
+    with EncodingType=url requested and keys round-tripped back to
+    their LITERAL names — including names that themselves contain
+    %-sequences or spaces, which raw-response decoding corrupted."""
     from rehiver_spark.sources.catalog import list_s3
 
-    objects = {f"data/part-{i:04d}.json": b"x" * i for i in range(249)}
-    objects["enc/a%20b.json"] = b"spaced"
+    objects = {f"data/part-{i:04d}.json": b"x" * i for i in range(248)}
+    objects["enc/100%20done.csv"] = b"literal-percent"  # literal % in name
+    objects["enc/a b.json"] = b"spaced"                 # literal space
     fake = _FakeS3Client(objects)
     df = list_s3(spark, "bkt", max_keys_per_request=100, client=fake)
     rows = {r["key"]: r for r in df.collect()}
     assert len(rows) == 250  # every page, not just the first
-    assert "enc/a b.json" in rows  # per-segment URL-decode
+    assert "enc/100%20done.csv" in rows  # NOT corrupted to '100 done.csv'
+    assert "enc/a b.json" in rows        # encoded on the wire, decoded back
     some = rows["data/part-0042.json"]
     assert some["etag"] == "etag-data/part-0042.json"  # quotes stripped
     assert some["size"] == 42
@@ -303,7 +312,8 @@ def _make_fake_factory():
         import datetime
 
         class P:
-            def paginate(self, Bucket, Prefix="", PaginationConfig=None):
+            def paginate(self, Bucket, Prefix="", EncodingType=None, PaginationConfig=None):
+                assert EncodingType == "url"
                 size = (PaginationConfig or {}).get("PageSize", 1000)
                 keys = [f"{Prefix}f{i}.csv" for i in range(25)]
                 for j in range(0, len(keys), size):
