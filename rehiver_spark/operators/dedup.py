@@ -134,15 +134,15 @@ def jaccard_pairs(
     df = ensure_parallelism(df)
     if method == "prefix":
         return _jaccard_pairs_prefix(df, id_col, shingle_col, threshold, max_shingle_freq)
-    # Read by counts AND explode.  Deliberately NOT persisted: the
-    # returned DataFrame is lazy, so an in-function persist can never be
-    # paired with an unpersist and would leak executor storage for the
-    # session lifetime on every call.  Recomputing this projection is a
-    # cheap re-scan, acceptable for the non-default equivalence baseline.
+    # The exploded relation is read by the counts agg AND both join
+    # sides.  Deliberately NOT persisted: the returned DataFrame is
+    # lazy, so an in-function persist can never be paired with an
+    # unpersist and would leak executor storage for the session
+    # lifetime on every call.  Recomputing the explode is a cheap
+    # re-scan, acceptable for the non-default equivalence baseline.
     sized = df.select(
         F.col(id_col).alias("_id"), F.col(shingle_col).alias("_sh")
-    ).withColumn("_n", F.size("_sh"))
-    counts = sized.select("_id", "_n")
+    )
     ex = sized.select("_id", F.explode("_sh").alias("_s"))
     if max_shingle_freq is not None:
         hot = (
@@ -151,6 +151,11 @@ def jaccard_pairs(
             .select("_s")
         )
         ex = ex.join(F.broadcast(hot), "_s", "left_anti")
+    # set sizes AFTER the hot filter — the prefix method defines the
+    # metric over the filtered sets, and computing n_a/n_b from the
+    # unfiltered arrays made the two methods return DIFFERENT pair sets
+    # whenever max_shingle_freq was set (equivalence-baseline violation)
+    counts = ex.groupBy("_id").agg(F.count("*").alias("_n"))
     a = ex.select(F.col("_id").alias("id_a"), F.col("_s"))
     b = ex.select(F.col("_id").alias("id_b"), F.col("_s"))
     inter = (
@@ -159,9 +164,12 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
+    # no broadcast hint on the per-doc counts relation: it is
+    # corpus-sized, and forcing the hint past the autoBroadcast
+    # threshold would OOM at scale — AQE broadcasts it when it fits
     out = (
-        inter.join(F.broadcast(counts.withColumnsRenamed({"_id": "id_a", "_n": "n_a"})), "id_a")
-        .join(F.broadcast(counts.withColumnsRenamed({"_id": "id_b", "_n": "n_b"})), "id_b")
+        inter.join(counts.withColumnsRenamed({"_id": "id_a", "_n": "n_a"}), "id_a")
+        .join(counts.withColumnsRenamed({"_id": "id_b", "_n": "n_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -707,9 +715,16 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftrightunsigned("_sig", o)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("cv"),
+                        # a width-64 chunk (max_hamming=0) needs no
+                        # mask — and its (1<<64)-1 literal would
+                        # overflow int64 and fail F.lit at plan build
+                        (
+                            F.shiftrightunsigned("_sig", o)
+                            if w >= 64
+                            else F.shiftrightunsigned("_sig", o).bitwiseAND(
+                                F.lit((1 << w) - 1)
+                            )
+                        ).alias("cv"),
                     )
                     for i, (o, w) in enumerate(chunk_specs)
                 ]
@@ -903,6 +918,7 @@ def stream_incremental_dedup(
     id_col: str = "doc_id",
     max_files_per_trigger: int = 100,
     fmt: str = "parquet",
+    timeout_sec: int = 300,
 ) -> DataFrame:
     """Continuous-ingest exact dedup: a Structured Streaming file
     source discovers new document files, and every micro-batch is
@@ -967,7 +983,9 @@ def stream_incremental_dedup(
     sdf = read_file_stream(
         spark, src_dir, schema, fmt=fmt, max_files_per_trigger=max_files_per_trigger
     )
-    foreach_batch_collecting(sdf, handle, checkpoint=checkpoint)
+    foreach_batch_collecting(
+        sdf, handle, checkpoint=checkpoint, timeout_sec=timeout_sec
+    )
     if not os.path.isdir(accepted_dir):  # empty source: nothing accepted
         # same shape as the non-empty path (which reads the partitioned
         # dir and therefore carries batch_id) — downstream unionByName /
@@ -1014,7 +1032,11 @@ def compact_dedup_index(spark, index_dir: str, n_files: int = 16) -> int:
     import os
     import shutil
 
+    if not os.path.isdir(index_dir):
+        return 0  # no index yet (maintenance scheduled before first run)
     olds = [e for e in os.listdir(index_dir) if e.startswith("batch_id=")]
+    if not olds:
+        return 0  # nothing to fold (schema inference would fail anyway)
     new_id = min(
         (int(e.split("=", 1)[1]) for e in olds), default=0
     )

@@ -246,6 +246,9 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Byte-histogram feature vector (L1-normalized, folded to ``dim``)
     via mapInPandas — a real, deterministic featurizer exercising the
     exact batch shape a neural embedder plugs into (swap the inner fn)."""
+    if dim <= 0 or 256 % dim:
+        # fail at plan time, not inside every executor batch's reshape
+        raise ValueError(f"dim must divide 256, got {dim}")
     from rehiver_spark.session import ship_package
 
     ship_package(df.sparkSession)

@@ -323,6 +323,7 @@ def stream_process_incremental(
     fmt: str = "parquet",
     on_progress: Callable[[dict], None] | None = None,
     cancel: CancelHandle | None = None,
+    timeout_sec: int = 300,
 ) -> tuple[DataFrame, DataFrame]:
     """INCREMENTAL streamMatchingObjects: Structured Streaming file
     source discovers new files, each micro-batch glob-filters the new
@@ -394,7 +395,9 @@ def stream_process_incremental(
             on_progress({**cum, "batch_id": batch_id})
 
     try:
-        foreach_batch_collecting(sdf, handle, checkpoint=checkpoint)
+        foreach_batch_collecting(
+            sdf, handle, checkpoint=checkpoint, timeout_sec=timeout_sec
+        )
     except Exception as e:
         if cancel is None or not cancel.cancelled or not _is_cancel_failure(e, cancel):
             # NOT our cancellation: a processor bug or I/O error that

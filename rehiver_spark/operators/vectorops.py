@@ -261,11 +261,19 @@ def lsh_cosine_neardup_portable(
     quant = F.transform(
         as_double(vec_col), lambda x: F.round(x * scale, 0).cast("bigint")
     )
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"),
-        quant.alias("_q"),
-        l2_normalize(vec_col).alias("_v"),
-    ).persist()  # read by the bucketing pass plus both verify sides
+    base = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            quant.alias("_q"),
+            l2_normalize(vec_col).alias("_v"),
+        )
+        # a NULL or zero-norm embedding has no direction: it cannot be
+        # near-dup to anything, and a None reaching the Arrow batch
+        # would crash np.vstack for the whole job — drop it here
+        .filter(F.col("_v").isNotNull())
+        .persist()
+    )  # read by the bucketing pass plus both verify sides
     planes = [rademacher_planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     bkts = _plane_buckets_udf(planes, input_dtype="int64")
     bucketed = base.select("_id", F.posexplode(bkts("_q"))).withColumnsRenamed(
@@ -312,9 +320,14 @@ def lsh_cosine_neardup(
     possible); returned pairs ⊆ exact answer. All tables' buckets come
     from ONE projection + ONE self-join on (table, bucket) — not
     n_tables joins + union."""
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v")
-    ).persist()  # read by the bucketing pass plus both verify sides
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v"))
+        # NULL/zero-norm embeddings have no direction; a None in the
+        # Arrow batch would crash np.vstack for the whole job
+        .filter(F.col("_v").isNotNull())
+        .persist()
+    )  # read by the bucketing pass plus both verify sides
     planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     bkts = _plane_buckets_udf(planes, input_dtype="float64")
     bucketed = base.select("_id", F.posexplode(bkts("_v"))).withColumnsRenamed(
@@ -378,6 +391,9 @@ def kmeans_sample_centroids(
             l2_normalize(vec_col).alias("_v"),
             F.xxhash64(F.col(id_col)).alias("_h"),
         )
+        # NULL/zero-norm vectors normalize to NULL; a None in the
+        # collected sample would make X an object array and break X @ C.T
+        .filter(F.col("_v").isNotNull())
         .orderBy(F.col("_h").asc(), F.col("_id").asc())
         .limit(sample_cap)
         .collect()

@@ -132,8 +132,12 @@ def create_bucket_if_not_exists(
     ``client``); retries delegate to boto3's retry config (the
     reference's retryWithBackoff is not re-implemented — SURVEY §4)."""
     if not s3 and client is None:
+        # honor the contract in local mode too: True only when the
+        # directory was actually created (the S3 path's second call
+        # returns False; local tests must see the same branch behavior)
+        existed = os.path.isdir(bucket)
         os.makedirs(bucket, exist_ok=True)
-        return True
+        return not existed
     if client is None:
         try:
             import boto3  # noqa: PLC0415

@@ -384,3 +384,54 @@ def test_incremental_banding_agrees_with_batch_lsh(spark):
         ).collect()
     }
     assert got == straddling and straddling
+
+
+def test_jaccard_methods_agree_with_hot_filter(spark):
+    """With max_shingle_freq set, BOTH methods must define Jaccard over
+    the filtered sets — sizes from the unfiltered arrays made blocking
+    return a different pair set than prefix."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.dedup import jaccard_pairs, shingles
+
+    rows = [
+        (i, f"common one common two alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(5)
+    ] + [(10, "common one common two alpha0 beta0 gamma9 delta9")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").select(
+        "doc_id", shingles(F.col("text"), 2).alias("shingles")
+    )
+    kw = dict(threshold=0.4, max_shingle_freq=3)
+    p = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+         for r in jaccard_pairs(df, method="prefix", **kw).collect()}
+    b = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+         for r in jaccard_pairs(df, method="blocking", **kw).collect()}
+    assert p == b
+
+
+def test_simhash_max_hamming_zero(spark):
+    """max_hamming=0 (exact-signature duplicates) must build and run —
+    the single width-64 chunk's mask literal used to overflow int64."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz qq")],
+        "doc_id bigint, text string",
+    )
+    out = simhash_neardup_pairs(df, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}  # identical text → identical signature
+
+
+def test_compact_dedup_index_noop_on_missing_or_empty(spark, tmp_path):
+    import os
+
+    from rehiver_spark.operators.dedup import compact_dedup_index
+
+    missing = str(tmp_path / "never_created")
+    assert compact_dedup_index(spark, missing) == 0
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    assert compact_dedup_index(spark, empty) == 0

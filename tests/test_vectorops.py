@@ -344,3 +344,27 @@ def test_semantic_contamination_pairs(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # corpus must not shuffle
+
+
+def test_lsh_paths_tolerate_null_and_zero_vectors(spark):
+    """One NULL or zero-norm embedding must not crash the LSH jobs —
+    directionless vectors are excluded, everything else still pairs."""
+    from rehiver_spark.operators.vectorops import (
+        lsh_cosine_neardup,
+        lsh_cosine_neardup_portable,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),
+        (3, [0.0, 0.0, 0.0]),   # zero norm: no direction
+        (4, None),              # null embedding
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in lsh_cosine_neardup(df, dim=3, threshold=0.9).collect()}
+    assert got == {(1, 2)}
+    gotp = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_cosine_neardup_portable(df, dim=3, threshold=0.9).collect()
+    }
+    assert gotp == {(1, 2)}
