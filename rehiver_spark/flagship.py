@@ -27,10 +27,17 @@ _written: dict[str, str] = {}
 
 
 def partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Events written hive-partitioned by year/month/day/hour (cached)."""
+    """Events written hive-partitioned by year/month/day/hour (cached).
+
+    The target is a DETERMINISTIC per-sf_dir path (overwritten, not a
+    fresh mkdtemp): disk stays bounded at one hive copy per sf_dir
+    across any number of processes, instead of leaking one per run."""
     if sf_dir in _written and os.path.isdir(_written[sf_dir]):
         return _written[sf_dir]
-    out = tempfile.mkdtemp(prefix="events_hive_")
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"rehiver_events_hive_{tag}")
     ev = read_events(spark, sf_dir)
     (
         ev.withColumns(
