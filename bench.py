@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    except ValueError:
+        sf = -1.0  # custom-named dataset dir: unknown scale, still bench
 
     import __spark_entry__ as E
     from rehiver_spark.session import get_spark
@@ -74,21 +77,26 @@ def main() -> int:
     # optional n-runs via BENCH_RUNS (the driver passes no args, so its
     # contract — full suite, best of 2 — is unchanged)
     only = set(sys.argv[1:])
-    n_runs = int(os.environ.get("BENCH_RUNS", "2"))
+    n_runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     for name, fn in E.queries().items():
         if only and name not in only:
             continue
         best = None
         try:
             for _ in range(n_runs):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-                spark.catalog.clearCache()
+                try:
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                finally:
+                    # ALWAYS clear: a failing run must not leak its
+                    # persisted intermediates into later measurements
+                    spark.catalog.clearCache()
         except Exception as e:  # a failing query records -1, never kills the run
             print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+            # keep a valid earlier run's timing if one exists
+            timings[name] = round(best, 3) if best is not None else -1.0
             continue
         timings[name] = round(best, 3)
 

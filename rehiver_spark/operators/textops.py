@@ -796,7 +796,13 @@ def canonicalize_url(col: Column | str) -> Column:
     hostport = F.lower(
         F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     )
-    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    # DEFAULT ports only, per scheme: https://host:80 is a genuinely
+    # distinct origin from https://host and must not merge with it
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
     rawpath = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     trimmed = F.regexp_replace(rawpath, r"/+$", "")
     path = F.when(F.length(trimmed) > 0, trimmed).otherwise(F.lit("/"))

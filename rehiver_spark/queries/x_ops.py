@@ -553,21 +553,32 @@ def x8_simhash_pairs(spark, sf_dir):
     return simhash_neardup_pairs(corpus, "doc_id", "text", max_hamming=3)
 
 
+def _perturbed_embeddings(spark, sf_dir):
+    """Synthesized near-dup embedding corpus shared by x9/x9p/x22 (and
+    their SQL twins): testdata embeddings are near-orthogonal (max
+    pairwise cosine ≈ 0.51), so near-dups are planted as perturbed
+    copies (vec_id+100000, every 5th vector, +0.02 per component,
+    cosine ≈ 0.998 to the original). ONE definition — the three
+    queries' documented "same corpus" invariant is structural, not a
+    copy-paste promise."""
+    emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    perturbed = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + 0.02
+        ).alias("embedding"),
+    )
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(perturbed)
+
+
 @query("x9_lsh_cosine_neardup")  # sign-LSH bucketed, exact-verified
 def x9_lsh_cosine_neardup(spark, sf_dir):
     """Testdata embeddings are near-orthogonal (max pairwise cosine
     ≈ 0.51), so near-dups are synthesized: perturbed copies
     (vec_id+100000) with cosine ≈ 0.998 to their originals."""
-    emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    perturbed = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(F.col("embedding").cast("array<double>"), lambda x: x + 0.02).alias(
-            "embedding"
-        ),
-    )
-    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(
-        perturbed
-    )
+    corpus = _perturbed_embeddings(spark, sf_dir)
     out = lsh_cosine_neardup(corpus, dim=64, threshold=0.9)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -744,16 +755,7 @@ def x9p_lsh_cosine(spark, sf_dir):
     Rademacher bucketing (4 tables × 12 planes) → exact cosine verify.
     Same synthesized near-dup corpus as x9 (embeddings are naturally
     near-orthogonal, max pairwise cosine ≈ 0.51)."""
-    emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    perturbed = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(F.col("embedding").cast("array<double>"), lambda x: x + 0.02).alias(
-            "embedding"
-        ),
-    )
-    corpus = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).unionByName(perturbed)
+    corpus = _perturbed_embeddings(spark, sf_dir)
     out = lsh_cosine_neardup_portable(
         corpus, dim=64, threshold=0.9, n_planes=12, n_tables=4
     )
@@ -840,7 +842,10 @@ def x10_ivf_topk(spark, sf_dir):
     )
     out = ivf_topk(queries, emb, k=5, n_cells=16, n_probe=4)
     return out.select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
     )
 
 
@@ -1335,16 +1340,7 @@ def x22_semdedup(spark, sf_dir):
     planted perturbed copies (cosine ≈ 0.998) are exactly the rows
     that lose ``keep``. Cell-scoped pair join: N²/k comparisons, no
     all-pairs stage (the SemDeDup scaling argument)."""
-    emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    perturbed = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(F.col("embedding").cast("array<double>"), lambda x: x + 0.02).alias(
-            "embedding"
-        ),
-    )
-    corpus = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).unionByName(perturbed)
+    corpus = _perturbed_embeddings(spark, sf_dir)
     out = semdedup(corpus, threshold=0.9, n_cells=16)
     return out.select(
         "vec_id",
@@ -1437,10 +1433,16 @@ def x23_span_dedup(spark, sf_dir):
       SELECT doc_id, url,
         lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
           AS scheme,
-        regexp_replace(
-          lower(regexp_extract(trim(url),
-            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-          ':(80|443)$', '') AS host,
+        CASE lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          WHEN 'http' THEN regexp_replace(
+            lower(regexp_extract(trim(url),
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$', '')
+          WHEN 'https' THEN regexp_replace(
+            lower(regexp_extract(trim(url),
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':443$', '')
+          ELSE lower(regexp_extract(trim(url),
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+        END AS host,
         regexp_replace(
           regexp_extract(trim(url),
             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
@@ -1471,9 +1473,12 @@ def x23_span_dedup(spark, sf_dir):
 def x24_url_dedup(spark, sf_dir):
     """X24: URL canonicalization (case, default ports, fragments,
     tracking params, param order, trailing slashes) + keep-min-id
-    dedup — the CommonCrawl-style URL-level first pass. The fixture
-    derives four URL shapes per doc residue; shapes 0 and 1 canonicalize
-    identically, so every (doc_id%40, {0,1}) pair collapses."""
+    dedup — the CommonCrawl-style URL-level first pass. Port stripping
+    is SCHEME-CONDITIONAL (http→:80, https→:443): https://host:80 is a
+    distinct origin and stays distinct. The fixture derives four URL
+    shapes per doc residue; shapes 0 and 1 canonicalize identically,
+    so every (doc_id%40, {0,1}) pair collapses, while shape 2's
+    https://…:80 deliberately does NOT merge with them."""
     d = tables(spark, sf_dir, ["documents"])["documents"]
     k = (F.col("doc_id") % 40).cast("string")
     url = (

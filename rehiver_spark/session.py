@@ -126,10 +126,16 @@ def _events_ts_raw_unit(path: str) -> str | None:
         if str(t) != "int64":
             return None  # native timestamp[us/ms] — read directly
         pf = pq.ParquetFile(p)
-        batch = next(pf.iter_batches(batch_size=1024, columns=["ts"]))
-        vals = [abs(v) for v in batch.column(0).to_pylist() if v is not None]
+        # scan batches until a non-null value decides the unit — an
+        # all-null FIRST batch must not default a microsecond column
+        # into the div-1000 path (the round-2 bug class)
+        vals: list[int] = []
+        for batch in pf.iter_batches(batch_size=1024, columns=["ts"]):
+            vals = [abs(v) for v in batch.column(0).to_pylist() if v is not None]
+            if vals:
+                break
         if not vals:
-            return "ns"  # all-null sample: keep the historical nanos guess
+            return "ns"  # ENTIRE file null: unit is unobservable; any guess is safe
         mag = max(vals)
         if mag >= 10**17:
             return "ns"
@@ -178,7 +184,17 @@ def read_events(spark: SparkSession, sf_dir: str):
     return df.withColumn("ts", F.timestamp_micros(to_micros))
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], "DataFrame"] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], "DataFrame"] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Collision-free session identity for memoization. ``id(spark)``
+    can be REUSED by CPython after a stopped session is collected,
+    which would serve cached frames bound to a dead SparkContext."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return f"id-{id(spark)}"  # stopped context: unique enough to miss
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
@@ -204,7 +220,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     ]
     out = {}
     for n in names:
-        key = (id(spark), sf_dir, n)
+        key = (_session_key(spark), sf_dir, n)
         df = _TABLE_CACHE.get(key)
         if df is None:
             df = read_events(spark, sf_dir) if n == "events" else spark.read.parquet(f"{sf_dir}/{n}.parquet")

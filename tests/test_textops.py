@@ -487,3 +487,27 @@ def test_tf_idf_df_docs_counts_documents_not_rows(spark):
     assert out["beta"]["df_docs"] == 2
     assert abs(out["alpha"]["idf"] - math.log(2 / 1)) < 1e-12
     assert out["gamma"]["idf"] >= 0            # never negative
+
+
+def test_canonicalize_url_port_strip_is_scheme_conditional(spark):
+    """https://host:80 is a distinct origin (TLS on port 80) — only a
+    scheme's DEFAULT port may be stripped."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.textops import canonicalize_url
+
+    rows = [
+        (1, "https://example.com:80/x"),
+        (2, "http://example.com:443/x"),
+        (3, "https://example.com:443/x"),
+        (4, "http://example.com:80/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got[1] == "https://example.com:80/x"   # preserved
+    assert got[2] == "http://example.com:443/x"   # preserved
+    assert got[3] == "https://example.com/x"      # default stripped
+    assert got[4] == "http://example.com/x"       # default stripped
