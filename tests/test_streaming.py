@@ -372,3 +372,56 @@ def test_stream_incremental_dedup_empty_source_schema_parity(spark, tmp_path):
     )
     assert empty.count() == 0
     assert set(empty.columns) == {"doc_id", "text", "content_sha", "batch_id"}
+
+
+def test_foreach_batch_timeout_raises_not_truncates(spark, tmp_path):
+    """A drain that exceeds timeout_sec must raise TimeoutError — a
+    silent partial drain would be indistinguishable from complete."""
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.streaming.windows import (
+        foreach_batch_collecting,
+        read_file_stream,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(20).select(F.col("id"), F.lit(1.0).alias("v")).repartition(
+        4
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=1)
+
+    def slow(batch_df, batch_id):
+        time.sleep(2)
+
+    with pytest.raises(TimeoutError):
+        foreach_batch_collecting(
+            sdf, slow, checkpoint=str(tmp_path / "ckpt"), timeout_sec=1
+        )
+
+
+def test_sliding_window_streaming_matches_batch(spark, events, tmp_path):
+    """c17g's transform through the REAL engine: sliding windows under
+    AvailableNow equal the batch replay exactly."""
+    from rehiver_spark.streaming.windows import (
+        read_file_stream,
+        run_available_now,
+        sliding_counts,
+    )
+
+    src = str(tmp_path / "ev_sliding")
+    events.write.parquet(src)
+    batch_df = spark.read.parquet(src)
+    sdf = read_file_stream(spark, src, batch_df.schema, max_files_per_trigger=8)
+    got = {
+        (r["window_start"], r["window_end"]): r["n_events"]
+        for r in run_available_now(sliding_counts(sdf, "ts", "1 hour", "15 minutes")).collect()
+    }
+    exp = {
+        (r["window_start"], r["window_end"]): r["n_events"]
+        for r in sliding_counts(batch_df, "ts", "1 hour", "15 minutes").collect()
+    }
+    assert got == exp and len(got) > 0
