@@ -38,8 +38,8 @@ class Engine:
     def time_partitioner(self, granularity: str = "daily", **kw) -> TimePartitioner:
         return TimePartitioner(granularity=granularity, **kw)
 
-    def change_detector(self, state_dir: str) -> ChangeDetector:
-        return ChangeDetector(self.spark, state_dir)
+    def change_detector(self, state_dir: str, mode: str = "full") -> ChangeDetector:
+        return ChangeDetector(self.spark, state_dir, mode=mode)
 
     def path_matcher(self, dot: bool = False, nocase: bool = False) -> PathMatcher:
         return PathMatcher(dot=dot, nocase=nocase)

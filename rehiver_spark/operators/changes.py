@@ -185,7 +185,12 @@ class ChangeDetector:
     #: quadratically under many adds
     CHECKPOINT_EVERY = 50
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(self, spark: SparkSession, state_dir: str, mode: str = "full"):
+        # ``mode`` is the construction-time default compare mode —
+        # reference parity (ChangeDetectionEngine's compareMode config,
+        # src/index.ts:499-522, examples/change-detection.ts);
+        # detect(mode=...) still overrides per call
+        self.mode = mode
         self.spark = spark
         self.store = SnapshotStore(spark, state_dir)
         self._parts: list[DataFrame] = []
@@ -212,12 +217,14 @@ class ChangeDetector:
 
         return dedup_catalog(self._union())
 
-    def detect(self, mode: str = "full", track_deleted: bool = True) -> DataFrame:
+    def detect(self, mode: str | None = None, track_deleted: bool = True) -> DataFrame:
         prev = self.store.load()
         cur = self._current_dedup()
         if prev is None:
             prev = self.spark.createDataFrame([], cur.schema)
-        return detect_changes(cur, prev, mode=mode, track_deleted=track_deleted)
+        return detect_changes(
+            cur, prev, mode=mode or self.mode, track_deleted=track_deleted
+        )
 
     def commit(self) -> int:
         """Promote current → previous (reference commitChanges,
