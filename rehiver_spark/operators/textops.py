@@ -465,6 +465,66 @@ def token_drift(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard between SOURCES — the corpus-level
+    redundancy audit ("which of my dumps/crawls substantially repeat
+    each other?") that decides whether two sources should be deduped
+    against each other before mixing.
+
+    Per source, the distinct word-k-gram set; per source pair,
+    J = |A∩B| / |A∪B| — all exact integer counts. Plan: one
+    (source, gram) distinct aggregation (map-side combinable), one
+    self-join keyed on gram (each gram contributes its source-pair
+    combinations — bounded by sources-per-gram², and the number of
+    sources is small by definition), per-source gram counts joined
+    broadcast. No text leaves the gram aggregation; the matrix is
+    |sources|² rows.
+
+    Output: (source_a, source_b, common, n_a, n_b, jaccard), a < b.
+    """
+    grams = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), k))).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = grams.select(F.col("source").alias("source_a"), "g")
+    b = grams.select(F.col("source").alias("source_b"), "g")
+    common = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_a", "n": "n_a"})),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_b", "n": "n_b"})),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def reassemble_chunks(
     df: DataFrame,
     id_col: str = "doc_id",

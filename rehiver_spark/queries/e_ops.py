@@ -800,3 +800,46 @@ def c17g_sliding_window(spark, sf_dir):
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# X40 — source-overlap matrix (pairwise n-gram Jaccard between sources)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x40_source_overlap",
+    f"""
+    WITH grams AS (
+      SELECT DISTINCT source, unnest(list_distinct(
+        list_transform(
+          range(1, greatest(len({_TOKS_SQL}) - 2, 1) + 1),
+          i -> array_to_string(({_TOKS_SQL})[i:i+2], ' ')
+        ))) AS g
+      FROM documents
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(count(*) AS BIGINT) AS common
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, common, sa.n AS n_a, sb.n AS n_b,
+      round(common / (sa.n + sb.n - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def x40_source_overlap(spark, sf_dir):
+    """X40: corpus-level redundancy audit — pairwise word-3-gram
+    Jaccard between sources, exact integer counts, |sources|² output.
+    One (source, gram) distinct agg + one gram-keyed self-join (pairs
+    per gram bounded by sources-per-gram², tiny by construction);
+    per-source sizes broadcast. Decides which sources need cross-source
+    dedup before mixing."""
+    from rehiver_spark.operators.textops import source_overlap_matrix
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    return source_overlap_matrix(d, k=3)

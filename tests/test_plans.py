@@ -258,3 +258,10 @@ def test_x39_hybrid_search_embeddings_never_shuffle(spark, queries):
     # token relation, and the tiny candidate set against embeddings —
     # neither the corpus tokens nor the embeddings sort-merge
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_x40_source_overlap_sizes_broadcast(spark, queries):
+    p = plan_of(queries["x40_source_overlap"](spark, SF))
+    assert "CartesianProduct" not in p
+    # the per-source sizes relation (|sources| rows) must broadcast
+    assert "BroadcastHashJoin" in p
