@@ -73,6 +73,7 @@ def main() -> int:
     # noise at sf0.1. Caches are cleared between queries so persisted
     # intermediates never leak across measurements.
     timings: dict[str, float] = {}
+    flaky: list[str] = []  # succeeded on an early run, crashed on a later one
     # optional positional args: bench only the named queries, with
     # optional n-runs via BENCH_RUNS (the driver passes no args, so its
     # contract — full suite, best of 2 — is unchanged)
@@ -95,12 +96,20 @@ def main() -> int:
                     spark.catalog.clearCache()
         except Exception as e:  # a failing query records -1, never kills the run
             print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
-            # keep a valid earlier run's timing if one exists
+            # keep a valid earlier run's timing if one exists, but NAME
+            # the query in "flaky" so the JSON record reflects the
+            # failure (stderr alone made a flaky query indistinguishable
+            # from a healthy one in the artifact)
+            if best is not None:
+                flaky.append(name)
             timings[name] = round(best, 3) if best is not None else -1.0
             continue
         timings[name] = round(best, 3)
 
     ok = [v for v in timings.values() if v >= 0]
+    # compact separators: the driver's capture buffer has truncated the
+    # front of this line before (BENCH_r04 "parsed": null) — every byte
+    # of the one-line artifact counts
     print(
         json.dumps(
             {
@@ -111,7 +120,9 @@ def main() -> int:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": len(timings) - len(ok),
-            }
+                "flaky": flaky,
+            },
+            separators=(",", ":"),
         )
     )
     return 0

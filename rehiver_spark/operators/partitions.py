@@ -52,8 +52,13 @@ class PartitionField:
 
     name: str
     dtype: str = "string"  # int|long|string|double|date|timestamp
-    min: float | None = None
-    max: float | None = None
+    # numeric dtypes take numeric bounds; date/timestamp dtypes take
+    # ISO-string (or date/datetime) bounds, coerced in __post_init__.
+    # min/max on a plain string dtype is a schema-configuration error —
+    # silently skipping the check (the old behavior) let a mis-typed
+    # schema pass every value.
+    min: "float | str | None" = None
+    max: "float | str | None" = None
     values: list[str] | None = None  # enum constraint
     # regex constraint (anchored). Evaluated by Python `re` on the driver
     # and Java regex on executors — restrict to the shared dialect subset:
@@ -63,6 +68,36 @@ class PartitionField:
     required: bool = True  # optional fields may be absent
     nullable: bool = False  # literal "null" → NULL (tests/index.test.ts:997-1000)
     nonempty: bool = False
+
+    def __post_init__(self):
+        if self.min is None and self.max is None:
+            return
+        if self.dtype in ("int", "long", "double"):
+            for b in (self.min, self.max):
+                if b is not None and not isinstance(b, (int, float)):
+                    raise ValueError(
+                        f"{self.name}: {self.dtype} bounds must be numeric, "
+                        f"got {b!r}"
+                    )
+        elif self.dtype == "date":
+            from datetime import date
+
+            if isinstance(self.min, str):
+                self.min = date.fromisoformat(self.min)
+            if isinstance(self.max, str):
+                self.max = date.fromisoformat(self.max)
+        elif self.dtype == "timestamp":
+            from datetime import datetime as _dt
+
+            if isinstance(self.min, str):
+                self.min = _dt.fromisoformat(self.min.replace(" ", "T", 1))
+            if isinstance(self.max, str):
+                self.max = _dt.fromisoformat(self.max.replace(" ", "T", 1))
+        else:
+            raise ValueError(
+                f"{self.name}: min/max not supported on dtype {self.dtype!r} "
+                "(use pattern or values for string constraints)"
+            )
 
     # -- driver-side ---------------------------------------------------
     def coerce(self, raw: str):
@@ -102,12 +137,12 @@ class PartitionField:
         return v
 
     def _check(self, v, raw: str):
-        # min/max are numeric constraints; comparing them against a
-        # date/str value would raise TypeError instead of a parse error
-        numeric = isinstance(v, (int, float)) and not isinstance(v, bool)
-        if self.min is not None and numeric and v < self.min:
+        # __post_init__ guarantees bounds match the dtype (numeric for
+        # int/long/double, date/datetime for temporal), so a direct
+        # comparison is always well-typed here
+        if self.min is not None and v < self.min:
             raise PartitionParseError(f"{self.name}: {v} < min {self.min}")
-        if self.max is not None and numeric and v > self.max:
+        if self.max is not None and v > self.max:
             raise PartitionParseError(f"{self.name}: {v} > max {self.max}")
         if self.values is not None and raw not in self.values:
             raise PartitionParseError(f"{self.name}: {raw!r} not in {self.values}")

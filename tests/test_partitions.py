@@ -233,3 +233,48 @@ def test_date_field_driver_column_validity_agree(spark):
     df = spark.createDataFrame([("d=2024-03-05",), ("d=not-a-date",)], "key string")
     vals = [r["v"] for r in df.select(f.typed_col(F.col("key")).alias("v")).collect()]
     assert vals[0] is not None and vals[1] is None
+
+
+def test_date_bounds_enforced_both_rails(spark):
+    """min/max on a date field used to be silently skipped (the numeric
+    guard in _check); now ISO-string bounds are coerced in __post_init__
+    and enforced on the driver AND Column rails."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.partitions import (
+        PartitionField,
+        PartitionParseError,
+        PartitionSchema,
+    )
+
+    sch = PartitionSchema(
+        [PartitionField("d", "date", min="2024-01-01", max="2024-12-31")]
+    )
+    from datetime import date
+
+    assert sch.parse("d=2024-06-15") == {"d": date(2024, 6, 15)}
+    with pytest.raises(PartitionParseError):
+        sch.parse("d=2023-12-31")
+    with pytest.raises(PartitionParseError):
+        sch.parse("d=2025-01-01")
+    f = sch.fields[0]
+    df = spark.createDataFrame(
+        [("d=2024-06-15",), ("d=2023-12-31",)], "key string"
+    )
+    raw = f.extract_col(F.col("key"))
+    typed = f.typed_from_raw(raw)
+    ok = [
+        r["ok"]
+        for r in df.select(f.valid_from_raw(raw, typed).alias("ok")).collect()
+    ]
+    assert ok == [True, False]
+
+
+def test_string_bounds_are_config_error():
+    from rehiver_spark.operators.partitions import PartitionField
+
+    with pytest.raises(ValueError, match="min/max not supported"):
+        PartitionField("s", "string", min="a")
+    with pytest.raises(ValueError, match="bounds must be numeric"):
+        PartitionField("n", "int", min="5")
