@@ -3,15 +3,18 @@
 Images/audio/video ride through the engine as opaque ``BINARY`` columns
 with a typed metadata struct — the Spark-side contract (schema,
 partition sizing, Arrow batch shape, UDF signatures) is real and
-tested; the actual codec step is stubbed because no image/audio
-libraries exist in this container.
+tested.
 
 Decode dispatch:
 - ``fake=True`` (default): a **deterministic fake decoder** derives
   plausible metadata (dims/duration/sample-rate) from the payload bytes
   — fully testable, stable across runs, used by the test suite.
-- ``fake=False``: tries Pillow/soundfile; absent libs raise
-  ``NotImplementedError`` with a clear message (documented stub).
+- ``fake=False``: PNG images decode/resize for real via the stdlib
+  codec (``rehiver_spark.functions.png``: zlib inflate, filter
+  reconstruction, nearest-neighbor resample, deterministic re-encode —
+  no imaging library needed); other image formats go through Pillow
+  when present; audio/video raise ``NotImplementedError`` (no codec
+  library exists in this container — documented stub).
 
 Scale notes: payloads never pass through Python row-at-a-time — all
 UDFs are ``mapInPandas`` (Arrow batches). For 100 TB media lakes keep
@@ -92,18 +95,26 @@ def _fake_decode(kind: str, payload: bytes) -> dict:
     }
 
 
-def _real_decode(kind: str, payload: bytes) -> dict:  # pragma: no cover - stub
+def _real_decode(kind: str, payload: bytes) -> dict:
+    """Real codec: PNG via the stdlib codec (always available), other
+    image formats via Pillow when present, audio/video unsupported
+    (no codec library exists in this container)."""
     if kind == "image":
-        try:
+        from rehiver_spark.functions import png as _png
+
+        if _png.is_png(payload):
+            w, h, _depth, _ctype = _png.png_info(payload)
+            return {"width": w, "height": h, "duration_ms": None, "sample_rate": None}
+        try:  # pragma: no cover - needs Pillow
             import io
 
             from PIL import Image  # noqa: PLC0415
         except ImportError as e:
             raise NotImplementedError(
-                "real image decode requires Pillow (not in this container); "
-                "use fake=True for the deterministic stand-in"
+                "real decode for non-PNG images requires Pillow (not in "
+                "this container); PNG decodes via the stdlib codec"
             ) from e
-        im = Image.open(io.BytesIO(payload))
+        im = Image.open(io.BytesIO(payload))  # pragma: no cover - needs Pillow
         return {"width": im.width, "height": im.height, "duration_ms": None, "sample_rate": None}
     raise NotImplementedError(f"real decode for kind={kind!r} not available in this container")
 
@@ -175,13 +186,15 @@ def resize_media(df: DataFrame, max_side: int = 256, fake: bool = True) -> DataF
     shaping step.
 
     Target dims use pure integer math (``max(1, side·max_side //
-    longest)``) so the plan is bit-reproducible in any engine — the
-    fake path derives source dims from the payload digest (same fake
-    codec as :func:`decode_media`) and emits a deterministic
-    content-addressed stub payload (the digest of payload+dims, since
-    no image codec exists in this container); ``fake=False`` goes
-    through Pillow when present. Non-image rows pass through with NULL
-    dims. Per-row errors land in ``error``, never failing the scan.
+    longest)``, shared ``png.fit_dims``) so the plan is bit-reproducible
+    in any engine — the fake path derives source dims from the payload
+    digest (same fake codec as :func:`decode_media`) and emits a
+    deterministic content-addressed stub payload (the digest of
+    payload+dims); ``fake=False`` resizes PNGs for real via the stdlib
+    codec (decode → nearest-neighbor → deterministic re-encode) and
+    goes through Pillow for other formats when present. Non-image rows
+    pass through with NULL dims. Per-row errors land in ``error``,
+    never failing the scan.
     """
     from rehiver_spark.session import ensure_parallelism, ship_package
 
@@ -189,6 +202,8 @@ def resize_media(df: DataFrame, max_side: int = 256, fake: bool = True) -> DataF
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from rehiver_spark.functions import png as _png
 
         for pdf in batches:
             rows = []
@@ -201,12 +216,17 @@ def resize_media(df: DataFrame, max_side: int = 256, fake: bool = True) -> DataF
                     if fake:
                         d = _fake_decode("image", b)
                         w, h = d["width"], d["height"]
-                        m = max(w, h)
-                        tw = max(1, w * max_side // m) if m > max_side else w
-                        th = max(1, h * max_side // m) if m > max_side else h
+                        tw, th = _png.fit_dims(w, h, max_side)
                         out = hashlib.sha256(b + f":{tw}x{th}".encode()).digest()
                         sha16 = out.hex()[:16]
                         rows.append((mid, kind, w, h, tw, th, out, sha16, None))
+                    elif _png.is_png(b):
+                        # real pixels, stdlib-only: decode → nearest-
+                        # neighbor resample → deterministic re-encode
+                        w, h, tw, th, out = _png.png_resize(b, max_side)
+                        rows.append(
+                            (mid, kind, w, h, tw, th, out, hashlib.sha256(out).hexdigest()[:16], None)
+                        )
                     else:  # pragma: no cover - needs Pillow
                         import io
 
@@ -214,13 +234,11 @@ def resize_media(df: DataFrame, max_side: int = 256, fake: bool = True) -> DataF
                             from PIL import Image  # noqa: PLC0415
                         except ImportError as e:
                             raise NotImplementedError(
-                                "real resize requires Pillow; use fake=True"
+                                "real resize for non-PNG images requires Pillow"
                             ) from e
                         im = Image.open(io.BytesIO(b))
                         w, h = im.width, im.height
-                        m = max(w, h)
-                        tw = max(1, w * max_side // m) if m > max_side else w
-                        th = max(1, h * max_side // m) if m > max_side else h
+                        tw, th = _png.fit_dims(w, h, max_side)
                         buf = io.BytesIO()
                         im.resize((tw, th)).save(buf, format=im.format or "PNG")
                         out = buf.getvalue()

@@ -129,11 +129,9 @@ _TINY_PNG = __import__("base64").b64decode(
 )
 
 
-def test_real_decode_png_with_pil():
-    """Real-codec path: decodes genuine PNG bytes when Pillow is
-    installed (skips where it is not — this sandbox)."""
-    pytest = __import__("pytest")
-    pytest.importorskip("PIL")
+def test_real_decode_png_stdlib():
+    """Real-codec path: genuine PNG bytes decode via the stdlib codec —
+    no imaging library required anywhere."""
     from rehiver_spark.operators.multimodal import _real_decode
 
     d = _real_decode("image", _TINY_PNG)
@@ -141,22 +139,56 @@ def test_real_decode_png_with_pil():
     assert d["duration_ms"] is None and d["sample_rate"] is None
 
 
-def test_decode_media_real_path_tolerates_missing_codec(spark):
-    """decode_media(fake=False) must never fail the job: without Pillow
-    every image row lands in `error` naming the missing dependency;
-    with Pillow the same rows decode to real dimensions."""
+def test_decode_media_real_path_png_and_missing_codec(spark):
+    """decode_media(fake=False): PNG rows decode for real everywhere;
+    a non-PNG image row without Pillow lands in `error` naming the
+    missing dependency — the job itself never fails."""
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32  # JPEG SOI marker
     df = spark.createDataFrame(
-        [(1, "image", bytearray(_TINY_PNG))], "media_id bigint, kind string, payload binary"
+        [(1, "image", bytearray(_TINY_PNG)), (2, "image", bytearray(jpeg_ish))],
+        "media_id bigint, kind string, payload binary",
     )
     from rehiver_spark.operators.multimodal import decode_media
 
-    rows = decode_media(df, fake=False).collect()
-    assert len(rows) == 1
-    r = rows[0]
+    rows = {r["media_id"]: r for r in decode_media(df, fake=False).collect()}
+    assert len(rows) == 2
+    png = rows[1]
+    assert png["error"] is None and (png["width"], png["height"]) == (1, 1)
+    other = rows[2]
     try:
         import PIL  # noqa: F401
 
-        assert r["error"] is None and (r["width"], r["height"]) == (1, 1)
+        assert other["error"] is not None  # 36 junk bytes, not a real JPEG
     except ImportError:
-        assert r["error"] is not None and "Pillow" in r["error"]
-        assert r["width"] is None
+        assert other["error"] is not None and "Pillow" in other["error"]
+        assert other["width"] is None
+
+
+def test_resize_media_real_png_roundtrip(spark):
+    """resize_media(fake=False) on real PNG payloads: stdlib decode →
+    nearest-neighbor → re-encode, with the output payload being a valid
+    PNG of the declared target dims."""
+    from rehiver_spark.functions.png import png_decode, png_encode
+    from rehiver_spark.operators.multimodal import resize_media
+
+    # 300x100 horizontal gradient, RGBA
+    w, h = 300, 100
+    rgba = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rgba += bytes((x % 256, y % 256, (x + y) % 256, 255))
+    big = png_encode(w, h, bytes(rgba))
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(big)), (2, "image", bytearray(_TINY_PNG))],
+        "media_id bigint, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in resize_media(df, max_side=128, fake=False).collect()}
+    r = rows[1]
+    assert r["error"] is None
+    assert (r["src_width"], r["src_height"]) == (300, 100)
+    assert (r["width"], r["height"]) == (128, 42)  # 100*128//300
+    ow, oh, opx = png_decode(bytes(r["payload"]))
+    assert (ow, oh) == (128, 42) and len(opx) == 128 * 42 * 4
+    # a payload already within max_side is re-encoded at source dims
+    tiny = rows[2]
+    assert tiny["error"] is None and (tiny["width"], tiny["height"]) == (1, 1)
