@@ -21,16 +21,18 @@ bit-identically, which makes even the sketches oracle-checkable.
 Exact paths never hash at all (dictionary-encoded ids, sha256 keys).
 
 CACHING CONTRACT: the prefix-Jaccard, MinHash and SimHash pair
-operators ``persist()`` their shingle/signature projection because the
+operators persist their shingle/signature projection because the
 plan reads it 2-4 times (candidate generation plus both verify sides);
 dropping the cache measures 8-24% slower (x2 +20%, x8 +24% at sf0.1).
 The returned DataFrames are lazy, so these handles cannot be
-unpersisted in-function; they are released by
-``spark.catalog.clearCache()`` (what the bench does between queries)
-or naturally bounded by Spark's LRU block eviction — each is a
-projection of the operator's input, small relative to the data being
-deduped. Long-lived sessions calling these in a loop should
-``clearCache()`` periodically (tested in test_dedup.py).
+unpersisted in-function; every one is registered through
+``session.track_persist``, so a long-lived session releases exactly
+the operator caches — leaving its own unrelated caches intact — with
+``rehiver_spark.session.release_persisted()`` (tested in
+test_dedup.py). The bench's ``spark.catalog.clearCache()`` between
+queries and Spark's LRU block eviction still bound them otherwise —
+each is a projection of the operator's input, small relative to the
+data being deduped.
 """
 
 from __future__ import annotations
@@ -40,7 +42,7 @@ from pyspark.sql import functions as F
 
 from rehiver_spark.functions.hashing import md5_hash60, md5_hash60_py
 from rehiver_spark.operators.textops import normalize_text, tokens, word_ngrams
-from rehiver_spark.session import ensure_parallelism
+from rehiver_spark.session import ensure_parallelism, track_persist
 
 
 # ---------------------------------------------------------------------------
@@ -201,11 +203,11 @@ def _jaccard_pairs_prefix(
     no dictionary pass (the assigned-id design cost 2 extra shuffles +
     a vocab-wide sort + a collect_list regroup).
     """
-    sized = (
+    sized = track_persist(
         df.select(F.col(id_col).alias("_id"), F.col(shingle_col).alias("_sh"))
         .withColumn("_n", F.size("_sh"))
-        .persist()  # shingling is the expensive expression; consumed by
-        # the exploded stream AND both verify sides — compute it once
+        # shingling is the expensive expression; consumed by the
+        # exploded stream AND both verify sides — compute it once
     )
     ex = sized.select("_id", "_n", F.explode("_sh").alias("_str")).select(
         "_id", "_n", F.xxhash64("_str").alias("_s")
@@ -219,12 +221,11 @@ def _jaccard_pairs_prefix(
             .filter(F.col("_f") > max_shingle_freq)
             .select("_s")
         )
-        regrouped = (
+        regrouped = track_persist(
             ex.join(F.broadcast(hot), "_s", "left_anti")
             .groupBy("_id")
             .agg(F.collect_list("_s").alias("_sh"), F.count("*").alias("_n"))
-            .persist()  # consumed by freq, ranked, and both verify sides
-        )
+        )  # consumed by freq, ranked, and both verify sides
         ex = regrouped.select(
             "_id", "_n", F.explode("_sh").alias("_s")
         )
@@ -480,9 +481,11 @@ def minhash_neardup_pairs(
     functions/hashing.py) so the whole pipeline — candidates included —
     is reproducible in a SQL oracle, not just the verification step.
     """
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
-    ).persist()  # read by banding AND both verify sides
+    sh = track_persist(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
+        )
+    )  # read by banding AND both verify sides
     cand = lsh_candidates(sh, "_id", "_sh", num_hashes, bands, seed, hash_fn)
     a = sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sha"})
     b = sh.withColumnsRenamed({"_id": "id_b", "_sh": "_shb"})
@@ -704,9 +707,11 @@ def simhash_neardup_pairs(
         w = base + (1 if i < rem else 0)
         chunk_specs.append((off, w))
         off += w
-    sigs = simhash_signatures(df, id_col, text_col, seed, hash_fn).select(
-        F.col(id_col).alias("_id"), F.col("sig").alias("_sig")
-    ).persist()  # chunk explode is read by both join sides
+    sigs = track_persist(
+        simhash_signatures(df, id_col, text_col, seed, hash_fn).select(
+            F.col(id_col).alias("_id"), F.col("sig").alias("_sig")
+        )
+    )  # chunk explode is read by both join sides
     chunks = sigs.select(
         "_id",
         "_sig",

@@ -153,9 +153,9 @@ def process_matching(
     NOTE: this path persists the matched-keys projection (consumed by
     both the semi- and anti-join branches of the returned plan — often
     a full catalog scan + glob filter, worth computing once); the cache
-    lives until the session ends or the caller clears it. Sessions
-    issuing many skip_existing runs should unpersist via
-    ``spark.catalog.clearCache()`` between rounds.
+    is registered with ``session.track_persist`` — sessions issuing
+    many skip_existing runs release it (and every other operator
+    persist) via ``rehiver_spark.session.release_persisted()``.
     """
     from rehiver_spark.session import ship_package
 
@@ -166,7 +166,9 @@ def process_matching(
         # keys feeds BOTH the semi join (skipped_existing log) and the
         # anti join (work set); persist so the matched relation — often
         # a full catalog scan + glob filter — is derived once
-        keys = keys.persist()
+        from rehiver_spark.session import track_persist
+
+        keys = track_persist(keys)
         existing = skip_existing.select(F.col(key_col).alias("key")).distinct()
         existing_log = (
             keys.join(existing, "key", "left_semi")

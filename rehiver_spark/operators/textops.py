@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from rehiver_spark.session import ensure_parallelism
+from rehiver_spark.session import ensure_parallelism, track_persist
 
 # Small fixed stopword set (ordering matters only for docs)
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
@@ -405,8 +405,8 @@ def token_drift(
     scanned and re-tokenized 4×. The cached relation is vocab-sized
     (distinct (source, token)), orders of magnitude smaller than the
     corpus. Caching contract (same as operators/dedup.py): the handle
-    cannot be unpersisted in-function — the returned frame is lazy —
-    so release is `spark.catalog.clearCache()` or LRU block eviction.
+    is registered via ``session.track_persist`` — release it with
+    ``rehiver_spark.session.release_persisted()`` (or LRU eviction).
     Reference counts and totals then ride broadcast joins; the corpus
     itself shuffles once, into the count aggregation.
 
@@ -422,12 +422,12 @@ def token_drift(
     from pyspark import StorageLevel
 
     dec = "decimal(38,0)"
-    counts = (
+    counts = track_persist(
         df.select(F.col(source_col).alias("source"),
                   F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("source", "token")
-        .agg(F.count("*").alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.count("*").alias("cnt")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     totals = counts.groupBy("source").agg(
         F.sum("cnt").cast(dec).alias("total")
@@ -696,7 +696,8 @@ def tf_idf(
         doc_id_col,
         *( [group_col] if group_col else [] ),
         tokens(F.col(text_col)).alias("_tk"),
-    ).persist()  # tokenization is the expensive expression; read twice
+    )
+    base = track_persist(base)  # tokenization is expensive; read twice
     group_keys = ([group_col] if group_col else []) + ["token"]
     tf = base.select(
         *( [group_col] if group_col else [] ),

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rehiver_spark.functions.hashing import rademacher_planes
-from rehiver_spark.session import ensure_parallelism
+from rehiver_spark.session import ensure_parallelism, track_persist
 
 
 def _c(col: Column | str) -> Column:
@@ -261,7 +261,7 @@ def lsh_cosine_neardup_portable(
     quant = F.transform(
         as_double(vec_col), lambda x: F.round(x * scale, 0).cast("bigint")
     )
-    base = (
+    base = track_persist(
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("_id"),
@@ -272,7 +272,6 @@ def lsh_cosine_neardup_portable(
         # near-dup to anything, and a None reaching the Arrow batch
         # would crash np.vstack for the whole job — drop it here
         .filter(F.col("_v").isNotNull())
-        .persist()
     )  # read by the bucketing pass plus both verify sides
     planes = [rademacher_planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     bkts = _plane_buckets_udf(planes, input_dtype="int64")
@@ -320,13 +319,12 @@ def lsh_cosine_neardup(
     possible); returned pairs ⊆ exact answer. All tables' buckets come
     from ONE projection + ONE self-join on (table, bucket) — not
     n_tables joins + union."""
-    base = (
+    base = track_persist(
         ensure_parallelism(df)
         .select(F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v"))
         # NULL/zero-norm embeddings have no direction; a None in the
         # Arrow batch would crash np.vstack for the whole job
         .filter(F.col("_v").isNotNull())
-        .persist()
     )  # read by the bucketing pass plus both verify sides
     planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     bkts = _plane_buckets_udf(planes, input_dtype="float64")

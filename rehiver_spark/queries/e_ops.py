@@ -252,7 +252,7 @@ def x30_zorder_layout(spark, sf_dir):
         list_transform(range(1, len(embedding) + 1),
           i -> embedding[i]::DOUBLE * (1.0 + 0.02 * ((i - 1) % 7))
                + 0.01 * (((i - 1) % 3) - 1)) AS bv
-      FROM embeddings WHERE vec_id % 25 = 0
+      FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 500
     ),
     scored AS (
       SELECT e.vec_id, b.bench_id,
@@ -265,7 +265,8 @@ def x30_zorder_layout(spark, sf_dir):
 )
 def x31_semantic_decontamination(spark, sf_dir):
     """X31: embedding-level train/test decontamination — the semantic
-    complement of X15's n-gram containment: paraphrased benchmark
+    complement of X15's n-gram containment (bench pinned to
+    vec_id < 500 — scale-invariant benchmark): paraphrased benchmark
     leakage has near-zero n-gram overlap but high embedding cosine.
     Benchmark items are synthesized as deterministic per-dimension
     perturbations ('paraphrases') of every 25th corpus vector, so each
@@ -273,7 +274,7 @@ def x31_semantic_decontamination(spark, sf_dir):
     above the 0.9 threshold. Benchmark side broadcasts; the corpus is
     scored map-side and never shuffled (same scale shape as X15)."""
     emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    bench = emb.filter(F.col("vec_id") % 25 == 0).select(
+    bench = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500)).select(
         (F.col("vec_id") + 500000).alias("bench_id"),
         F.transform(
             "embedding",
@@ -709,17 +710,29 @@ def x38_corpus_drift(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# Pinned literal query set: 50 doc_ids that exist at EVERY scale point
+# (docs and embeddings both cover 0..499 at all sf dirs, and sf1/sf10
+# replicas keep replica-0 ids). The earlier `doc_id % 100 = 7` predicate
+# scaled the QUERY count with the corpus, so scale rows measured query
+# inflation, not corpus-linear engine work.
+_X39_QUERY_IDS = tuple(range(7, 500, 10))
+_X39_IDS_SQL = ", ".join(str(i) for i in _X39_QUERY_IDS)
+
+
 @query(
     "x39_hybrid_search",
     f"""
     WITH dtoks AS (
       SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS token FROM documents
     ),
-    q AS (SELECT doc_id AS query_id, token FROM dtoks WHERE doc_id % 100 = 7),
+    q AS (
+      SELECT doc_id AS query_id, token FROM dtoks
+      WHERE doc_id IN ({_X39_IDS_SQL})
+    ),
     shared AS (
       SELECT q.query_id, dt.doc_id, CAST(count(*) AS BIGINT) AS shared_tokens
       FROM dtoks dt JOIN q ON q.token = dt.token
-      WHERE dt.doc_id % 100 <> 7
+      WHERE dt.doc_id NOT IN ({_X39_IDS_SQL})
       GROUP BY 1, 2
     ),
     cand AS (
@@ -732,7 +745,7 @@ def x38_corpus_drift(spark, sf_dir):
     ),
     qe AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id % 100 = 7
+      FROM embeddings WHERE vec_id IN ({_X39_IDS_SQL})
     ),
     scored AS (
       SELECT c.query_id, c.doc_id, c.shared_tokens,
@@ -755,12 +768,14 @@ def x39_hybrid_search(spark, sf_dir):
     into the overlap count) then cosine rerank over the candidate set
     (candidates broadcast; the embeddings table never shuffles). The
     rank orders on (round(cos, 6) DESC, id ASC) so the boundary is
-    engine-portable and total. doc_id ≡ vec_id in the testdata."""
+    engine-portable and total. doc_id ≡ vec_id in the testdata. The
+    query set is the pinned 50-id literal list (scale-invariant), so
+    sf1/sf10 rows measure corpus growth at constant query load."""
     from rehiver_spark.operators.vectorops import hybrid_search
 
     t = tables(spark, sf_dir, ["documents", "embeddings"])
     d, e = t["documents"], t["embeddings"]
-    qids = d.filter(F.col("doc_id") % 100 == 7).select("doc_id")
+    qids = d.filter(F.col("doc_id").isin(*_X39_QUERY_IDS)).select("doc_id")
     return hybrid_search(d, e, qids, recall_n=50, k=10)
 
 

@@ -697,7 +697,9 @@ def _r17_processor(key: str) -> str:
 def r17_stream_process(spark, sf_dir):
     """R17: find → process with error tolerance + skip_existing; stats
     as one aggregation (src/index.ts:1376-1544, counters 1426-1431)."""
-    objects = _objects(spark, sf_dir).persist()  # feeds done AND matched
+    from rehiver_spark.session import track_persist
+
+    objects = track_persist(_objects(spark, sf_dir))  # feeds done AND matched
     done = objects.filter(F.col("key").endswith("3.json")).select("key")
     matched = objects.filter(glob_match("key", _R17_PATS, dot=True))
     from rehiver_spark.operators.pipeline import process_matching, pipeline_stats_df

@@ -866,7 +866,7 @@ _X15_SH5 = (
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
     bench AS (
       SELECT doc_id + 500000 AS bench_id, tk[11:22] AS btk
-      FROM toks WHERE doc_id % 7 = 0 AND len(tk) >= 22
+      FROM toks WHERE doc_id % 7 = 0 AND doc_id < 500 AND len(tk) >= 22
     ),
     dsh AS (SELECT doc_id, {_X15_SH5.format('tk')} AS s FROM toks),
     bsh AS (SELECT bench_id, {_X15_SH5.format('btk')} AS s FROM bench),
@@ -888,10 +888,13 @@ def x15_contamination(spark, sf_dir):
     word 5-gram with a benchmark item, scored by containment |D∩B|/|B|.
     Benchmark items are synthesized as 12-token snippets cut from every
     7th document, so each planted item maps back to its source with
-    containment 1.0. Corpus side never shuffles (benchmark broadcast)."""
+    containment 1.0. Corpus side never shuffles (benchmark broadcast).
+    Bench slice pinned to doc_id < 500: scale-invariant benchmark."""
     d = tables(spark, sf_dir, ["documents"])["documents"]
     toks = tokens(F.col("text"))
-    bench = d.filter((F.col("doc_id") % 7 == 0) & (F.size(toks) >= 22)).select(
+    bench = d.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 500) & (F.size(toks) >= 22)
+    ).select(
         (F.col("doc_id") + 500000).alias("bench_id"),
         F.concat_ws(" ", F.slice(toks, 11, 12)).alias("text"),
     )
@@ -1231,7 +1234,7 @@ _X21_GRAMS = (
     f"""
     WITH bench_src AS (
       SELECT doc_id + 700000 AS bench_id, substr(text, 41, 120) AS text
-      FROM documents WHERE doc_id % 11 = 0 AND length(text) >= 160
+      FROM documents WHERE doc_id % 11 = 0 AND doc_id < 500 AND length(text) >= 160
     ),
     dn AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
     bn AS (SELECT bench_id, {_NORM_SQL} AS nt FROM bench_src),
@@ -1261,14 +1264,22 @@ def x21_winnow_contamination(spark, sf_dir):
     ≥ 8 chars yields a shared fingerprint, so slices map back to their
     source docs even when word boundaries shift. Complements x15's
     word-n-gram containment; bench fingerprints broadcast, the corpus
-    side never shuffles before the (tiny) pair aggregation."""
+    side never shuffles before the (tiny) pair aggregation. The bench
+    slice is pinned to doc_id < 500 (present at every scale point) so
+    sf1/sf10 rows measure corpus growth at constant benchmark size —
+    unpinned, the bench side grew with the corpus and the sf1 row
+    measured bench×corpus inflation (22×), not the operator."""
     d = tables(spark, sf_dir, ["documents"])["documents"]
-    bench = d.filter((F.col("doc_id") % 11 == 0) & (F.length("text") >= 160)).select(
+    bench = d.filter(
+        (F.col("doc_id") % 11 == 0) & (F.col("doc_id") < 500) & (F.length("text") >= 160)
+    ).select(
         (F.col("doc_id") + 700000).alias("bench_id"),
         F.substring("text", 41, 120).alias("text"),
     )
     dfp = winnow_fingerprints(d.select("doc_id", "text"), k=5, window=4)
-    bfp = winnow_fingerprints(bench, id_col="bench_id", k=5, window=4).persist()
+    from rehiver_spark.session import track_persist
+
+    bfp = track_persist(winnow_fingerprints(bench, id_col="bench_id", k=5, window=4))
     bsz = bfp.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
     shared = (
         dfp.join(F.broadcast(bfp), "fp")

@@ -65,6 +65,41 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     return df.repartition(target)
 
 
+# ---------------------------------------------------------------------------
+# Operator-persist registry
+# ---------------------------------------------------------------------------
+# Several pair operators (jaccard/minhash/simhash candidates, winnow
+# fingerprints, LSH sketches) persist() an intermediate the plan reads
+# 2-4 times. The returned DataFrames are lazy, so the handle cannot be
+# unpersisted in-function — historically release required a global
+# spark.catalog.clearCache() (what the bench does), which a long-lived
+# service sharing the session with OTHER cached data cannot afford.
+# track_persist() registers every such handle; release_persisted()
+# unpersists exactly those, leaving unrelated caches alone.
+_PERSISTED: list = []
+
+
+def track_persist(df, storage_level=None):
+    """persist() + register the handle for :func:`release_persisted`."""
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every operator-persisted intermediate registered by
+    :func:`track_persist`; returns how many were released. Blocking=False
+    semantics (Spark default): storage frees asynchronously."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to free
+    return n
+
+
 _SHIPPED: set[str] = set()
 
 

@@ -435,3 +435,41 @@ def test_compact_dedup_index_noop_on_missing_or_empty(spark, tmp_path):
     empty = str(tmp_path / "empty")
     os.makedirs(empty)
     assert compact_dedup_index(spark, empty) == 0
+
+
+def test_release_persisted_frees_only_operator_caches(spark):
+    """The round-5 uniform release path: track_persist registers every
+    operator-internal persist; release_persisted() frees exactly those,
+    leaving the caller's own caches alone (clearCache can't do that)."""
+    from rehiver_spark.operators.dedup import jaccard_pairs, minhash_neardup_pairs, shingles
+    from rehiver_spark.session import release_persisted
+    from pyspark.sql import functions as F
+
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+    spark.catalog.clearCache()
+    release_persisted()
+    baseline = persisted_ids()
+
+    # a USER cache that must survive the operator release
+    mine = spark.createDataFrame([(1,)], "x int").persist()
+    mine.count()
+
+    df = spark.createDataFrame(
+        [(1, "some text for the sketch here"), (2, "other text entirely"),
+         (3, "some text for the sketch here too")],
+        "doc_id bigint, text string",
+    )
+    minhash_neardup_pairs(df).count()
+    sh = df.select("doc_id", shingles(F.col("text")).alias("shingles"))
+    jaccard_pairs(sh).count()
+    assert len(persisted_ids() - baseline) >= 3  # mine + operator caches
+
+    n = release_persisted()
+    assert n >= 2
+    after = persisted_ids() - baseline
+    # only the user cache remains
+    assert len(after) == 1
+    mine.unpersist()
+    assert release_persisted() == 0  # registry drained, idempotent

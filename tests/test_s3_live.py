@@ -1,0 +1,116 @@
+"""Opt-in live-S3 integration tier (reference integration tests,
+tests/index.test.ts:501-728, which run against MinIO).
+
+Skipped unless BOTH are available:
+- ``REHIVER_S3_ENDPOINT`` env var (e.g. ``http://localhost:9000`` for a
+  local MinIO; credentials via the standard ``AWS_ACCESS_KEY_ID`` /
+  ``AWS_SECRET_ACCESS_KEY`` envs), and
+- ``boto3`` importable (absent in the build container).
+
+When live, these re-run the SAME assertions the fake-client tests pin
+(tests/test_writer_lister.py) against a real endpoint: object write →
+head roundtrip with auto content-type, bucket create-once semantics,
+full ListObjectsV2 pagination through list_s3, and the distributed
+per-worker lister. Buckets are uuid-suffixed and deleted afterwards.
+"""
+
+import os
+import uuid
+
+import pytest
+
+_ENDPOINT = os.environ.get("REHIVER_S3_ENDPOINT")
+boto3 = pytest.importorskip("boto3") if _ENDPOINT else None
+
+pytestmark = pytest.mark.skipif(
+    not _ENDPOINT,
+    reason="live-S3 tier is opt-in: set REHIVER_S3_ENDPOINT (e.g. MinIO)",
+)
+
+
+@pytest.fixture(scope="module")
+def client():
+    return boto3.client(
+        "s3",
+        endpoint_url=_ENDPOINT,
+        region_name=os.environ.get("AWS_REGION", "us-east-1"),
+    )
+
+
+@pytest.fixture()
+def bucket(client):
+    name = f"rehiver-it-{uuid.uuid4().hex[:12]}"
+    client.create_bucket(Bucket=name)
+    yield name
+    # best-effort teardown: empty then delete
+    pages = client.get_paginator("list_objects_v2").paginate(Bucket=name)
+    for page in pages:
+        for obj in page.get("Contents", []):
+            client.delete_object(Bucket=name, Key=obj["Key"])
+    client.delete_bucket(Bucket=name)
+
+
+def test_put_then_head_roundtrip(client, bucket):
+    from rehiver_spark.sources.catalog import head_object
+    from rehiver_spark.sources.writer import put_object
+
+    etag = put_object(bucket, "docs/readme.md", b"hi", client=client)
+    assert etag
+    md = head_object(bucket, "docs/readme.md", client=client)
+    assert md is not None
+    assert md["size"] == 2
+    assert md["content_type"] == "text/markdown"  # auto-detected
+    assert head_object(bucket, "missing.txt", client=client) is None
+
+
+def test_create_bucket_once_semantics(client):
+    from rehiver_spark.sources.writer import create_bucket_if_not_exists
+
+    name = f"rehiver-it-{uuid.uuid4().hex[:12]}"
+    try:
+        assert create_bucket_if_not_exists(name, client=client) is True
+        assert create_bucket_if_not_exists(name, client=client) is False
+    finally:
+        client.delete_bucket(Bucket=name)
+
+
+def test_list_s3_full_pagination(spark, client, bucket):
+    from rehiver_spark.sources.catalog import list_s3
+    from rehiver_spark.sources.writer import put_object
+
+    # > one page at max_keys_per_request=10 → pagination must walk all
+    for i in range(25):
+        put_object(bucket, f"data/part-{i:04d}.json", b"{}", client=client)
+    df = list_s3(spark, bucket, prefix="data/", max_keys_per_request=10, client=client)
+    keys = sorted(r["key"] for r in df.collect())
+    assert len(keys) == 25
+    assert keys[0] == "data/part-0000.json" and keys[-1] == "data/part-0024.json"
+
+
+def test_distributed_lister_matches_driver_lister(spark, client, bucket):
+    from rehiver_spark.sources.catalog import (
+        list_distributed,
+        list_s3,
+        s3_lister_factory,
+    )
+    from rehiver_spark.sources.writer import put_object
+
+    prefixes = ["a", "b", "c"]
+    for p in prefixes:
+        for i in range(5):
+            put_object(bucket, f"{p}/f{i}.txt", b"x", client=client)
+
+    endpoint = _ENDPOINT
+    region = os.environ.get("AWS_REGION", "us-east-1")
+
+    def client_factory():  # cloudpickled to executors; builds per-worker
+        import boto3 as b3
+
+        return b3.client("s3", endpoint_url=endpoint, region_name=region)
+
+    lister = s3_lister_factory(bucket, client_factory=client_factory)
+    dist = list_distributed(spark, [f"{p}/" for p in prefixes], lister)
+    drv = list_s3(spark, bucket, client=client)
+    assert sorted(r["key"] for r in dist.collect()) == sorted(
+        r["key"] for r in drv.collect()
+    )

@@ -8,11 +8,19 @@ part/supplier). region/nation stay 1x — like real TPC-H, dimension
 cardinality is scale-invariant, and unshifted nationkeys keep every FK
 valid. Embeddings get a tiny deterministic per-replica perturbation so
 replicas are near- but not bit-identical (exercises the near-dup and
-ANN paths the way a real crawled corpus would); document text is
-replicated verbatim, which inflates near-dup pair outputs ~100x — a
-deliberate stress of the pair-verification paths.
+ANN paths the way a real crawled corpus would). Document text gets the
+same treatment by default ("perturb" mode, round 5): each replica has
+~15% of its tokens deterministically replaced with replica-tagged
+markers, so replicas of one doc sit BELOW the usual near-dup
+thresholds (token-Jaccard(replica, original) ≈ 0.74, and shingle-based
+similarity lower still) — pair-quadratic operators (x2/x17/x21/x29)
+then measure engine growth at scale, not output inflation. Pass mode
+"verbatim" to get the old behavior (every replica an exact text dup,
+inflating near-dup pair outputs ~reps²x — a deliberate stress of the
+pair-verification paths, which is a different experiment).
 
-Usage: python tools/make_sf1.py [out_dir] [reps]   (default .sfwork/sf1, 10)
+Usage: python tools/make_sf1.py [out_dir] [reps] [perturb|verbatim]
+       (defaults: .sfwork/sf1, 10, perturb)
 """
 import os
 import shutil
@@ -57,6 +65,9 @@ def main() -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sfwork", "sf1"
     )
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else REPS
+    mode = sys.argv[3] if len(sys.argv) > 3 else "perturb"
+    if mode not in ("perturb", "verbatim"):
+        raise SystemExit(f"unknown text mode {mode!r} (perturb|verbatim)")
     os.makedirs(out, exist_ok=True)
     spark = get_spark(app_name="make-sf1")
     spark.sparkContext.setLogLevel("ERROR")
@@ -70,6 +81,35 @@ def main() -> int:
         df = spark.read.parquet(f"{SRC}/{t}.parquet").crossJoin(F.broadcast(rep))
         for col, stride in shifts.items():
             df = df.withColumn(col, F.col(col) + F.col("_rep") * STRIDES[stride])
+        if t == "documents" and mode == "perturb":
+            # replica-perturbed text (replica 0 = the original corpus,
+            # untouched): replace tokens whose position-hash falls under
+            # 15% with a replica-tagged marker. Positions are hashed per
+            # (token, index, replica) so every replica mutates an
+            # INDEPENDENT ~15% — any two replicas of one doc then share
+            # ≈(0.85)² of their tokens (J ≈ 0.56) and replica-vs-original
+            # shares 0.85 (J ≈ 0.74), both under the 0.8-ish near-dup
+            # thresholds; shingle similarity decays faster still.
+            words = F.split(F.col("text"), " ")
+            marked = F.transform(
+                words,
+                lambda w, i: F.when(
+                    (F.col("_rep") > 0)
+                    & (
+                        F.pmod(F.xxhash64(w, i, F.col("_rep")), F.lit(100))
+                        < F.lit(15)
+                    ),
+                    F.concat(
+                        F.lit("repv"),
+                        F.col("_rep").cast("string"),
+                        F.lit("n"),
+                        F.pmod(F.xxhash64(i, F.col("_rep")), F.lit(9973)).cast(
+                            "string"
+                        ),
+                    ),
+                ).otherwise(w),
+            )
+            df = df.withColumn("text", F.array_join(marked, " "))
         if t == "embeddings":
             # near-identical, not identical: nudge each component by a
             # replica-dependent epsilon (deterministic, direction-ish

@@ -59,6 +59,28 @@ def catalog_df(scale):
 timeit("r16 dedup_catalog 1x", lambda: catalog_df(1))
 timeit("r16 dedup_catalog 10x", lambda: catalog_df(10))
 
+# --- round-5 follow-up: r16 persist-vs-recompute at the 10x catalog -----
+# (VERDICT r4 "What's wrong #2": the recompute choice was measured at
+# sf0.1 only; re-measure with the base projection persisted.)
+def catalog_df_persisted(scale):
+    base = _objects(spark, SF).select(
+        "key", "size", F.col("size").cast("string").alias("etag"),
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("last_modified"))
+    if scale > 1:
+        base = rep(base, scale)
+    base = base.persist()
+    try:
+        dup = base.filter(F.col("size") % 3 == 0).select(
+            "key", (F.col("size") + 1).alias("size"),
+            F.concat(F.lit("b"), F.col("etag")).alias("etag"),
+            (F.col("last_modified") + F.expr("INTERVAL 1 HOUR")).alias("last_modified"))
+        return dedup_catalog(base.unionByName(dup))
+    finally:
+        pass  # released by the timeit clearCache between runs
+
+timeit("r16 dedup_catalog PERSISTED 1x", lambda: catalog_df_persisted(1))
+timeit("r16 dedup_catalog PERSISTED 10x", lambda: catalog_df_persisted(10))
+
 def commit_run(df):
     t0 = time.perf_counter()
     det = ChangeDetector(spark, tempfile.mkdtemp(prefix="snap_scale_"))
