@@ -651,7 +651,11 @@ def r16_object_catalog(spark, sf_dir):
         F.lit("2024-03-01 00:00:00").cast("timestamp").alias("last_modified"),
     )  # NOT persisted: both union sides re-derive it, but the projection
     # is cheap codegen over a cached scan — materializing 600k rows to
-    # the block store measured slower (3.0 s → 4.8 s) than recompute
+    # the block store measured slower (3.0 s → 4.8 s) than recompute,
+    # and the decision HOLDS at the 10× catalog (5.5M keys: 24.4 s
+    # recompute vs 31.3 s persisted, tools/scale_catalog.py round 5) —
+    # block-store write+read of the wide rows costs more than the
+    # second codegen pass at every scale measured
     dup = base.filter(F.col("size") % 3 == 0).select(
         "key",
         (F.col("size") + 1).alias("size"),
