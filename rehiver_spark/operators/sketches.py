@@ -1,0 +1,250 @@
+"""Mergeable frequency/cardinality sketches: Count-Min and HyperLogLog.
+
+Charter extensions X41/X42 — the two workhorse sketches of large-scale
+corpus accounting (Cormode & Muthukrishnan 2005; Flajolet et al. 2007).
+At 100 TB you cannot afford an exact (token → count) relation per
+monitoring tick, and ``approx_count_distinct`` (x6) is JVM-opaque.
+These implementations are **portable**: every hash is the md5-derived
+60-bit integer from functions/hashing.py, so a SQL engine reproduces
+the SKETCH ITSELF bit-identically — the estimates become oracle-
+checkable, not rows-only.
+
+Design for scale — both sketches are relations, not driver objects:
+
+- ``cm_sketch``: (depth d × width w) counters as a (row, bucket, cnt)
+  relation — ONE explode + ONE groupBy count (partial-combined
+  map-side; shuffle cardinality is capped at d·w regardless of input).
+  Sketches merge by summing counters: union + re-aggregate. Point
+  queries join the items against the sketch (d rows each) and take the
+  min — the classic CM overestimate guarantee: true ≤ est ≤ true + εN.
+- ``hll_registers``: 2^p max-of-rho registers via ONE groupBy max —
+  shuffle cardinality capped at 2^p. Merge = union + max. The estimate
+  uses EXACT integer arithmetic for the harmonic sum (each 2^(-rho)
+  term is scaled by 2^K into an exact BIGINT, summed as DECIMAL(38,0),
+  divided ONCE at the end) so the result is bit-stable at any
+  parallelism and reproducible in SQL.
+
+Neither touches Python rows; everything is Column expressions inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rehiver_spark.functions.hashing import md5_hash60, md5_hash60_sql
+
+# ---------------------------------------------------------------------------
+# X41 — Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(col: Column, row: int, width: int) -> Column:
+    """Row-i bucket of an item: md5-derived, portable."""
+    return F.pmod(md5_hash60(F.concat(F.lit(f"cm{row}:"), col)), F.lit(width))
+
+
+def cm_bucket_sql(expr: str, row: int, width: int) -> str:
+    """DuckDB twin of :func:`_cm_bucket` (pmod of a non-negative hash
+    is plain ``%`` — the 60-bit hash is always ≥ 0)."""
+    salted = f"'cm{row}:' || {expr}"
+    return f"({md5_hash60_sql(salted)} % {width})"
+
+
+def cm_sketch(
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch of an item relation → (row, bucket, cnt).
+
+    One row per (depth-row, bucket) pair that received at least one
+    item — at most d·w rows total, independent of input size (absent
+    buckets are implicitly 0). ``weight_col`` aggregates weighted
+    frequencies (e.g. token counts per doc) instead of row counts.
+    """
+    if depth <= 0 or width <= 0:
+        raise ValueError(f"depth/width must be positive, got {depth}x{width}")
+    c = F.col(item_col)
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    rows = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cm_bucket(c, i, width).alias("bucket"),
+                        w.alias("w"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("e")
+    )
+    return rows.groupBy(
+        F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket")
+    ).agg(F.sum("e.w").alias("cnt"))
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (depth, width): counters add."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates: min over the d counters of each item.
+
+    The query relation is exploded to d (row, bucket) probes and joined
+    against the sketch — the sketch side is at most d·w rows, so
+    Catalyst broadcasts it; the query side never shuffles. Items whose
+    buckets are all absent estimate 0 (coalesce).
+    """
+    c = F.col(item_col)
+    probes = queries.select(
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cm_bucket(c, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(item_col, F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X42 — HyperLogLog (portable, exact-arithmetic estimator)
+# ---------------------------------------------------------------------------
+
+_HLL_BITS = 60  # md5_hash60 width
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(
+    items: DataFrame,
+    item_col: str = "item",
+    p: int = 9,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """HLL registers: (group…, idx, rho) with rho = max leading-zero
+    rank in the register's hash suffix. ONE aggregation, ≤ 2^p rows per
+    group. Merge across sketches = union + max over (group, idx).
+
+    rho extraction avoids float log2 entirely: the suffix is rendered
+    with ``bin()`` and left-padded to its full 60-p bits; the position
+    of the first '1' IS the leading-zero count + 1, and an all-zero
+    suffix maps to (60-p)+1 — integer/string ops only, so Spark and any
+    SQL oracle agree bit-for-bit.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16], got {p}")
+    h = md5_hash60(F.col(item_col).cast("string"))
+    suffix_bits = _HLL_BITS - p
+    idx = F.shiftright(h, suffix_bits)
+    suffix = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
+    rho = F.when(suffix == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.instr(F.lpad(F.bin(suffix), suffix_bits, "0"), "1")
+    )
+    g = list(group_cols or [])
+    return (
+        items.select(*g, idx.alias("idx"), rho.cast("int").alias("rho"))
+        .groupBy(*g, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_registers_sql(expr: str, p: int, from_clause: str, group_cols: str = "") -> str:
+    """DuckDB twin of :func:`hll_registers` (same idx/rho math)."""
+    suffix_bits = _HLL_BITS - p
+    h = md5_hash60_sql(expr)
+    sel_g = f"{group_cols}, " if group_cols else ""
+    grp_g = f"{group_cols}, " if group_cols else ""
+    return f"""
+      SELECT {sel_g}h // {1 << suffix_bits} AS idx,
+        max(CASE WHEN (h % {1 << suffix_bits}) = 0 THEN {suffix_bits + 1}
+            ELSE position('1' IN lpad(bin(h % {1 << suffix_bits}), {suffix_bits}, '0'))
+            END) AS rho
+      FROM (SELECT {sel_g}{h} AS h {from_clause})
+      GROUP BY {grp_g}idx
+    """
+
+
+def hll_estimate(
+    registers: DataFrame, p: int = 9, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Cardinality estimate from a register relation, bit-stable.
+
+    The raw-estimate harmonic sum Σ 2^(-rho) is computed EXACTLY: each
+    term is scaled to the integer 2^(K - rho) with K = max rho = 61-p
+    (so every term is a non-negative integer ≤ 2^K), summed in
+    DECIMAL(38,0) (order-independent), and the single final division
+    produces the only float. Empty registers contribute 2^0 = 2^K/2^K
+    each — added as (m - observed) · 2^K. Small-range linear counting
+    (est ≤ 2.5m with empty registers) applies the standard correction.
+    Output: (group…, est_distinct DOUBLE rounded to 4).
+    """
+    m = 1 << p
+    k = (_HLL_BITS - p) + 1  # max possible rho
+    alpha = _hll_alpha(m)
+    g = list(group_cols or [])
+    agg = registers.groupBy(*g).agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(k) - F.col("rho")).cast("decimal(38,0)"))
+        .alias("s_obs"),
+        F.count("*").alias("n_obs"),
+    )
+    # Σ 2^-rho = (s_obs + (m - n_obs)·2^k) / 2^k ; raw = α·m² / Σ
+    denom = (F.col("s_obs") + (F.lit(m) - F.col("n_obs")) * F.lit(2**k)).cast(
+        "double"
+    )
+    raw = F.lit(alpha * m * m * float(2**k)) / denom
+    zeros = F.lit(m) - F.col("n_obs")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*g, F.round(est, 4).alias("est_distinct"))
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Merge register relations (same p): elementwise max."""
+    out = register_sets[0]
+    for r in register_sets[1:]:
+        out = out.unionByName(r)
+    keys = [c for c in out.columns if c != "rho"]
+    return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_error_bound(p: int) -> float:
+    """Standard error of HLL at precision p: 1.04 / sqrt(2^p)."""
+    return 1.04 / math.sqrt(1 << p)

@@ -1,5 +1,5 @@
 """X28–X40 + C18b + C17g: round-4/5 scale-path extensions (SURVEY §2
-Part B) — 15 queries.
+Part B) — 17 queries.
 
 Import order no longer decides the driver's 50-query correctness
 window: ``load_all`` reorders the registry explicitly after importing
@@ -34,6 +34,8 @@ the 13 others keep their round-4 driver rows.
   (integer summation only).
 - X39 hybrid search: integer token-overlap recall → cosine rerank.
 - C17g sliding-window aggregation (the C17 form that had no row).
+- X41 Count-Min frequency sketch (round 5; portable counters).
+- X42 HyperLogLog distinct counting (round 5; portable registers).
 """
 
 from __future__ import annotations
@@ -857,3 +859,131 @@ def x40_source_overlap(spark, sf_dir):
 
     d = tables(spark, sf_dir, ["documents"])["documents"]
     return source_overlap_matrix(d, k=3)
+
+
+# ---------------------------------------------------------------------------
+# X41 — Count-Min sketch (portable counters; oracle rebuilds the sketch)
+# ---------------------------------------------------------------------------
+
+_CM_D, _CM_W = 4, 512
+
+
+def _cm_sketch_rows_sql(src: str) -> str:
+    """UNION ALL of the d per-row bucket projections over ``src``."""
+    from rehiver_spark.operators.sketches import cm_bucket_sql
+
+    return " UNION ALL ".join(
+        f"SELECT {i} AS row, {cm_bucket_sql('item', i, _CM_W)} AS bucket FROM {src}"
+        for i in range(_CM_D)
+    )
+
+
+def _cm_probe_rows_sql(src: str) -> str:
+    from rehiver_spark.operators.sketches import cm_bucket_sql
+
+    return " UNION ALL ".join(
+        f"SELECT item, {i} AS row, {cm_bucket_sql('item', i, _CM_W)} AS bucket FROM {src}"
+        for i in range(_CM_D)
+    )
+
+
+@query(
+    "x41_count_min",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS item FROM documents),
+    sk AS (
+      SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM ({{cm_rows}}) GROUP BY row, bucket
+    ),
+    qs AS (
+      SELECT DISTINCT unnest(list_distinct({_TOKS_SQL})) AS item
+      FROM documents WHERE doc_id < 5
+    ),
+    probes AS ({{cm_probes}})
+    SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+    FROM probes LEFT JOIN sk USING (row, bucket)
+    GROUP BY item
+    """.format(cm_rows=_cm_sketch_rows_sql("toks"), cm_probes=_cm_probe_rows_sql("qs")),
+)
+def x41_count_min(spark, sf_dir):
+    """X41: Count-Min frequency sketch (Cormode & Muthukrishnan 2005) —
+    the mergeable fixed-size (d×w counters) answer to "how often does
+    token X appear in the 100 TB corpus" without a vocab-sized exact
+    relation. Sketch = ONE explode + ONE partial-combined groupBy whose
+    shuffle is capped at d·w rows regardless of input; estimates join
+    the broadcast sketch (min over d counters — never underestimates).
+    Hashing is the portable md5-60 scheme, so the oracle rebuilds the
+    SAME sketch bit-for-bit. Query items pinned to the distinct tokens
+    of doc_id < 5 (scale-invariant)."""
+    from rehiver_spark.operators.sketches import cm_estimate, cm_sketch
+    from rehiver_spark.operators.textops import tokens
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("item"))
+    sk = cm_sketch(toks, depth=_CM_D, width=_CM_W)
+    qs = (
+        d.filter(F.col("doc_id") < 5)
+        .select(F.explode(F.array_distinct(tokens(F.col("text")))).alias("item"))
+        .distinct()
+    )
+    return cm_estimate(sk, qs, depth=_CM_D, width=_CM_W)
+
+
+# ---------------------------------------------------------------------------
+# X42 — HyperLogLog distinct counting (portable registers + exact-sum
+#       estimator; oracle reproduces the estimate to the rounded digit)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 9
+
+
+def _hll_estimate_sql() -> str:
+    from rehiver_spark.operators.sketches import _hll_alpha, hll_registers_sql
+
+    m = 1 << _HLL_P
+    k = (60 - _HLL_P) + 1
+    alpha_num = repr(_hll_alpha(m) * m * m * float(2**k))
+    regs = hll_registers_sql("item", _HLL_P, "FROM toks", "source")
+    return f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS item FROM documents
+    ),
+    regs AS ({regs}),
+    agg AS (
+      SELECT source,
+        sum(CAST(power(2.0, {k} - rho) AS DECIMAL(38,0))) AS s_obs,
+        count(*) AS n_obs
+      FROM regs GROUP BY source
+    ),
+    raw AS (
+      SELECT source,
+        {alpha_num} / CAST(s_obs + ({m} - n_obs) * {2**k}::DECIMAL(38,0) AS DOUBLE) AS r,
+        {m} - n_obs AS zeros
+      FROM agg
+    )
+    SELECT source,
+      round(CASE WHEN r <= {2.5 * m} AND zeros > 0
+                 THEN {float(m)} * ln({float(m)} / zeros)
+                 ELSE r END, 4) AS est_distinct
+    FROM raw
+    """
+
+
+@query("x42_hll_distinct", _hll_estimate_sql())
+def x42_hll_distinct(spark, sf_dir):
+    """X42: per-source distinct-token cardinality via HyperLogLog
+    (Flajolet et al. 2007) — 2^p max-registers per source (ONE groupBy
+    max, shuffle capped at |sources|·2^p), mergeable across shards/
+    days by register max. Unlike approx_count_distinct (x6, JVM-opaque
+    → rows-only), the registers use the portable md5-60 hash and the
+    estimator's harmonic sum is computed in EXACT integer arithmetic
+    (each 2^-rho scaled to an integer, summed in DECIMAL(38,0), one
+    final division) — bit-stable at any parallelism and reproduced by
+    the SQL oracle to the rounded digit."""
+    from rehiver_spark.operators.sketches import hll_estimate, hll_registers
+    from rehiver_spark.operators.textops import tokens
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    toks = d.select("source", F.explode(tokens(F.col("text"))).alias("item"))
+    regs = hll_registers(toks, p=_HLL_P, group_cols=["source"])
+    return hll_estimate(regs, p=_HLL_P, group_cols=["source"])

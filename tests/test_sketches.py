@@ -1,0 +1,127 @@
+"""Count-Min + HyperLogLog sketches (operators/sketches.py): guarantee
+properties (CM never underestimates; HLL within its standard-error
+envelope), mergeability, and bit-level portability of the register/
+counter relations against DuckDB twins."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rehiver_spark.operators.sketches import (
+    cm_estimate,
+    cm_merge,
+    cm_sketch,
+    hll_error_bound,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+    hll_registers_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    # zipf-ish frequencies: item k appears 200//(k+1) + 1 times
+    rows = [(f"tok{k}",) for k in range(120) for _ in range(200 // (k + 1) + 1)]
+    return spark.createDataFrame(rows, "item string")
+
+
+def test_cm_never_underestimates_and_is_tight_when_wide(spark, items):
+    true = {
+        r["item"]: r["c"]
+        for r in items.groupBy("item").agg(F.count("*").alias("c")).collect()
+    }
+    qs = spark.createDataFrame([(k,) for k in true], "item string")
+    sk = cm_sketch(items, depth=4, width=64)  # narrow: collisions certain
+    est = {r["item"]: r["est"] for r in cm_estimate(sk, qs, depth=4, width=64).collect()}
+    n = sum(true.values())
+    assert all(est[k] >= true[k] for k in true)  # the CM guarantee
+    assert all(est[k] <= true[k] + 4 * n / 64 for k in true)  # ε=e/w-ish slack
+    wide = cm_sketch(items, depth=4, width=8192)
+    est_w = {
+        r["item"]: r["est"]
+        for r in cm_estimate(wide, qs, depth=4, width=8192).collect()
+    }
+    assert est_w == true  # wide enough → exact
+
+
+def test_cm_merge_equals_sketch_of_union(spark, items):
+    # deterministic ROW split (not item split: duplicates must land on
+    # both sides for the merge to prove counters add, not max)
+    w = items.withColumn(
+        "h", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(2))
+    )
+    a, b = w.filter("h = 0").drop("h"), w.filter("h = 1").drop("h")
+    merged = cm_merge(cm_sketch(a, width=128), cm_sketch(b, width=128))
+    direct = cm_sketch(items, width=128)
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    want = {(r["row"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert got == want
+
+
+def test_cm_weighted_counts(spark):
+    df = spark.createDataFrame([("a", 5), ("a", 7), ("b", 1)], "item string, w int")
+    sk = cm_sketch(df, weight_col="w", depth=2, width=512)
+    qs = spark.createDataFrame([("a",), ("b",), ("zz",)], "item string")
+    est = {r["item"]: r["est"] for r in cm_estimate(sk, qs, depth=2, width=512).collect()}
+    assert est == {"a": 12, "b": 1, "zz": 0}
+
+
+def test_hll_within_error_envelope(spark):
+    n = 5000
+    df = spark.range(n).select(F.concat(F.lit("u"), F.col("id")).alias("item"))
+    for p in (9, 11):
+        est = hll_estimate(hll_registers(df, p=p), p=p).first()["est_distinct"]
+        se = hll_error_bound(p)
+        assert abs(est - n) / n < 4 * se, (p, est)
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.createDataFrame([(f"v{i}",) for i in range(12)], "item string")
+    est = hll_estimate(hll_registers(df, p=9), p=9).first()["est_distinct"]
+    assert abs(est - 12) <= 1.0  # linear counting is near-exact here
+
+
+def test_hll_merge_equals_registers_of_union(spark):
+    a = spark.range(0, 3000).select(F.concat(F.lit("x"), F.col("id")).alias("item"))
+    b = spark.range(2000, 6000).select(F.concat(F.lit("x"), F.col("id")).alias("item"))
+    merged = hll_merge(hll_registers(a, p=9), hll_registers(b, p=9))
+    direct = hll_registers(a.unionByName(b), p=9)
+    got = {(r["idx"]): r["rho"] for r in merged.collect()}
+    want = {(r["idx"]): r["rho"] for r in direct.collect()}
+    assert got == want
+    e1 = hll_estimate(merged, p=9).first()["est_distinct"]
+    e2 = hll_estimate(direct, p=9).first()["est_distinct"]
+    assert e1 == e2
+
+
+def test_hll_grouped_per_source(spark):
+    rows = [("s0", f"a{i}") for i in range(400)] + [("s1", f"b{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "source string, item string")
+    out = {
+        r["source"]: r["est_distinct"]
+        for r in hll_estimate(
+            hll_registers(df, p=9, group_cols=["source"]), p=9, group_cols=["source"]
+        ).collect()
+    }
+    assert abs(out["s0"] - 400) / 400 < 4 * hll_error_bound(9)
+    assert abs(out["s1"] - 40) <= 5
+
+
+def test_hll_registers_bit_identical_to_duckdb(spark):
+    df = spark.createDataFrame([(f"item{i}",) for i in range(777)], "item string")
+    got = {(r["idx"], r["rho"]) for r in hll_registers(df, p=9).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 'item' || CAST(range AS VARCHAR) AS item FROM range(777)")
+    sql = hll_registers_sql("item", 9, "FROM t")
+    want = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_cm_estimate_plan_broadcasts_sketch(spark, items):
+    """The sketch side (≤ d·w rows) must ride a broadcast join — the
+    query relation never shuffles for the probe."""
+    sk = cm_sketch(items, width=256)
+    qs = items.select("item").distinct()
+    plan = cm_estimate(sk, qs, width=256)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
