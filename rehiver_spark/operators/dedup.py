@@ -1155,3 +1155,100 @@ def incremental_minhash_neardup(
     return out.select(
         F.col("batch_id").alias(id_col), "corpus_id", "est_jaccard"
     )
+
+
+# ---------------------------------------------------------------------------
+# X43 — Bloom-filter membership index (compact incremental-dedup state)
+# ---------------------------------------------------------------------------
+
+
+def bloom_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom-filter index of a corpus: the DISTINCT set-bit positions
+    as a one-column relation (``pos``) — the compact alternative to
+    :func:`dedup_index` when the exact 64-byte/doc hash index is too
+    large to ship (the bit relation is ≤ m rows ≈ m/8 bytes packed;
+    at the classic m = 10n, k = 5 sizing the false-positive rate is
+    ~0.9%, and a Bloom filter NEVER false-negatives, so every true
+    duplicate is caught).
+
+    Bit positions are the portable md5-60 hash salted per hash-function
+    index — the whole filter is reproducible in any SQL engine (same
+    rule as the MinHash sketches). Merge two indexes with
+    ``a.unionByName(b).distinct()`` (bitwise OR). 100 TB posture: ONE
+    explode + ONE distinct whose shuffle is capped at m rows regardless
+    of corpus size; persist with ``write_bucketed`` on ``pos`` to make
+    the membership join shuffle-free on the index side.
+    """
+    if m_bits <= 0 or k <= 0:
+        raise ValueError(f"m_bits/k must be positive, got {m_bits}/{k}")
+    sha = content_hash(F.col(text_col))
+    return (
+        corpus.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            md5_hash60(F.concat(F.lit(f"bf{i}:"), sha)),
+                            F.lit(m_bits),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_check(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Membership test of a batch against a :func:`bloom_index` built
+    with the SAME (m_bits, k): adds ``status`` =
+    ``'maybe_dup'`` (all k bits set — a true duplicate OR a ~(fill)^k
+    false positive; route to the exact X28 check or drop if the FP rate
+    is acceptable) / ``'new'`` (≥1 bit unset — GUARANTEED unseen).
+
+    Plan: the batch explodes to k probe rows; the index joins as a
+    broadcast/semi side (≤ m rows); one groupBy on the batch id counts
+    hits — hits = k ⇔ all bits present. The corpus itself is never
+    touched (same contract as X28).
+    """
+    sha = content_hash(F.col(text_col))
+    probes = batch.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        md5_hash60(F.concat(F.lit(f"bf{i}:"), sha)), F.lit(m_bits)
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        probes.join(F.broadcast(index), "pos", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        batch.join(hits, id_col, "left")
+        .withColumn(
+            "status",
+            F.when(F.coalesce(F.col("_hits"), F.lit(0)) == k, F.lit("maybe_dup"))
+            .otherwise(F.lit("new")),
+        )
+        .drop("_hits")
+    )

@@ -1,5 +1,5 @@
 """X28–X40 + C18b + C17g: round-4/5 scale-path extensions (SURVEY §2
-Part B) — 17 queries.
+Part B) — 18 queries.
 
 Import order no longer decides the driver's 50-query correctness
 window: ``load_all`` reorders the registry explicitly after importing
@@ -36,6 +36,7 @@ the 13 others keep their round-4 driver rows.
 - C17g sliding-window aggregation (the C17 form that had no row).
 - X41 Count-Min frequency sketch (round 5; portable counters).
 - X42 HyperLogLog distinct counting (round 5; portable registers).
+- X43 Bloom-filter membership index (round 5; compact dedup state).
 """
 
 from __future__ import annotations
@@ -987,3 +988,78 @@ def x42_hll_distinct(spark, sf_dir):
     toks = d.select("source", F.explode(tokens(F.col("text"))).alias("item"))
     regs = hll_registers(toks, p=_HLL_P, group_cols=["source"])
     return hll_estimate(regs, p=_HLL_P, group_cols=["source"])
+
+
+# ---------------------------------------------------------------------------
+# X43 — Bloom-filter membership index (compact incremental-dedup state)
+# ---------------------------------------------------------------------------
+
+_BF_M, _BF_K = 1 << 18, 5
+
+
+def _bf_pos_sql(sha_expr: str, i: int) -> str:
+    from rehiver_spark.functions.hashing import md5_hash60_sql
+
+    salted = f"'bf{i}:' || {sha_expr}"
+    return f"({md5_hash60_sql(salted)} % {_BF_M})"
+
+
+def _bf_rows_sql(src: str, with_id: bool) -> str:
+    head = "doc_id, " if with_id else ""
+    return " UNION ALL ".join(
+        f"SELECT {head}{_bf_pos_sql('sha', i)} AS pos FROM {src}"
+        for i in range(_BF_K)
+    )
+
+
+@query(
+    "x43_bloom_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT sha256({_NORM_SQL}) AS sha FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+      SELECT doc_id, sha256({_NORM_SQL}) AS sha
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, sha256({_NORM_SQL}) AS sha
+      FROM documents WHERE doc_id % 15 = 0
+    ),
+    bits AS (SELECT DISTINCT pos FROM ({{corpus_rows}})),
+    probes AS ({{batch_rows}}),
+    hits AS (
+      SELECT doc_id, count(*) AS h
+      FROM probes JOIN bits USING (pos)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+      CASE WHEN coalesce(h.h, 0) = {_BF_K} THEN 'maybe_dup' ELSE 'new' END AS status
+    FROM batch b LEFT JOIN hits h ON h.doc_id = b.doc_id
+    """.format(
+        corpus_rows=_bf_rows_sql("corpus", with_id=False),
+        batch_rows=_bf_rows_sql("batch", with_id=True),
+    ),
+)
+def x43_bloom_dedup(spark, sf_dir):
+    """X43: Bloom-filter membership check of a batch against corpus
+    state — the compact alternative to X28's exact hash index (bit
+    relation ≤ m rows vs 64 bytes/doc; never false-negative, so every
+    true duplicate is flagged ``maybe_dup``; false positives bounded by
+    (fill)^k, route them to X28 or accept the loss rate). Same fixture
+    as X28: corpus = 90% of documents; batch = held-out 10% + verbatim
+    re-submissions of every 15th (re-submissions MUST flag maybe_dup).
+    Index = ONE explode + ONE distinct capped at m rows; the batch
+    probes it via a broadcast semi-join — the corpus is never re-read.
+    Portable md5-60 bit positions: the oracle rebuilds the filter
+    bit-for-bit."""
+    from rehiver_spark.operators.dedup import bloom_check, bloom_index
+
+    d = tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0).unionByName(
+        d.filter(F.col("doc_id") % 15 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    idx = bloom_index(corpus, m_bits=_BF_M, k=_BF_K)
+    return bloom_check(batch, idx, m_bits=_BF_M, k=_BF_K).select("doc_id", "status")

@@ -473,3 +473,48 @@ def test_release_persisted_frees_only_operator_caches(spark):
     assert len(after) == 1
     mine.unpersist()
     assert release_persisted() == 0  # registry drained, idempotent
+
+
+def test_bloom_index_never_false_negative_and_bounded_fp(spark):
+    """Bloom guarantee: every text whose hash is in the index flags
+    maybe_dup; unseen texts flag new except a bounded FP fraction."""
+    from rehiver_spark.operators.dedup import bloom_check, bloom_index
+
+    corpus = spark.range(2000).selectExpr("concat('doc text number ', id) AS text")
+    m, k = 1 << 15, 5  # fill ≈ 2000*5/32768 ≈ 0.26 → FP ≈ 0.26^5 ≈ 0.1%
+    idx = bloom_index(corpus, m_bits=m, k=k)
+    dups = spark.range(500).selectExpr(
+        "id AS doc_id", "concat('doc text number ', id) AS text"
+    )
+    fresh = spark.range(5000).selectExpr(
+        "id + 10000 AS doc_id", "concat('unseen text number ', id) AS text"
+    )
+    out_d = bloom_check(dups, idx, m_bits=m, k=k).collect()
+    assert all(r["status"] == "maybe_dup" for r in out_d)  # NEVER false-negative
+    out_f = bloom_check(fresh, idx, m_bits=m, k=k).collect()
+    fp = sum(r["status"] == "maybe_dup" for r in out_f) / len(out_f)
+    assert fp < 0.02, fp  # theoretical ~0.1%, generous bound
+
+
+def test_bloom_merge_is_union_distinct(spark):
+    from rehiver_spark.operators.dedup import bloom_check, bloom_index
+
+    a = spark.range(100).selectExpr("concat('a', id) AS text")
+    b = spark.range(100).selectExpr("concat('b', id) AS text")
+    merged = bloom_index(a).unionByName(bloom_index(b)).distinct()
+    direct = bloom_index(a.unionByName(b))
+    assert {r["pos"] for r in merged.collect()} == {r["pos"] for r in direct.collect()}
+
+
+def test_bloom_check_plan_broadcasts_index_and_skips_corpus(spark):
+    """The index side rides a broadcast semi-join; the batch never
+    sort-merge-shuffles against it."""
+    from rehiver_spark.operators.dedup import bloom_check, bloom_index
+
+    corpus = spark.range(100).selectExpr("concat('c', id) AS text")
+    batch = spark.range(10).selectExpr("id AS doc_id", "concat('c', id) AS text")
+    plan = (
+        bloom_check(batch, bloom_index(corpus))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
