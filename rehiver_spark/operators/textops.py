@@ -609,6 +609,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     window: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every character k-gram of the
@@ -619,50 +620,55 @@ def winnow_fingerprints(
     fingerprint overlap is a containment detector that exact-dedup
     hashes (whole-document) cannot provide.
 
-    Gram hashing uses the portable 60-bit md5 hash (functions/
-    hashing.py) so the selection — mins included — is bit-identical in
-    a SQL oracle.
+    Gram hashing follows the module-wide convention (see
+    operators/dedup.py): ``hash_fn="xxhash64"`` (default) is the
+    JVM-side production path; ``hash_fn="md5"`` is the portable 60-bit
+    hash that makes the selection — mins included — bit-identical in a
+    SQL oracle (what the oracle-checked queries pass). Measured at
+    sf10 the hash choice is only ~6% — once the formulation below
+    removed the shuffle, hashing stopped being the bottleneck.
 
-    RELATIONAL formulation: explode gram positions → hash each gram
-    ONCE → sliding-window min via a ROWS frame → distinct. The
-    array-HOF formulation (slice of a transform-computed array inside
-    another transform) re-evaluates the whole hash array per window —
-    O(n²) md5 calls per document, measured 270s vs ~4s at sf0.1. Rows
-    also beat per-row megabyte arrays at 100 TB: the frame min is
-    streaming state of ``window`` longs, map-side explodable, and the
-    only shuffle is the window partition by id.
+    ZERO-SHUFFLE formulation (round 5): hash the grams ONCE into a
+    per-doc array behind an explicit projection barrier, take each
+    window's min with ``array_min(slice(...))`` over the MATERIALIZED
+    array, and explode the per-doc ``array_distinct`` of the mins —
+    everything is map-side: the operator introduces NO key shuffle
+    (the only exchange ever present is ensure_parallelism's small-file
+    round-robin, a no-op on a real multi-file scan; plan test pins the
+    absence of hash/range exchanges). Previously (the
+    earlier window-frame form shuffled one row per corpus CHARACTER
+    window-frame form) one row per corpus CHARACTER was shuffled into
+    a per-doc sort: ~500M rows at sf10, measured 82 s vs 52 s here,
+    and on a real cluster that shuffle is network. The barrier
+    matters: inlining the hash-array transform into the slice lambda
+    defeats common-subexpression elimination and re-evaluates the
+    array per window — O(n²) hashing, measured 270 s at sf0.1. With
+    the two-step select the plan computes the array once per row
+    (equality with the window form is test-pinned).
 
     Output: (id, fp) — one row per distinct selected fingerprint.
     """
     from rehiver_spark.functions.hashing import md5_hash60
 
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
+    gram_hash = F.xxhash64 if hash_fn == "xxhash64" else md5_hash60
+
     df = ensure_parallelism(df)
     norm = normalize_text(F.col(text_col))
     n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    ex = df.select(
-        F.col(id_col),
-        norm.alias("_nt"),
-        n_grams.alias("_ng"),
-        F.explode(F.sequence(F.lit(1), n_grams)).alias("_pos"),
+    t1 = df.select(F.col(id_col), norm.alias("_nt"), n_grams.alias("_ng"))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.col("_ng")),
+        lambda i: gram_hash(F.col("_nt").substr(i, F.lit(k))),
     )
-    hashed = ex.select(
-        id_col,
-        "_ng",
-        "_pos",
-        md5_hash60(F.col("_nt").substr(F.col("_pos"), F.lit(k))).alias("_h"),
-    )
-    frame = (
-        Window.partitionBy(id_col)
-        .orderBy("_pos")
-        .rowsBetween(Window.currentRow, window - 1)
-    )
+    t2 = t1.select(id_col, "_ng", hashes.alias("_hs"))
     n_windows = F.greatest(F.col("_ng") - F.lit(window - 1), F.lit(1))
-    return (
-        hashed.withColumn("fp", F.min("_h").over(frame))
-        .filter(F.col("_pos") <= n_windows)
-        .select(id_col, "fp")
-        .distinct()
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(F.col("_hs"), i, window)),
     )
+    return t2.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
 
 
 def tf_idf(

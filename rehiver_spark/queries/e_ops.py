@@ -1,5 +1,5 @@
 """X28–X40 + C18b + C17g: round-4/5 scale-path extensions (SURVEY §2
-Part B) — 18 queries.
+Part B) — 19 queries.
 
 Import order no longer decides the driver's 50-query correctness
 window: ``load_all`` reorders the registry explicitly after importing
@@ -37,6 +37,7 @@ the 13 others keep their round-4 driver rows.
 - X41 Count-Min frequency sketch (round 5; portable counters).
 - X42 HyperLogLog distinct counting (round 5; portable registers).
 - X43 Bloom-filter membership index (round 5; compact dedup state).
+- X21f winnow contamination fast path (round 5; rows-only xxhash64 twin).
 """
 
 from __future__ import annotations
@@ -1063,3 +1064,51 @@ def x43_bloom_dedup(spark, sf_dir):
     )
     idx = bloom_index(corpus, m_bits=_BF_M, k=_BF_K)
     return bloom_check(batch, idx, m_bits=_BF_M, k=_BF_K).select("doc_id", "status")
+
+
+# ---------------------------------------------------------------------------
+# X21f — winnow contamination, production hash path (rows-only twin of
+#        x21, same convention as x7 vs x7p)
+# ---------------------------------------------------------------------------
+
+
+@query("x21f_winnow_fast")
+def x21f_winnow_fast(spark, sf_dir):
+    """X21 fast path: the same substring-contamination pipeline with
+    xxhash64 gram hashing (JVM-side; ~6% cheaper than the portable md5
+    at sf10 under the zero-shuffle winnow — the gap was 3× when the
+    old window-frame form shuffled a row per corpus character, and on
+    a multi-node cluster the removed shuffle is the real win).
+    Fingerprint VALUES differ from the oracle-checkable md5 form, so
+    this registers rows-only (x7/x7p convention); the winnowing
+    guarantee and plan shape are identical and test-pinned."""
+    from rehiver_spark.operators.textops import winnow_fingerprints
+    from rehiver_spark.session import track_persist
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    bench = d.filter(
+        (F.col("doc_id") % 11 == 0) & (F.col("doc_id") < 500) & (F.length("text") >= 160)
+    ).select(
+        (F.col("doc_id") + 700000).alias("bench_id"),
+        F.substring("text", 41, 120).alias("text"),
+    )
+    dfp = winnow_fingerprints(d.select("doc_id", "text"), k=5, window=4)
+    bfp = track_persist(winnow_fingerprints(bench, id_col="bench_id", k=5, window=4))
+    bsz = bfp.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
+    shared = (
+        dfp.join(F.broadcast(bfp), "fp")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(bsz), "bench_id")
+        .withColumn("containment", F.col("n_shared") / F.col("n_bench"))
+        .filter(F.col("containment") >= 0.8)
+        .select(
+            "doc_id",
+            "bench_id",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_bench").cast("bigint").alias("n_bench"),
+            F.round("containment", 6).alias("containment"),
+        )
+    )

@@ -790,7 +790,7 @@ def x14_winnow_fingerprints(spark, sf_dir):
     substring-containment fingerprint for plagiarism/contamination
     detection, fully oracle-checked via the portable md5 hash."""
     d = tables(spark, sf_dir, ["documents"])["documents"]
-    return winnow_fingerprints(d.select("doc_id", "text"), k=5, window=4)
+    return winnow_fingerprints(d.select("doc_id", "text"), k=5, window=4, hash_fn="md5")
 
 
 @query(
@@ -1276,10 +1276,12 @@ def x21_winnow_contamination(spark, sf_dir):
         (F.col("doc_id") + 700000).alias("bench_id"),
         F.substring("text", 41, 120).alias("text"),
     )
-    dfp = winnow_fingerprints(d.select("doc_id", "text"), k=5, window=4)
+    dfp = winnow_fingerprints(d.select("doc_id", "text"), k=5, window=4, hash_fn="md5")
     from rehiver_spark.session import track_persist
 
-    bfp = track_persist(winnow_fingerprints(bench, id_col="bench_id", k=5, window=4))
+    bfp = track_persist(
+        winnow_fingerprints(bench, id_col="bench_id", k=5, window=4, hash_fn="md5")
+    )
     bsz = bfp.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
     shared = (
         dfp.join(F.broadcast(bfp), "fp")

@@ -147,8 +147,28 @@ def test_winnow_short_doc_single_gram(spark):
     from rehiver_spark.operators.textops import winnow_fingerprints
 
     df = spark.createDataFrame([(1, "ab")], "doc_id bigint, text string")
-    rows = winnow_fingerprints(df, k=5, window=4).collect()
+    rows = winnow_fingerprints(df, k=5, window=4, hash_fn="md5").collect()
     assert [(r["doc_id"], r["fp"]) for r in rows] == [(1, md5_hash60_py("ab"))]
+
+
+def test_winnow_fast_path_same_overlap_structure(spark):
+    """hash_fn=xxhash64 (production) selects via the same winnowing rule
+    as the portable path: shared substrings still share a fingerprint
+    and per-doc fingerprint COUNTS match (the selected positions are
+    hash-dependent, so only the guarantee and cardinality-shape are
+    comparable, not the values)."""
+    from rehiver_spark.operators.textops import winnow_fingerprints
+
+    common = "the common shared passage lives here"
+    df = spark.createDataFrame(
+        [(1, f"aaa {common} bbb"), (2, f"ccc ddd {common} eee"), (3, "zzz unrelated")],
+        "doc_id bigint, text string",
+    )
+    fast = winnow_fingerprints(df, k=5, window=4)  # default xxhash64
+    fps = {i: set() for i in (1, 2, 3)}
+    for r in fast.collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2] and not (fps[1] & fps[3])
 
 
 def test_quantized_sign_lsh_matches_driver_twin(spark):
@@ -194,3 +214,47 @@ def test_lsh_cosine_portable_subset_and_recall(spark, sf_dir):
     }
     assert got <= planted  # only planted pairs clear cosine ≥ 0.9
     assert len(got) >= 0.9 * len(planted)  # 4 tables × 12 planes ⇒ recall ≈ 1
+
+
+def test_winnow_matches_pure_python_reference(spark):
+    """The zero-shuffle HOF formulation must select EXACTLY the
+    fingerprints of a straightforward driver-side winnowing reference
+    (hash k-grams, min per sliding window, distinct)."""
+    import re as _re
+
+    from rehiver_spark.functions.hashing import md5_hash60_py
+    from rehiver_spark.operators.textops import winnow_fingerprints
+
+    k, w = 5, 4
+    texts = {
+        1: "The quick   Brown fox jumps over the lazy dog",
+        2: "pack my box with five dozen liquor jugs",
+        3: "ab",  # shorter than k: single whole-text gram
+        4: "exactly08",  # len 9 → 5 grams, 2 windows
+    }
+
+    def ref(t):
+        nt = _re.sub(r"\s+", " ", t.strip()).lower()
+        grams = [nt[i : i + k] for i in range(max(len(nt) - k + 1, 1))]
+        hs = [md5_hash60_py(g) for g in grams]
+        nw = max(len(hs) - w + 1, 1)
+        return {min(hs[i : i + w]) for i in range(nw)}
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=k, window=w, hash_fn="md5").collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert got == {i: ref(t) for i, t in texts.items()}
+
+
+def test_winnow_plan_has_no_key_shuffle(spark):
+    """The zero-shuffle formulation: no hash/range exchange anywhere in
+    the winnow plan (ensure_parallelism's round-robin on a small single
+    file is allowed — it disappears on real multi-file scans)."""
+    from rehiver_spark.operators.textops import winnow_fingerprints
+
+    df = spark.range(64).selectExpr(
+        "id AS doc_id", "concat('some body of text number ', id) AS text"
+    ).repartition(32)  # enough partitions → ensure_parallelism no-ops
+    plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
