@@ -11,10 +11,12 @@ Decode dispatch:
   — fully testable, stable across runs, used by the test suite.
 - ``fake=False``: PNG images decode/resize for real via the stdlib
   codec (``rehiver_spark.functions.png``: zlib inflate, filter
-  reconstruction, nearest-neighbor resample, deterministic re-encode —
-  no imaging library needed); other image formats go through Pillow
-  when present; audio/video raise ``NotImplementedError`` (no codec
-  library exists in this container — documented stub).
+  reconstruction, nearest-neighbor resample, deterministic re-encode)
+  and WAV audio decodes via the stdlib ``wave`` module — no media
+  library needed for either; other image formats go through Pillow
+  when present; compressed audio and video raise
+  ``NotImplementedError`` (no codec library exists in this container —
+  documented stub).
 
 Scale notes: payloads never pass through Python row-at-a-time — all
 UDFs are ``mapInPandas`` (Arrow batches). For 100 TB media lakes keep
@@ -96,9 +98,24 @@ def _fake_decode(kind: str, payload: bytes) -> dict:
 
 
 def _real_decode(kind: str, payload: bytes) -> dict:
-    """Real codec: PNG via the stdlib codec (always available), other
-    image formats via Pillow when present, audio/video unsupported
-    (no codec library exists in this container)."""
+    """Real codec: PNG via the stdlib codec and WAV via the stdlib
+    ``wave`` module (both always available); other image formats via
+    Pillow when present; compressed audio / video unsupported (no
+    codec library exists in this container)."""
+    if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            rate = w.getframerate()
+            if rate <= 0:
+                raise ValueError("WAV header declares zero frame rate")
+            return {
+                "width": None,
+                "height": None,
+                "duration_ms": w.getnframes() * 1000 // rate,
+                "sample_rate": rate,
+            }
     if kind == "image":
         from rehiver_spark.functions import png as _png
 
