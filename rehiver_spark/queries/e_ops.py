@@ -1,5 +1,5 @@
 """X28–X40 + C18b + C17g: round-4/5 scale-path extensions (SURVEY §2
-Part B) — 19 queries.
+Part B) — 20 queries.
 
 Import order no longer decides the driver's 50-query correctness
 window: ``load_all`` reorders the registry explicitly after importing
@@ -38,6 +38,7 @@ the 13 others keep their round-4 driver rows.
 - X42 HyperLogLog distinct counting (round 5; portable registers).
 - X43 Bloom-filter membership index (round 5; compact dedup state).
 - X21f winnow contamination fast path (round 5; rows-only xxhash64 twin).
+- X44 streaming HyperLogLog (round 5; sketch registers as stream state).
 """
 
 from __future__ import annotations
@@ -1112,3 +1113,71 @@ def x21f_winnow_fast(spark, sf_dir):
             F.round("containment", 6).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X44 — streaming HyperLogLog (distinct users per event type over a
+#       real file-source stream; registers are streaming state)
+# ---------------------------------------------------------------------------
+
+
+def _x44_sql() -> str:
+    from rehiver_spark.operators.sketches import _hll_alpha, hll_registers_sql
+
+    p = _HLL_P
+    m = 1 << p
+    k = (60 - p) + 1
+    alpha_num = repr(_hll_alpha(m) * m * m * float(2**k))
+    regs = hll_registers_sql(
+        "item",
+        p,
+        "FROM (SELECT event_type, CAST(user_id AS VARCHAR) AS item FROM events)",
+        "event_type",
+    )
+    return f"""
+    WITH regs AS ({regs}),
+    agg AS (
+      SELECT event_type,
+        sum(CAST(power(2.0, {k} - rho) AS DECIMAL(38,0))) AS s_obs,
+        count(*) AS n_obs
+      FROM regs GROUP BY event_type
+    ),
+    raw AS (
+      SELECT event_type,
+        {alpha_num} / CAST(s_obs + ({m} - n_obs) * {2**k}::DECIMAL(38,0) AS DOUBLE) AS r,
+        {m} - n_obs AS zeros
+      FROM agg
+    )
+    SELECT event_type,
+      round(CASE WHEN r <= {2.5 * m} AND zeros > 0
+                 THEN {float(m)} * ln({float(m)} / zeros)
+                 ELSE r END, 4) AS est_distinct
+    FROM raw
+    """
+
+
+@query("x44_stream_hll", _x44_sql())
+def x44_stream_hll(spark, sf_dir):
+    """X44: HyperLogLog registers AS STREAMING STATE — distinct users
+    per event type maintained by Structured Streaming (file source →
+    groupBy(type, idx).max(rho) in complete mode → AvailableNow →
+    memory sink), estimated from the sink. This is the production
+    monitoring shape at 100 TB/day: per-trigger state is capped at
+    |types|·2^p register rows (never per-user), survives restarts via
+    the checkpoint, and merges across streams by register max. The
+    register math is the portable md5-60 form, and max is
+    order-insensitive, so the BATCH SQL twin reproduces the streamed
+    registers — and therefore the estimate — exactly."""
+    from rehiver_spark.operators.sketches import hll_estimate, hll_registers
+    from rehiver_spark.queries import scratch_dir
+    from rehiver_spark.streaming.windows import read_file_stream, run_available_now
+
+    ev = tables(spark, sf_dir, ["events"])["events"]
+    scratch = scratch_dir("x44", sf_dir)
+    src = f"{scratch}/src"
+    ev.select("event_type", "user_id").repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
+    regs = hll_registers(sdf, item_col="user_id", p=_HLL_P, group_cols=["event_type"])
+    sink = run_available_now(regs, checkpoint=f"{scratch}/ckpt")
+    return hll_estimate(sink, p=_HLL_P, group_cols=["event_type"])

@@ -125,3 +125,27 @@ def test_cm_estimate_plan_broadcasts_sketch(spark, items):
     qs = items.select("item").distinct()
     plan = cm_estimate(sk, qs, width=256)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    """x44's core claim: HLL registers maintained as streaming state
+    (multi-trigger AvailableNow) are IDENTICAL to the batch registers —
+    max is order- and batching-insensitive."""
+    from rehiver_spark.operators.sketches import hll_registers
+    from rehiver_spark.streaming.windows import read_file_stream, run_available_now
+
+    ev = spark.range(3000).selectExpr(
+        "CAST(id % 7 AS STRING) AS grp", "CAST(id % 911 AS STRING) AS item"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(5).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
+    streamed = run_available_now(
+        hll_registers(sdf, p=9, group_cols=["grp"]),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    batch = hll_registers(spark.read.parquet(src), p=9, group_cols=["grp"])
+    got = {(r["grp"], r["idx"], r["rho"]) for r in streamed.collect()}
+    want = {(r["grp"], r["idx"], r["rho"]) for r in batch.collect()}
+    assert got == want and len(got) > 50
