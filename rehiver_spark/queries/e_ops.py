@@ -1181,3 +1181,122 @@ def x44_stream_hll(spark, sf_dir):
     regs = hll_registers(sdf, item_col="user_id", p=_HLL_P, group_cols=["event_type"])
     sink = run_available_now(regs, checkpoint=f"{scratch}/ckpt")
     return hll_estimate(sink, p=_HLL_P, group_cols=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# X45/X46 — distributed BPE tokenizer training (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+def _bpe_pairs_sql() -> str:
+    from rehiver_spark.operators.bpe import spaced_sql
+
+    return f"""
+    WITH words AS (SELECT unnest({_TOKS_SQL}) AS word FROM documents),
+    wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+    syms AS (
+      SELECT freq,
+        list_filter(string_split({spaced_sql('word')}, ' '), s -> s <> '') AS s
+      FROM wf
+    ),
+    pairs AS (
+      SELECT s[i] AS left_sym, s[i+1] AS right_sym, freq
+      FROM syms, unnest(range(1, len(s))) AS t(i)
+    )
+    SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_freq
+    FROM pairs GROUP BY left_sym, right_sym
+    ORDER BY pair_freq DESC, left_sym, right_sym LIMIT 50
+    """
+
+
+@query("x45_bpe_pairs", _bpe_pairs_sql())
+def x45_bpe_pairs(spark, sf_dir):
+    """X45: BPE adjacent-pair statistics — round one of tokenizer
+    training, as a standalone corpus-accounting query (top-50 symbol
+    pairs by weighted frequency, deterministic tie-break). The corpus
+    is read ONCE into a map-side-combined word-frequency relation
+    (vocabulary-sized output); pair extraction is pure array
+    arithmetic per word; the only shuffles are the two capped
+    partial-combined aggregations, and the top-50 is a partial top-k
+    (TakeOrderedAndProject), never a full sort."""
+    from rehiver_spark.operators.bpe import pair_counts, spaced, word_freqs
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    vocab = word_freqs(d).withColumn("spaced", spaced(F.col("word")))
+    return (
+        pair_counts(vocab)
+        .orderBy(F.col("pair_freq").desc(), "left_sym", "right_sym")
+        .limit(50)
+    )
+
+
+@query("x46_bpe_learn")
+def x46_bpe_learn(spark, sf_dir):
+    """X46: full BPE merge-table learning (16 merges, min_freq 2) —
+    iterative, so rows-only for the driver (DuckDB cannot express the
+    argmax-dependent merge recursion); the algorithm itself is pinned
+    EXACTLY (merge pairs, order, frequencies) against a pure-Python
+    reference implementation of the published algorithm in
+    tests/test_bpe.py, including on the real sf0.001 corpus. Driver
+    traffic is one row per round (the argmax pair); the vocabulary
+    relation stays distributed with lineage checkpointed every 6
+    rounds — the same loop discipline as connected components
+    (dedup.py X17)."""
+    from rehiver_spark.operators.bpe import learn_bpe
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    merges = learn_bpe(d, num_merges=16, min_freq=2)
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, merged string, pair_freq bigint"
+    ).select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "left_sym",
+        "right_sym",
+        "merged",
+        "pair_freq",
+    )
+
+
+# the pinned merge list for X46b: LITERAL on both sides so the
+# map-only segmentation is exactly SQL-expressible (rank order matters
+# — later merges consume earlier merges' output symbols)
+_BPE_MERGES = [
+    ("e", "</w>"),
+    ("t", "h"),
+    ("th", "e</w>"),
+    ("s", "</w>"),
+    ("i", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("a", "n"),
+]
+
+
+def _bpe_apply_sql() -> str:
+    from rehiver_spark.operators.bpe import apply_merges_sql
+
+    syms = apply_merges_sql(_BPE_MERGES, _TOKS_SQL)
+    return f"""
+    WITH seg AS (SELECT doc_id, {syms} AS s FROM documents)
+    SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sym, s[1] AS head_sym
+    FROM seg
+    """
+
+
+@query("x46b_bpe_apply", _bpe_apply_sql())
+def x46b_bpe_apply(spark, sf_dir):
+    """X46b: segment every document with a pinned 8-merge BPE table —
+    MAP-ONLY (plan-tested: zero Exchange): per word, the spaced symbol
+    string goes through the merges as nested literal replaces inside a
+    ``transform`` over the token array; no shuffle, no Python rows, no
+    regex. This is the 100 TB tokenization pass: embarrassingly
+    parallel, whole-stage-codegen'd, output partitioning = input
+    partitioning."""
+    from rehiver_spark.operators.bpe import apply_merges
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    seg = apply_merges(d, _BPE_MERGES)
+    return seg.select(
+        "doc_id",
+        F.size("bpe_symbols").cast("bigint").alias("n_sym"),
+        F.element_at("bpe_symbols", 1).alias("head_sym"),
+    )

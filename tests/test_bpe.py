@@ -1,0 +1,162 @@
+"""Distributed BPE (operators/bpe.py) vs a pure-Python reference
+implementation of the published algorithm (Sennrich et al. 2016):
+learned merge tables must match EXACTLY (same pairs, same order, same
+frequencies), segmentation must match per word, and the two-pass
+literal-replace merge must reproduce classical sequential greedy merge
+semantics on the adversarial overlap cases."""
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from rehiver_spark.operators.bpe import (
+    apply_merges,
+    learn_bpe,
+    merge_once,
+    pair_counts,
+    spaced,
+    word_freqs,
+)
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference: the classical algorithm, verbatim semantics
+# ---------------------------------------------------------------------------
+
+
+def ref_word_symbols(word):
+    return list(word) + ["</w>"]
+
+
+def ref_pair_counts(vocab):
+    counts = collections.Counter()
+    for syms, freq in vocab:
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] += freq
+    return counts
+
+
+def ref_merge_word(syms, pair):
+    """Sequential greedy left-to-right non-overlapping merge."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def ref_learn(texts, num_merges, min_freq=2):
+    from rehiver_spark.operators.textops import tokens  # noqa: F401
+
+    words = collections.Counter()
+    for t in texts:
+        words.update((t or "").lower().split())
+    vocab = [(ref_word_symbols(w), f) for w, f in words.items()]
+    merges = []
+    for _ in range(num_merges):
+        counts = ref_pair_counts(vocab)
+        if not counts:
+            break
+        # tie-break: freq desc, then lexicographic pair asc
+        pair, freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < min_freq:
+            break
+        merges.append((pair[0], pair[1], freq))
+        vocab = [(ref_merge_word(s, pair), f) for s, f in vocab]
+    return merges
+
+
+def ref_segment(word, merges):
+    syms = ref_word_symbols(word)
+    for left, right in merges:
+        syms = ref_merge_word(syms, (left, right))
+    return syms
+
+
+# ---------------------------------------------------------------------------
+# Corpus fixture: lowercase space-separated texts (matches tokens())
+# ---------------------------------------------------------------------------
+
+TEXTS = [
+    "low low low lower lowest",
+    "new newer newest new new",
+    "wide wider widest wide",
+    "a aa aaa aaaa a aa",
+    "the quick brown fox jumps over the lazy dog",
+    "the the the banana bandana",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string")
+
+
+def test_merge_once_matches_sequential_greedy_on_overlaps(spark):
+    """The adversarial cases for the two-pass literal replace: runs of
+    the same symbol, and alternating pairs sharing delimiters."""
+    cases = ["a a a", "a a a a", "a b a b", "a b a b a b", "a a b a a", "b a a a b"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {
+        r["s"]: r["m"]
+        for r in df.select(
+            "s", merge_once(F.concat(F.lit(" "), "s", F.lit(" ")), "a", "a").alias("m")
+        ).collect()
+    }
+    for c in cases:
+        expect = " " + " ".join(ref_merge_word(c.split(" "), ("a", "a"))) + " "
+        assert got[c] == expect, c
+
+
+def test_pair_counts_match_reference(spark, docs):
+    vocab = word_freqs(docs).withColumn("spaced", spaced(F.col("word")))
+    got = {
+        (r["left_sym"], r["right_sym"]): r["pair_freq"]
+        for r in pair_counts(vocab).collect()
+    }
+    words = collections.Counter(w for t in TEXTS for w in t.split())
+    expect = ref_pair_counts([(ref_word_symbols(w), f) for w, f in words.items()])
+    assert got == dict(expect)
+
+
+def test_learn_bpe_matches_reference_exactly(spark, docs):
+    got = learn_bpe(docs, num_merges=12, min_freq=2, checkpoint_every=4)
+    expect = ref_learn(TEXTS, 12, min_freq=2)
+    assert [(m["left_sym"], m["right_sym"], m["pair_freq"]) for m in got] == expect
+    assert [m["rank"] for m in got] == list(range(len(got)))
+    assert all(m["merged"] == m["left_sym"] + m["right_sym"] for m in got)
+
+
+def test_apply_merges_matches_reference_segmentation(spark, docs):
+    merges = [(m["left_sym"], m["right_sym"]) for m in learn_bpe(docs, 10)]
+    seg = apply_merges(docs, merges)
+    got = {r["doc_id"]: r["bpe_symbols"] for r in seg.collect()}
+    for i, t in enumerate(TEXTS):
+        expect = [s for w in t.split() for s in ref_segment(w, merges)]
+        assert got[i] == expect, f"doc {i}"
+
+
+def test_learn_on_real_corpus_matches_reference(spark, sf_dir):
+    """End-to-end on the sf0.001 documents table — the distributed
+    learner and the in-memory reference must produce the identical
+    merge table."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r["text"] for r in d.select("text").collect()]
+    # normalize the same way tokens() does (trim + whitespace collapse
+    # + lowercase); the reference splits on single spaces
+    import re
+
+    norm = [re.sub(r"\s+", " ", (t or "").strip()).lower() for t in texts]
+    got = learn_bpe(d, num_merges=8)
+    expect = ref_learn(norm, 8)
+    assert [(m["left_sym"], m["right_sym"], m["pair_freq"]) for m in got] == expect
+
+
+def test_apply_merges_is_map_only(spark, docs):
+    """Segmentation must not shuffle: the plan has no Exchange."""
+    plan = apply_merges(docs, [("l", "o"), ("lo", "w")])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -121,12 +121,20 @@ def test_x9p_lsh_single_candidate_join(spark, queries):
     assert p.count("Generate explode") <= 2
 
 
-def test_x14_winnow_no_cartesian_single_window(spark, queries):
+def test_x14_winnow_zero_shuffle_array_form(spark, queries):
     p = plan_of(queries["x14_winnow_fingerprints"](spark, SF))
     assert "CartesianProduct" not in p
-    # relational formulation: exactly one Window (sliding frame min) —
-    # the array-HOF form would show none but pay O(n²) hash evaluation
-    assert p.count("Window") == 1
+    # zero-shuffle array formulation (hash grams once behind a
+    # projection barrier, array_min over slices): NO per-character key
+    # shuffle and NO window sort — the only Exchange allowed is the
+    # explicit round-robin repartition for read parallelism
+    assert p.count("Window") == 0
+    assert p.count("Exchange") <= 1
+    assert "RoundRobinPartitioning" in p or p.count("Exchange") == 0
+    # the gram hashes must be materialized ONCE in a projection, not
+    # inlined into the per-window slice lambda (would re-hash per
+    # window, O(n²))
+    assert p.count("conv(substring(md5") == 1
 
 
 def test_x7p_minhash_no_cartesian(spark, queries):
@@ -265,3 +273,18 @@ def test_x40_source_overlap_sizes_broadcast(spark, queries):
     assert "CartesianProduct" not in p
     # the per-source sizes relation (|sources| rows) must broadcast
     assert "BroadcastHashJoin" in p
+
+
+def test_x45_bpe_pairs_partial_topk(spark, queries):
+    p = plan_of(queries["x45_bpe_pairs"](spark, SF))
+    # top-50 pairs via partial top-k, never a full global sort; both
+    # aggregations partial-combined (partial_count / partial_sum)
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_x46b_bpe_apply_is_map_only(spark, queries):
+    p = plan_of(queries["x46b_bpe_apply"](spark, SF))
+    # the 100 TB tokenization pass: zero Exchange — output
+    # partitioning = input partitioning, whole-stage codegen
+    assert "Exchange" not in p
