@@ -78,11 +78,15 @@ MIME_MAP = {
 }
 DEFAULT_MIME = "application/octet-stream"
 _TEXT_PREFIXES = ("text/",)
+# exactly the reference's ContentType.isText list (src/index.ts:137-145):
+# text/* plus these four application types. Notably NOT image/svg+xml —
+# the reference classifies svg as binary despite its textual encoding,
+# and parity wins.
 _TEXT_EXACT = {
     "application/json",
     "application/xml",
     "application/javascript",
-    "image/svg+xml",
+    "application/typescript",
 }
 
 
@@ -114,6 +118,17 @@ def content_type_col(key: Column | str) -> Column:
 def is_text_col(mime: Column | str) -> Column:
     c = F.col(mime) if isinstance(mime, str) else mime
     return c.startswith("text/") | c.isin(list(_TEXT_EXACT))
+
+
+def is_binary_type(mime: str) -> bool:
+    """Reference ``ContentType.isBinary`` (src/index.ts:152-154):
+    defined as the exact negation of isText."""
+    return not is_text_type(mime)
+
+
+def is_binary_col(mime: Column | str) -> Column:
+    """Column twin of :func:`is_binary_type`."""
+    return ~is_text_col(mime)
 
 
 # -- reverse lookups (reference ContentType.charset/extension,

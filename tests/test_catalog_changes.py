@@ -204,6 +204,34 @@ def test_content_type():
     assert not is_text_type("image/png")
 
 
+def test_is_binary_negates_is_text_exactly(spark):
+    """Reference ContentType.isBinary (src/index.ts:152-154) is defined
+    as !isText — the Python and Column twins must agree on every MIME
+    in our universe, and the exact-list must match the reference's
+    four application types (typescript in, svg out)."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.sources.catalog import (
+        MIME_MAP,
+        is_binary_col,
+        is_binary_type,
+        is_text_type,
+    )
+
+    mimes = sorted(set(MIME_MAP.values()) | {"application/octet-stream", "application/typescript"})
+    for m in mimes:
+        assert is_binary_type(m) == (not is_text_type(m)), m
+    assert not is_binary_type("application/typescript")  # ref includes it
+    assert is_binary_type("image/svg+xml")  # ref classifies svg binary
+    df = spark.createDataFrame([(m,) for m in mimes], ["mime"])
+    got = {
+        r["mime"]: r["b"]
+        for r in df.select("mime", is_binary_col("mime").alias("b")).collect()
+    }
+    for m in mimes:
+        assert got[m] == is_binary_type(m), m
+
+
 def test_content_type_col(spark):
     from rehiver_spark.sources.catalog import content_type_col
 
