@@ -248,3 +248,145 @@ def hll_merge(*register_sets: DataFrame) -> DataFrame:
 def hll_error_bound(p: int) -> float:
     """Standard error of HLL at precision p: 1.04 / sqrt(2^p)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# ---------------------------------------------------------------------------
+# X47 — HDR-histogram quantile sketch (integer-exact log-bucketing)
+# ---------------------------------------------------------------------------
+#
+# The quantile member of the mergeable-sketch family (with CM for
+# frequency and HLL for cardinality): distribution monitoring of
+# non-negative integer measures (doc lengths, token counts, file
+# sizes) in a fixed-size relation. The bucketing is HdrHistogram's
+# (Tene; same family as DDSketch, Masson et al. VLDB 2019) but
+# computed ENTIRELY in integer arithmetic — floor(log2 v) comes from
+# the binary-string length, the sub-bucket from an integer shift — so
+# there is no libm ln() whose last-ulp rounding could flip a boundary
+# bucket between engines: the sketch AND the quantile estimates are
+# bit-identical in SQL, not merely close.
+#
+# bucket(v) for v > 0, with S sub-buckets per octave (S a power of 2):
+#   e = floor(log2 v) = length(bin(v)) - 1
+#   m = (v * S) >> e  - S          (integer in [0, S))
+#   id = e * S + m
+# v == 0 → reserved bucket -1. Relative half-width of bucket (e, m) is
+# 1/(2S + 2m + 1) ≤ 1/(2S+1) (~3% at S=16). Merge = union + sum.
+# Estimates use the bucket midpoint 2^e · (2S + 2m + 1) / (2S),
+# computed from integers with one final division.
+
+
+def hdr_bucket(col: Column, sub: int = 16) -> Column:
+    """Bit-exact HDR bucket id of a non-negative BIGINT column
+    (0 → -1; negatives → -2; ≥ 2^49 → -3 — each visible rather than
+    silently folded). ``(v·S) / 2^e`` is computed in doubles, which is
+    EXACT here: v·S < 2^53 stays representable and division by a power
+    of two only decrements the exponent — so the floor equals the
+    integer shift the SQL twin uses, on every input in the domain
+    (property-tested across octave boundaries)."""
+    v = col.cast("bigint")
+    e = (F.length(F.bin(v)) - 1).cast("int")
+    p2 = F.pow(F.lit(2.0), e.cast("double"))
+    m = F.floor((v * sub).cast("double") / p2).cast("bigint") - sub
+    bid = e.cast("bigint") * sub + m
+    return (
+        F.when(v < 0, F.lit(-2))
+        .when(v == 0, F.lit(-1))
+        .when(v >= F.lit(1 << 49), F.lit(-3))
+        .otherwise(bid)
+    )
+
+
+def hdr_bucket_sql(expr: str, sub: int = 16) -> str:
+    """DuckDB twin of :func:`hdr_bucket` (bin() is minimal-width in
+    both engines; >> is arithmetic shift on BIGINT in both)."""
+    v = f"CAST({expr} AS BIGINT)"
+    e = f"(length(bin({v})) - 1)"
+    m = f"(({v} * {sub}) >> {e}) - {sub}"
+    return (
+        f"CASE WHEN {v} < 0 THEN -2 WHEN {v} = 0 THEN -1 "
+        f"ELSE CAST({e} AS BIGINT) * {sub} + {m} END"
+    )
+
+
+def hdr_sketch(
+    df: DataFrame,
+    value_col: str,
+    sub: int = 16,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group…, bucket, cnt) — ONE partial-combined groupBy; shuffle
+    cardinality capped at |groups| · S·64 buckets regardless of input."""
+    if sub & (sub - 1) or sub <= 0:
+        raise ValueError(f"sub must be a power of two, got {sub}")
+    g = group_cols or []
+    return (
+        df.select(*g, hdr_bucket(F.col(value_col), sub).alias("bucket"))
+        .groupBy(*g, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hdr_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches (same sub): union + sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def hdr_bucket_mid(bucket: Column, sub: int = 16) -> Column:
+    """Midpoint value of a bucket id (DOUBLE; exact integers until the
+    one final division). Zero bucket → 0.0."""
+    e = F.floor(bucket / sub).cast("bigint")
+    m = F.pmod(bucket, F.lit(sub))
+    # 2^e as an exact double (e ≤ 49 in-domain), times an exact small
+    # integer, divided by a power of two: every step bit-exact
+    num = F.pow(F.lit(2.0), e.cast("double")) * (2 * sub + 2 * m + 1)
+    return F.when(bucket == -1, F.lit(0.0)).otherwise(
+        num / F.lit(float(2 * sub))
+    )
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    quantiles: list[tuple[int, int]],
+    sub: int = 16,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a sketch relation.
+
+    ``quantiles`` are exact rationals (num, den) — e.g. (1, 2) for the
+    median — so the rank threshold ceil(q·n) is INTEGER arithmetic,
+    never a float comparison that could disagree across engines. Per
+    group: one window cumsum over the (tiny, ≤ S·64-row) sketch, then
+    the first bucket whose cumulative count reaches the threshold.
+    Output: (group…, q, est, rel_err_bound).
+    """
+    from pyspark.sql import Window
+
+    g = group_cols or []
+    totals = sketch.groupBy(*g).agg(F.sum("cnt").alias("n"))
+    cum = sketch.join(totals, g) if g else sketch.crossJoin(F.broadcast(totals))
+    w = Window.partitionBy(*g).orderBy("bucket") if g else Window.orderBy("bucket")
+    cum = cum.withColumn("cum", F.sum("cnt").over(w))
+    qs = None
+    for num, den in quantiles:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {num}/{den} out of (0, 1]")
+        # cum >= ceil(n·num/den)  ⟺  cum·den >= n·num (all BIGINT —
+        # no float rank threshold to disagree across engines)
+        sel = (
+            cum.filter(F.col("cum") * den >= F.col("n") * num)
+            .groupBy(*g, "n")
+            .agg(F.min("bucket").alias("bucket"))
+            .select(
+                *g,
+                F.lit(f"{num}/{den}").alias("q"),
+                F.round(hdr_bucket_mid(F.col("bucket"), sub), 6).alias("est"),
+            )
+        )
+        qs = sel if qs is None else qs.unionByName(sel)
+    return qs.withColumn(
+        "rel_err_bound", F.round(F.lit(1.0 / (2 * sub + 1)), 6)
+    )

@@ -1300,3 +1300,70 @@ def x46b_bpe_apply(spark, sf_dir):
         F.size("bpe_symbols").cast("bigint").alias("n_sym"),
         F.element_at("bpe_symbols", 1).alias("head_sym"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X47 — HDR-histogram quantile sketch (mergeable, bit-portable)
+# ---------------------------------------------------------------------------
+
+_HDR_SUB = 16
+
+
+def _hdr_sql() -> str:
+    from rehiver_spark.operators.sketches import hdr_bucket_sql
+
+    s = _HDR_SUB
+    b = hdr_bucket_sql("v", s)
+    mid = (
+        f"CASE WHEN bucket = -1 THEN 0.0 ELSE "
+        f"power(2.0, CAST(bucket // {s} AS DOUBLE))"
+        f" * ({2 * s} + 2 * (bucket % {s}) + 1) / {float(2 * s)} END"
+    )
+    return f"""
+    WITH vals AS (SELECT source, length(text) AS v FROM documents),
+    sk AS (
+      SELECT source, {b} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(cnt) AS n FROM sk GROUP BY source),
+    cum AS (
+      SELECT sk.source, bucket, n,
+        sum(cnt) OVER (PARTITION BY sk.source ORDER BY bucket) AS cum
+      FROM sk JOIN tot USING (source)
+    ),
+    qs(qn, qd) AS (VALUES (1, 2), (9, 10), (99, 100)),
+    sel AS (
+      SELECT source, qn, qd, min(bucket) AS bucket
+      FROM cum, qs WHERE cum * qd >= n * qn
+      GROUP BY source, qn, qd
+    )
+    SELECT source, qn || '/' || qd AS q,
+      round({mid}, 6) AS est,
+      round(1.0 / {2 * _HDR_SUB + 1}, 6) AS rel_err_bound
+    FROM sel
+    """
+
+
+@query("x47_hdr_quantiles", _hdr_sql())
+def x47_hdr_quantiles(spark, sf_dir):
+    """X47: HDR-histogram quantile sketch — the quantile member of the
+    mergeable-sketch family (CM=frequency, HLL=cardinality, HDR=
+    distribution): per-source p50/p90/p99 document length from a
+    fixed-size bucket relation. Bucketing is HdrHistogram's
+    log-with-sub-buckets scheme computed BIT-EXACTLY (floor(log2) from
+    the binary-string length; the sub-bucket division is by a power of
+    two, exact in IEEE doubles) — no libm ln() whose last-ulp rounding
+    could flip a boundary bucket between engines, so the sketch AND
+    the estimates are bit-identical in SQL. ONE partial-combined
+    groupBy with shuffle capped at |sources|·S·50 buckets regardless of
+    corpus size; quantile selection is a window cumsum over the tiny
+    sketch with INTEGER rank thresholds (cum·den ≥ n·num — no float
+    rank). Merge = union + sum (tested); rel. error ≤ 1/(2S+1) ≈ 3%."""
+    from rehiver_spark.operators.sketches import hdr_quantiles, hdr_sketch
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    vals = d.select("source", F.length("text").alias("v"))
+    sk = hdr_sketch(vals, "v", sub=_HDR_SUB, group_cols=["source"])
+    return hdr_quantiles(
+        sk, [(1, 2), (9, 10), (99, 100)], sub=_HDR_SUB, group_cols=["source"]
+    )

@@ -149,3 +149,95 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path):
     got = {(r["grp"], r["idx"], r["rho"]) for r in streamed.collect()}
     want = {(r["grp"], r["idx"], r["rho"]) for r in batch.collect()}
     assert got == want and len(got) > 50
+
+
+# ---------------------------------------------------------------------------
+# X47 — HDR quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hdr_bucket_matches_integer_shift_at_octave_boundaries(spark):
+    """The double-division bucket must equal the SQL twin's integer
+    shift on every value around every octave boundary up to the 2^49
+    domain edge, plus the reserved buckets."""
+    import duckdb
+
+    from rehiver_spark.operators.sketches import hdr_bucket, hdr_bucket_sql
+
+    vals = [0, 1, 2, 3, 15, 16, 17, -5]
+    for e in range(1, 50):
+        vals += [(1 << e) - 1, 1 << e, (1 << e) + 1]
+    vals.append((1 << 49) + 7)  # out of domain → -3
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["b"]
+        for r in df.select("v", hdr_bucket(F.col("v")).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    in_dom = [v for v in vals if 0 < v < (1 << 49)]
+    expect = dict(
+        con.sql(
+            f"SELECT v, {hdr_bucket_sql('v')} FROM (SELECT unnest({in_dom}) AS v)"
+        ).fetchall()
+    )
+    for v in in_dom:
+        assert got[v] == expect[v], v
+    assert got[0] == -1 and got[-5] == -2 and got[(1 << 49) + 7] == -3
+
+
+def test_hdr_quantiles_within_relative_error_bound(spark):
+    """Estimate vs true quantile: relative error ≤ 1/(2S+1) for every
+    group and quantile (the HdrHistogram guarantee)."""
+    import random
+
+    from rehiver_spark.operators.sketches import hdr_quantiles, hdr_sketch
+
+    rng = random.Random(7)
+    rows = [
+        ("g1", int(rng.lognormvariate(5, 1.2)) + 1)
+        for _ in range(4000)
+    ] + [("g2", rng.randint(1, 10**6)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = hdr_sketch(df, "v", group_cols=["g"])
+    qs = [(1, 2), (9, 10), (99, 100)]
+    got = {
+        (r["g"], r["q"]): r["est"]
+        for r in hdr_quantiles(sk, qs, group_cols=["g"]).collect()
+    }
+    by_g = {"g1": sorted(v for g, v in rows if g == "g1"),
+            "g2": sorted(v for g, v in rows if g == "g2")}
+    for g, vs in by_g.items():
+        n = len(vs)
+        for num, den in qs:
+            true = vs[-(-n * num // den) - 1]  # ceil(n*q)-th order stat
+            est = got[(g, f"{num}/{den}")]
+            assert abs(est - true) / true <= 1.0 / 33 + 1e-9, (g, num, den, est, true)
+
+
+def test_hdr_merge_equals_whole_and_is_exact(spark):
+    from rehiver_spark.operators.sketches import hdr_merge, hdr_sketch
+
+    df = spark.range(1, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 37 % 9973 + 1).alias("v"),
+    )
+    whole = hdr_sketch(df, "v", group_cols=["g"])
+    parts = [hdr_sketch(df.filter(F.col("id") % 4 == i), "v", group_cols=["g"]) for i in range(4)]
+    merged = hdr_merge(*parts)
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
+
+
+def test_hdr_sketch_shuffle_is_capped(spark):
+    """The sketch relation is fixed-size: a 100x bigger input yields
+    the same bucket rows (same keys), so shuffle cardinality is bounded
+    by |groups|*S*50 — verified by row count, not by trusting the doc."""
+    from rehiver_spark.operators.sketches import hdr_sketch
+
+    small = spark.range(1, 2000).select((F.col("id") % 997 + 1).alias("v"))
+    big = spark.range(1, 200000).select((F.col("id") % 997 + 1).alias("v"))
+    n_small = hdr_sketch(small, "v").count()
+    n_big = hdr_sketch(big, "v").count()
+    assert n_big == n_small  # same value universe → same buckets
+    assert n_big < 16 * 50
