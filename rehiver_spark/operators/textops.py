@@ -1173,3 +1173,67 @@ def vocab_top_k(
         .orderBy(F.col("total_count").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Probability-proportional-to-weight sampling WITHOUT replacement
+    (X48): the Efraimidis–Spirakis (2006) exponential race — each row
+    gets key = -ln(u)/w with u uniform, and the k SMALLEST keys per
+    group are the sample. This is the exact weighted generalization of
+    the corpus-mixing samplers above (quality-weighted subsampling,
+    upweighting curated sources, DSIR-style importance resampling).
+
+    Deterministic and portable: u = (md5_hash60(seed:id)+1)/2^60 — no
+    RNG state, so re-running, resuming, or re-deriving the sample in a
+    SQL engine yields the SAME rows. Rows with weight <= 0 or null are
+    excluded (never sampled; visible via the count, not an error).
+
+    One window row_number per group over the key (ties broken by id).
+    At 100 TB this shuffles (group, key) once; with many groups the
+    work parallelizes per group, and for the global case (no groups)
+    the candidate set can be pre-pruned by a per-partition top-k before
+    the single-partition rank — Catalyst's TakeOrderedAndProject does
+    exactly that when k is a LIMIT; with the window form we keep the
+    grouped generality and accept one shuffle.
+    """
+    from pyspark.sql import Window
+
+    from rehiver_spark.functions.hashing import md5_hash60
+
+    g = group_cols or []
+    u = (
+        md5_hash60(F.concat(F.lit(f"ws{seed}:"), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 60))
+    w_col = F.col(weight_col).cast("double")
+    key = -F.log(u) / w_col
+    ranked = (
+        df.filter(w_col.isNotNull() & (w_col > 0))
+        .withColumn("_key", key)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*g).orderBy(
+                    F.col("_key").asc(), F.col(id_col).asc()
+                )
+            ),
+        )
+    )
+    return (
+        ranked.filter(F.col("_rn") <= k)
+        .withColumn("sample_key", F.round(F.col("_key"), 6))
+        .drop("_key", "_rn")
+    )
+
+
+def weighted_sample_key_sql(id_expr: str, weight_expr: str, seed: int = 42) -> str:
+    """DuckDB twin of the X48 race key."""
+    h = f"('0x' || substr(md5('ws{seed}:' || CAST({id_expr} AS VARCHAR)), 1, 15))::BIGINT"
+    return f"(-ln(CAST({h} + 1 AS DOUBLE) / {float(1 << 60)}) / CAST({weight_expr} AS DOUBLE))"

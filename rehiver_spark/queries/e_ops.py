@@ -1367,3 +1367,47 @@ def x47_hdr_quantiles(spark, sf_dir):
     return hdr_quantiles(
         sk, [(1, 2), (9, 10), (99, 100)], sub=_HDR_SUB, group_cols=["source"]
     )
+
+
+# ---------------------------------------------------------------------------
+# X48 — weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+
+def _x48_sql() -> str:
+    from rehiver_spark.operators.textops import weighted_sample_key_sql
+
+    key = weighted_sample_key_sql("doc_id", "wt")
+    return f"""
+    WITH w AS (
+      SELECT source, doc_id, length(text) + 1 AS wt FROM documents
+    ),
+    keyed AS (SELECT source, doc_id, {key} AS key FROM w WHERE wt > 0),
+    r AS (
+      SELECT source, doc_id, key,
+        row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source, doc_id, round(key, 6) AS sample_key
+    FROM r WHERE rn <= 20
+    """
+
+
+@query("x48_weighted_sample", _x48_sql())
+def x48_weighted_sample(spark, sf_dir):
+    """X48: probability-proportional-to-weight sampling WITHOUT
+    replacement — 20 docs per source, weight = length(text)+1, via the
+    Efraimidis–Spirakis exponential race (key = -ln(u)/w, k smallest
+    win). u comes from the portable md5-60 hash of the doc id, so the
+    sample is deterministic, resumable, and reproduced row-for-row by
+    the SQL oracle — a seeded-RNG sampler could never be. One
+    (group, key) shuffle; the race key is computed map-side."""
+    from rehiver_spark.operators.textops import weighted_sample
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    w = d.select(
+        "source", "doc_id", (F.length("text") + 1).alias("wt")
+    )
+    return weighted_sample(w, "wt", k=20, group_cols=["source"]).select(
+        "source", "doc_id", "sample_key"
+    )

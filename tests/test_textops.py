@@ -511,3 +511,79 @@ def test_canonicalize_url_port_strip_is_scheme_conditional(spark):
     assert got[2] == "http://example.com:443/x"   # preserved
     assert got[3] == "https://example.com/x"      # default stripped
     assert got[4] == "http://example.com/x"       # default stripped
+
+
+# ---------------------------------------------------------------------------
+# X48 — weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+
+def _es_ref_sample(ids_weights, k, seed=42):
+    """Pure-Python Efraimidis–Spirakis with the same md5-derived u."""
+    import math
+
+    from rehiver_spark.functions.hashing import md5_hash60_py
+
+    keyed = []
+    for i, w in ids_weights:
+        if w is None or w <= 0:
+            continue
+        u = (md5_hash60_py(f"ws{seed}:{i}") + 1) / float(1 << 60)
+        keyed.append((-math.log(u) / w, i))
+    keyed.sort()
+    return [i for _, i in keyed[:k]]
+
+
+def test_weighted_sample_matches_reference_and_excludes_nonpositive(spark):
+    from rehiver_spark.operators.textops import weighted_sample
+
+    rows = [(i, "g", float(w)) for i, w in enumerate([5, 1, 0, -3, 8, 2, 7, 1, 9, 4])]
+    rows.append((99, "g", None))
+    df = spark.createDataFrame(rows, "doc_id long, source string, wt double")
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df, "wt", k=4, group_cols=["source"]).collect()
+    )
+    expect = sorted(_es_ref_sample([(i, w) for i, _, w in rows], 4))
+    assert got == expect
+    # zero/negative/null weights can never appear
+    assert 2 not in got and 3 not in got and 99 not in got
+
+
+def test_weighted_sample_is_pps_without_replacement():
+    """Statistical check of the race itself (pure Python, same
+    formula): an item with 10x the weight must be sampled close to the
+    true PPS-WOR inclusion probability, across many seeds."""
+    items = [(f"h{i}", 10.0) for i in range(5)] + [
+        (f"l{i}", 1.0) for i in range(45)
+    ]
+    trials, heavy_hits = 400, 0
+    for s in range(trials):
+        got = _es_ref_sample(items, 5, seed=s)
+        heavy_hits += sum(1 for i in got if i.startswith("h"))
+    # true ES inclusion rate for this config is 0.472 (simulated with
+    # a real RNG over 20k trials); the md5-derived u must land in a
+    # loose ±0.05 band around it — both hash-uniformity and the race
+    # formula are exercised
+    rate = heavy_hits / (trials * 5)
+    assert 0.42 < rate < 0.53, rate
+
+
+def test_weighted_sample_group_independence(spark):
+    """Each group samples independently: adding a group never changes
+    another group's sample (the race key depends only on id+seed)."""
+    from rehiver_spark.operators.textops import weighted_sample
+
+    a = [(i, "a", 1.0 + i % 7) for i in range(40)]
+    b = [(1000 + i, "b", 2.0) for i in range(40)]
+    one = spark.createDataFrame(a, "doc_id long, source string, wt double")
+    both = spark.createDataFrame(a + b, "doc_id long, source string, wt double")
+    s_one = sorted(
+        r["doc_id"] for r in weighted_sample(one, "wt", 8, ["source"]).collect()
+    )
+    s_both = sorted(
+        r["doc_id"]
+        for r in weighted_sample(both, "wt", 8, ["source"]).collect()
+        if r["source"] == "a"
+    )
+    assert s_one == s_both
