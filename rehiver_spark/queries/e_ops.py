@@ -1411,3 +1411,74 @@ def x48_weighted_sample(spark, sf_dir):
     return weighted_sample(w, "wt", k=20, group_cols=["source"]).select(
         "source", "doc_id", "sample_key"
     )
+
+
+# ---------------------------------------------------------------------------
+# X49 — DSIR importance weighting (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096
+_DSIR_SCALE = 1_000_000
+
+
+def _x49_sql() -> str:
+    from rehiver_spark.operators.importance import bucket_sql, grams_sql
+
+    b, s = _DSIR_B, _DSIR_SCALE
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    grams AS (SELECT doc_id, unnest({grams_sql('tk')}) AS g FROM toks),
+    feats AS (SELECT doc_id, {bucket_sql('g', b)} AS bucket FROM grams),
+    tfeats AS (
+      SELECT f.bucket FROM feats f JOIN documents d USING (doc_id)
+      WHERE d.source = 'src0'
+    ),
+    rcnt AS (SELECT bucket, count(*) AS cnt FROM feats GROUP BY bucket),
+    tcnt AS (SELECT bucket, count(*) AS cnt FROM tfeats GROUP BY bucket),
+    rtot AS (SELECT sum(cnt) AS tot FROM rcnt),
+    ttot AS (SELECT sum(cnt) AS tot FROM tcnt),
+    lr AS (
+      SELECT bucket,
+        CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / (tot + {b})) * {s}) AS BIGINT) AS L
+      FROM rcnt, rtot
+    ),
+    lt AS (
+      SELECT bucket,
+        CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / (tot + {b})) * {s}) AS BIGINT) AS L
+      FROM tcnt, ttot
+    ),
+    lrd AS (SELECT CAST(round(ln(1.0 / (tot + {b})) * {s}) AS BIGINT) AS L FROM rtot),
+    ltd AS (SELECT CAST(round(ln(1.0 / (tot + {b})) * {s}) AS BIGINT) AS L FROM ttot),
+    sc AS (
+      SELECT doc_id,
+        sum(coalesce(lt.L, ltd.L) - coalesce(lr.L, lrd.L)) AS fp
+      FROM feats
+      LEFT JOIN lt USING (bucket)
+      LEFT JOIN lr USING (bucket), ltd, lrd
+      GROUP BY doc_id
+    )
+    SELECT doc_id, round(CAST(fp AS DOUBLE) / {s}, 6) AS score
+    FROM sc ORDER BY score DESC, doc_id LIMIT 50
+    """
+
+
+@query("x49_dsir_scores", _x49_sql())
+def x49_dsir_scores(spark, sf_dir):
+    """X49: DSIR importance scores (Xie et al., NeurIPS 2023) — rank
+    the raw corpus by log p_target - log p_raw under hashed
+    unigram+bigram bag models (B=4096 buckets, add-one smoothing),
+    target = the src0 slice standing in for a curated distribution.
+    Feature extraction is map-side; the two bucket models are ≤ B-row
+    relations joined back BROADCAST (the gram stream never shuffles
+    for the lookup); per-doc sums are FIXED-POINT BIGINT (each
+    bucket's log-prob rounded once), so scores are bit-stable at any
+    parallelism and the oracle reproduces them exactly. Top-50 via
+    partial top-k. The resampling step of DSIR = exp(score) into X48's
+    weighted sampler."""
+    from rehiver_spark.operators.importance import dsir_scores
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    scores = dsir_scores(
+        d, d.filter(F.col("source") == "src0"), buckets=_DSIR_B, scale=_DSIR_SCALE
+    )
+    return scores.orderBy(F.col("score").desc(), "doc_id").limit(50)
