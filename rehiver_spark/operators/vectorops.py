@@ -21,6 +21,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -846,3 +848,99 @@ def hybrid_search(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "shared_tokens", "cos_sim", "rank")
     )
+
+
+def jl_project(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    seed: int = 42,
+    scale: int = 10000,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (X50): reduce ``dim``-d
+    embeddings to ``out_dim`` dims with deterministic Rademacher ±1
+    planes scaled by 1/sqrt(out_dim) — Achlioptas (2003) database-
+    friendly projections, the standard preprocessing that makes
+    downstream ANN / SemDeDup / clustering pay out_dim/dim of the
+    distance-computation cost while preserving pairwise distances to
+    (1±ε), ε ≈ sqrt(ln n / out_dim).
+
+    MAP-ONLY and portable: coordinates are quantized to integers
+    (round(x·scale)), each output coordinate is an EXACT integer dot
+    with a ±1 plane (the x9p discipline), and the single float step is
+    one division by the literal scale·sqrt(out_dim) — so the oracle
+    reproduces every projected coordinate bit-for-bit.
+
+    ``impl="arrow"`` (default) runs the whole projection as ONE
+    Arrow-batched int64 matmul — higher-order-function expressions
+    never enter codegen, and out_dim·dim interpreted multiply-adds per
+    row cost ~10× the batched matmul (measured 2.37 → 0.26 s at
+    sf0.1). ``impl="expr"`` keeps the pure Column-expression form
+    (no Python workers anywhere); both produce bit-identical output
+    (int64 dots are exact in either engine; equivalence test-pinned).
+    """
+    planes = rademacher_planes(dim, out_dim, seed)
+    div = float(scale) * math.sqrt(out_dim)
+    if impl == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        P = np.ascontiguousarray(np.asarray(planes, dtype=np.int64).T)
+
+        def _proj(s):
+            if len(s) == 0:
+                return pd.Series([], dtype=object)
+            x = np.vstack(s.to_numpy()).astype(np.float64)
+            q = np.rint(x * scale).astype(np.int64)
+            dots = q @ P
+            # np.round is half-to-even vs Spark's HALF_UP: a mismatch
+            # needs an exact .5 at the 6th decimal, impossible when
+            # div is irrational and measure-zero otherwise (pinned by
+            # the expr/arrow equivalence test on real data)
+            out = np.round(dots / div, 6)
+            return pd.Series(list(out))
+
+        _proj.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        udf = pandas_udf(_proj, "array<double>")
+        return df.withColumn(out_col, udf(as_double(vec_col)))
+    if impl != "expr":
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    v = as_double(vec_col)
+    q = F.transform(v, lambda x: F.round(x * scale, 0).cast("bigint"))
+    coords = [
+        F.round(
+            F.aggregate(
+                F.zip_with(q, F.lit(p), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.lit(div),
+            6,
+        )
+        for p in planes
+    ]
+    return df.withColumn(out_col, F.array(*coords))
+
+
+def jl_project_sql(
+    vec_expr: str, dim: int, out_dim: int = 16, seed: int = 42, scale: int = 10000
+) -> str:
+    """DuckDB twin of :func:`jl_project`'s projected array."""
+    import math as _math
+
+    planes = rademacher_planes(dim, out_dim, seed)
+    q = f"list_transform({vec_expr}, x -> CAST(round(x * {scale}) AS BIGINT))"
+    div = repr(float(scale) * _math.sqrt(out_dim))
+    coords = []
+    for p in planes:
+        lit = "[" + ", ".join(str(c) for c in p) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip({q}, {lit}), "
+            f"t -> t[1] * t[2]))"
+        )
+        coords.append(f"round(CAST({dot} AS DOUBLE) / {div}, 6)")
+    return "[" + ", ".join(coords) + "]"

@@ -1482,3 +1482,37 @@ def x49_dsir_scores(spark, sf_dir):
         d, d.filter(F.col("source") == "src0"), buckets=_DSIR_B, scale=_DSIR_SCALE
     )
     return scores.orderBy(F.col("score").desc(), "doc_id").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# X50 — Johnson–Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+
+def _x50_sql() -> str:
+    from rehiver_spark.operators.vectorops import jl_project_sql
+
+    proj = jl_project_sql("embedding", dim=64, out_dim=16)
+    return f"""
+    WITH p AS (SELECT vec_id, {proj} AS proj FROM embeddings)
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, proj[i] AS coord
+    FROM p, unnest(range(1, 17)) AS t(i)
+    """
+
+
+@query("x50_jl_project", _x50_sql())
+def x50_jl_project(spark, sf_dir):
+    """X50: Johnson–Lindenstrauss projection of the embeddings table,
+    64 → 16 dims (Achlioptas ±1 planes / sqrt(16)) — the map-only
+    preprocessing that cuts downstream ANN/SemDeDup distance cost 4×
+    while preserving pairwise distances to (1±ε). Quantized-integer
+    plane dots (the x9p discipline) + ONE division by a literal make
+    every projected coordinate bit-identical in the oracle. Zero
+    shuffle (plan-tested); at 100 TB this runs at scan speed."""
+    from rehiver_spark.operators.vectorops import jl_project
+
+    e = tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    p = jl_project(e, dim=64, out_dim=16)
+    return p.select(
+        "vec_id", F.posexplode("proj").alias("i", "coord")
+    ).select("vec_id", F.col("i").cast("bigint").alias("i"), "coord")

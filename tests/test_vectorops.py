@@ -368,3 +368,84 @@ def test_lsh_paths_tolerate_null_and_zero_vectors(spark):
         for r in lsh_cosine_neardup_portable(df, dim=3, threshold=0.9).collect()
     }
     assert gotp == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# X50 — Johnson–Lindenstrauss projection
+# ---------------------------------------------------------------------------
+
+
+def test_jl_preserves_pairwise_distances(spark):
+    """The JL guarantee, measured: for random 64-d vectors projected to
+    16-d, squared pairwise distances are preserved in expectation and
+    the median distortion stays well inside the sqrt(ln n / k)
+    envelope. (Statistical, seeded, deterministic.)"""
+    import itertools
+    import random
+
+    from rehiver_spark.operators.vectorops import jl_project
+
+    rng = random.Random(3)
+    vecs = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(30)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id"]: r["proj"] for r in jl_project(df, dim=64, out_dim=16).collect()}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ratios = []
+    for i, j in itertools.combinations(range(30), 2):
+        orig = d2(vecs[i], vecs[j])
+        proj = d2(got[i], got[j])
+        ratios.append(proj / orig)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    # unbiased in expectation; median within ±35% at k=16, and no
+    # catastrophic collapse of any pair
+    assert 0.65 < med < 1.35, med
+    assert ratios[0] > 0.15 and ratios[-1] < 3.5, (ratios[0], ratios[-1])
+
+
+def test_jl_project_is_map_only_and_portable(spark):
+    import duckdb
+
+    from rehiver_spark.operators.vectorops import jl_project, jl_project_sql
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    out = jl_project(df, dim=64, out_dim=8)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    sp = sorted((r["vec_id"], tuple(r["proj"])) for r in out.collect())
+    con = duckdb.connect()
+    dd = sorted(
+        (i, tuple(v))
+        for i, v in con.sql(
+            f"SELECT vec_id, {jl_project_sql('embedding', 64, 8)} FROM "
+            "'/root/testdata/sf0.001/embeddings.parquet' "
+            "WHERE vec_id IN (SELECT vec_id FROM "
+            "'/root/testdata/sf0.001/embeddings.parquet' ORDER BY vec_id LIMIT 50)"
+        ).fetchall()
+    )
+    # limit(50) on an unordered read: compare on the id intersection
+    sp_ids = {i for i, _ in sp}
+    dd = [t for t in dd if t[0] in sp_ids]
+    assert sp == dd
+
+
+def test_jl_arrow_and_expr_paths_are_bit_identical(spark):
+    """The Arrow matmul fast path must equal the pure Column-expression
+    form on the real embeddings table, row for row."""
+    from rehiver_spark.operators.vectorops import jl_project
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(
+        (r["vec_id"], tuple(r["proj"]))
+        for r in jl_project(df, 64, 16, impl="arrow").collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["proj"]))
+        for r in jl_project(df, 64, 16, impl="expr").collect()
+    )
+    assert a == b
