@@ -933,7 +933,14 @@ def jl_project_sql(
     import math as _math
 
     planes = rademacher_planes(dim, out_dim, seed)
-    q = f"list_transform({vec_expr}, x -> CAST(round(x * {scale}) AS BIGINT))"
+    # ::DOUBLE[] FIRST: DuckDB multiplies FLOAT*INT in single
+    # precision, whose product can round across an integer boundary
+    # differently from the engine's float64 path (x9p learned this;
+    # caught again here by a 1-quantum mismatch on one sf0.001 vector)
+    q = (
+        f"list_transform({vec_expr}::DOUBLE[], "
+        f"x -> CAST(round(x * {scale}) AS BIGINT))"
+    )
     div = repr(float(scale) * _math.sqrt(out_dim))
     coords = []
     for p in planes:
