@@ -951,3 +951,107 @@ def jl_project_sql(
         )
         coords.append(f"round(CAST({dot} AS DOUBLE) / {div}, 6)")
     return "[" + ", ".join(coords) + "]"
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10000,
+) -> DataFrame:
+    """Fully DISTRIBUTED Lloyd's k-means on the integer grid (X51) —
+    the clustering primitive for topic-balancing and diversity
+    sampling that the sampled-centroid IVF trainer (ivf_topk) cannot
+    provide: every iteration sees the WHOLE corpus, not a driver-side
+    sample, and nothing is ever collected (no driver traffic at all —
+    centroids stay a k-row DataFrame end to end).
+
+    Deterministic and bit-portable by construction:
+
+    - vectors are quantized once to the integer grid (round(x·scale));
+    - centroid UPDATES round the per-dimension mean back onto the SAME
+      grid (``round(sum/n)`` — BIGINT sums, so partial aggregation
+      order cannot change the result), which keeps every distance an
+      exact ``sum((q_i − c_i)²)`` BIGINT bounded by dim·(2·scale·|x|)²
+      regardless of corpus size — no overflow at any n;
+    - assignment ties break on cell id via lexicographic struct-min.
+
+    Per iteration: one broadcast join (corpus × k centroids, centroids
+    are k rows), one partial-combined groupBy — the corpus shuffles
+    ONCE per iteration on cell id with 64 BIGINT sums as the payload.
+    Grid quantization perturbs each coordinate by < 1/scale, the same
+    approximation the x9p/x50 family already accepts for portability.
+
+    Returns (cell, n_members, inertia, centroid ARRAY<BIGINT> on the
+    grid) — divide by ``scale`` for real-space centroids.
+    """
+    from pyspark.sql import Window
+
+    from rehiver_spark.functions.hashing import md5_hash60
+
+    v = as_double(vec_col)
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(v, lambda x: F.round(x * scale, 0).cast("bigint")).alias("q"),
+    )
+    q = q.persist()
+    try:
+        # deterministic seeding: the k first vectors in md5-hash order
+        w = Window.orderBy(
+            md5_hash60(F.concat(F.lit("km:"), F.col("_id").cast("string"))),
+            F.col("_id"),
+        )
+        cents = (
+            q.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select((F.col("_rn") - 1).cast("bigint").alias("cell"), F.col("q").alias("c"))
+        )
+        dist = F.aggregate(
+            F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        assigned = None
+        for _ in range(n_iter):
+            assigned = (
+                q.crossJoin(F.broadcast(cents))
+                .select("_id", "q", F.struct(dist.alias("d"), F.col("cell")).alias("dc"))
+                .groupBy("_id")
+                .agg(F.min("dc").alias("dc"), F.first("q").alias("q"))
+                .select("_id", "q", F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+            )
+            cents = assigned.groupBy("cell").agg(
+                F.array(
+                    *[
+                        F.round(
+                            F.sum(F.col("q")[i]).cast("double") / F.count(F.lit(1)),
+                            0,
+                        ).cast("bigint")
+                        for i in range(dim)
+                    ]
+                ).alias("c")
+            )
+            # materialize the k-row centroid relation NOW: without
+            # this, iteration i's broadcast replays the whole chain of
+            # iterations 1..i-1 (O(n²) total chain work) — with it,
+            # each round is one linear pass (measured 6.1 → 4.5 s at
+            # sf0.1 with n_iter=3; the gap grows quadratically with
+            # n_iter). Executor-side materialization, not a collect.
+            cents = cents.localCheckpoint(eager=True)
+        return (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                F.round(
+                    F.sum(F.col("d").cast("decimal(38,0)")).cast("double")
+                    / F.lit(float(scale) ** 2),
+                    4,
+                ).alias("inertia"),
+            )
+            .join(cents, "cell")
+        )
+    finally:
+        q.unpersist()

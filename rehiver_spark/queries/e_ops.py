@@ -1516,3 +1516,89 @@ def x50_jl_project(spark, sf_dir):
     return p.select(
         "vec_id", F.posexplode("proj").alias("i", "coord")
     ).select("vec_id", F.col("i").cast("bigint").alias("i"), "coord")
+
+
+# ---------------------------------------------------------------------------
+# X51 — distributed quantized k-means (Lloyd's, grid centroids)
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITER, _KM_SCALE, _KM_DIM = 8, 3, 10000, 64
+
+
+def _x51_sql() -> str:
+    from rehiver_spark.functions.hashing import md5_hash60_sql
+
+    k, n_iter, scale, dim = _KM_K, _KM_ITER, _KM_SCALE, _KM_DIM
+    h = md5_hash60_sql("'km:' || CAST(id AS VARCHAR)")
+    dist = (
+        "list_sum(list_transform(list_zip(q, c), "
+        "t -> (t[1] - t[2]) * (t[1] - t[2])))"
+    )
+    mean_list = ", ".join(
+        f"CAST(round(sum(q[{i + 1}]) / count(*)) AS BIGINT)" for i in range(dim)
+    )
+    parts = [
+        "WITH qv AS (SELECT vec_id AS id, "
+        f"list_transform(embedding::DOUBLE[], x -> CAST(round(x * {scale}) AS BIGINT)) AS q "
+        "FROM embeddings),",
+        f"seed AS (SELECT id, q, row_number() OVER (ORDER BY {h}, id) AS rn FROM qv),",
+        f"c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, q AS c FROM seed WHERE rn <= {k})",
+    ]
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f", a{it} AS (SELECT id, q, d, cell FROM ("
+            "SELECT id, q, d, cell, "
+            "row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn "
+            f"FROM (SELECT qv.id, qv.q AS q, {dist} AS d, c.cell "
+            f"FROM qv, c{it - 1} c)) WHERE rn = 1)"
+        )
+        parts.append(
+            f", c{it} AS (SELECT cell, list_value({mean_list}) AS c "
+            f"FROM a{it} GROUP BY cell)"
+        )
+    parts.append(
+        f""", summ AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+        round(CAST(sum(d) AS DOUBLE) / {float(scale) ** 2}, 4) AS inertia
+      FROM a{n_iter} GROUP BY cell
+    )
+    SELECT s.cell, s.n_members, s.inertia,
+      CAST(i - 1 AS BIGINT) AS i, c.c[i] AS coord
+    FROM summ s JOIN c{n_iter} c USING (cell), unnest(range(1, {dim + 1})) AS t(i)
+    """
+    )
+    return "\n".join(parts)
+
+
+@query("x51_kmeans", _x51_sql())
+def x51_kmeans(spark, sf_dir):
+    """X51: fully distributed Lloyd's k-means over the embeddings
+    table (k=8, 3 iterations) — the whole-corpus clustering primitive
+    for topic balancing/diversity sampling (vs IVF's sampled-centroid
+    trainer). Vectors and CENTROIDS live on the same integer grid
+    (round(x·1e4); updates round the mean back), so every distance is
+    an exact BIGINT, assignments are deterministic (struct-min with
+    cell tie-break), updates are order-insensitive integer sums, and
+    the 3-iteration recursion is reproduced EXACTLY by a mechanically
+    generated CTE chain in DuckDB. Per iteration: one broadcast join
+    against the k-row centroid relation + one partial-combined
+    groupBy; NOTHING ever reaches the driver. Output: per-cell size,
+    inertia, and the 64 centroid coordinates exploded."""
+    from rehiver_spark.operators.vectorops import kmeans_quantized
+
+    e = tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    r = kmeans_quantized(
+        e, dim=_KM_DIM, k=_KM_K, n_iter=_KM_ITER, scale=_KM_SCALE
+    )
+    return r.select(
+        "cell",
+        "n_members",
+        "inertia",
+        F.posexplode("c").alias("i", "coord"),
+    ).select(
+        "cell",
+        "n_members",
+        "inertia",
+        F.col("i").cast("bigint").alias("i"),
+        "coord",
+    )

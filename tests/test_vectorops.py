@@ -449,3 +449,79 @@ def test_jl_arrow_and_expr_paths_are_bit_identical(spark):
         for r in jl_project(df, 64, 16, impl="expr").collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# X51 — distributed quantized k-means
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_quantized_matches_pure_python_reference_exactly(spark):
+    """The distributed 3-iteration Lloyd's loop must equal a
+    pure-Python implementation with identical integer semantics
+    (grid quantization, away-from-zero mean rounding, cell-id
+    tie-breaks) on the real embeddings table — sizes, inertia, and
+    every centroid coordinate."""
+    import math
+
+    import duckdb
+
+    from rehiver_spark.functions.hashing import md5_hash60_py
+    from rehiver_spark.operators.vectorops import kmeans_quantized
+
+    rows = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+
+    def rnd(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    Q = {i: [rnd(x * 10000) for x in v] for i, v in rows}
+    order = sorted(Q, key=lambda i: (md5_hash60_py(f"km:{i}"), i))
+    cents = {c: Q[order[c]] for c in range(8)}
+    assign = {}
+    for _ in range(3):
+        for i, q in Q.items():
+            assign[i] = min(
+                (sum((a - b) ** 2 for a, b in zip(q, cents[c])), c) for c in cents
+            )
+        nxt = {}
+        for c in cents:
+            mem = [Q[i] for i in Q if assign[i][1] == c]
+            if mem:
+                nxt[c] = [rnd(sum(col) / len(mem)) for col in zip(*mem)]
+        cents = nxt
+    ref = {
+        c: (
+            sum(1 for i in Q if assign[i][1] == c),
+            round(sum(assign[i][0] for i in Q if assign[i][1] == c) / 1e8, 4),
+            cents[c],
+        )
+        for c in cents
+    }
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r["cell"]: (r["n_members"], r["inertia"], list(r["c"]))
+        for r in kmeans_quantized(df, dim=64, k=8, n_iter=3).collect()
+    }
+    assert got == ref
+
+
+def test_kmeans_centroids_never_collected(spark):
+    """The plan must contain no Python evaluation and no
+    driver-materialized relation — the loop is DataFrame-only end to
+    end. (``Scan ExistingRDD`` is expected: it is the executor-side
+    localCheckpoint of the k-row centroid relation, not a collect;
+    a collect-and-recreate would surface as LocalTableScan.)"""
+    from rehiver_spark.operators.vectorops import kmeans_quantized
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = (
+        kmeans_quantized(df, dim=64, k=4, n_iter=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LocalTableScan" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
