@@ -1602,3 +1602,134 @@ def x51_kmeans(spark, sf_dir):
         F.col("i").cast("bigint").alias("i"),
         "coord",
     )
+
+
+# ---------------------------------------------------------------------------
+# X52 — streaming Count-Min (sketch counters as stream state)
+# ---------------------------------------------------------------------------
+
+
+def _x52_sql() -> str:
+    from rehiver_spark.operators.sketches import cm_bucket_sql
+
+    uid = "CAST(user_id AS VARCHAR)"
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, {cm_bucket_sql(uid, i, _CM_W)} AS bucket "
+        "FROM events" for i in range(_CM_D)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS row, {cm_bucket_sql(uid, i, _CM_W)} AS bucket "
+        "FROM us" for i in range(_CM_D)
+    )
+    return f"""
+    WITH sk AS (
+      SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM ({rows}) GROUP BY row, bucket
+    ),
+    us AS (SELECT DISTINCT user_id FROM events WHERE user_id % 20 = 7),
+    probes AS ({probes})
+    SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+    FROM probes LEFT JOIN sk USING (row, bucket)
+    GROUP BY user_id
+    """
+
+
+@query("x52_stream_cm", _x52_sql())
+def x52_stream_cm(spark, sf_dir):
+    """X52: Count-Min counters AS STREAMING STATE — the X44 companion
+    (HLL tracks distincts, CM tracks frequencies): per-user event
+    frequency maintained by Structured Streaming (file source →
+    explode d bucket rows → groupBy(row, bucket).count in complete
+    mode → AvailableNow → memory sink), probed from the sink for a
+    pinned user set. Per-trigger state is capped at d·w counter rows
+    regardless of stream volume; counters merge across streams by sum.
+    Counting is order-insensitive, so the batch SQL twin reproduces
+    the STREAMED counters — and every estimate — exactly."""
+    from rehiver_spark.operators.sketches import _cm_bucket, cm_estimate
+    from rehiver_spark.queries import scratch_dir
+    from rehiver_spark.session import read_events
+    from rehiver_spark.streaming.windows import read_file_stream, run_available_now
+
+    ev = read_events(spark, sf_dir)
+    scratch = scratch_dir("x52", sf_dir)
+    src = f"{scratch}/src"
+    ev.select("user_id").repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
+    uid = F.col("user_id").cast("string")
+    rows = sdf.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cm_bucket(uid, i, _CM_W).alias("bucket"),
+                    )
+                    for i in range(_CM_D)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row", "rb.bucket")
+    counters = rows.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    sink = run_available_now(counters, checkpoint=f"{scratch}/ckpt")
+    qs = (
+        ev.filter(F.col("user_id") % 20 == 7)
+        .select(uid.alias("item"))
+        .distinct()
+    )
+    est = cm_estimate(sink, qs, depth=_CM_D, width=_CM_W)
+    return est.select(F.col("item").cast("bigint").alias("user_id"), "est")
+
+
+# ---------------------------------------------------------------------------
+# X53 — ANN recall audit (IVF vs exact brute force)
+# ---------------------------------------------------------------------------
+
+
+def _x53_sql() -> str:
+    from rehiver_spark.queries import ORACLE
+
+    bf, iv = ORACLE["x3_cosine_topk"], ORACLE["x10_ivf_topk"]
+    return f"""
+    WITH bf AS (SELECT * FROM ({bf})),
+    iv AS (SELECT * FROM ({iv})),
+    hits AS (
+      SELECT bf.query_id, CAST(count(*) AS BIGINT) AS h
+      FROM bf JOIN iv ON bf.query_id = iv.query_id AND bf.vec_id = iv.vec_id
+      GROUP BY bf.query_id
+    ),
+    qs AS (SELECT DISTINCT query_id FROM bf)
+    SELECT qs.query_id, coalesce(h, 0) AS hits_at_5,
+      round(coalesce(h, 0) / 5.0, 4) AS recall_at_5
+    FROM qs LEFT JOIN hits USING (query_id)
+    """
+
+
+@query("x53_ann_recall", _x53_sql())
+def x53_ann_recall(spark, sf_dir):
+    """X53: self-auditing retrieval quality — recall@5 of the IVF ANN
+    index (X10) against the exact brute-force baseline (X3), per
+    query. This is the production acceptance gate every approximate
+    index needs before it replaces the exact path at 100 TB; both
+    sides are deterministic (fixed seeding, pinned tie-breaks), so the
+    metric itself is oracle-exact — composed from the SAME registered
+    queries and oracle SQL the two operators already certify (the
+    x19/x21 composition discipline). The join is |queries|·k rows:
+    driver-free, broadcast-trivial."""
+    from rehiver_spark.queries import QUERIES
+
+    bf = QUERIES["x3_cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    iv = QUERIES["x10_ivf_topk"](spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        bf.join(iv, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("h"))
+    )
+    qs = bf.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("hits_at_5"),
+        F.round(F.coalesce(F.col("h"), F.lit(0)) / 5.0, 4).alias("recall_at_5"),
+    )

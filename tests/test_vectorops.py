@@ -525,3 +525,39 @@ def test_kmeans_centroids_never_collected(spark):
     )
     assert "LocalTableScan" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_ivf_with_full_probe_equals_brute_force(spark):
+    """X53's underlying invariant: probing every cell makes IVF
+    exactly the brute-force ranking (recall@k == 1 for all queries)."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.vectorops import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(qs, emb, k=5).collect()
+    }
+    iv = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(qs, emb, k=5, n_cells=8, n_probe=8).collect()
+    }
+    assert iv == bf
+
+
+def test_ann_recall_query_reports_honest_partial_probe_recall(spark):
+    """With n_probe < n_cells the recall must be high but is NOT
+    expected to be 1.0 — the audit metric reports the truth."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["x53_ann_recall"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no queries scored"
+    mean = sum(r["recall_at_5"] for r in rows) / len(rows)
+    assert 0.4 <= mean <= 1.0, mean
