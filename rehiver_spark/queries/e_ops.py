@@ -1733,3 +1733,105 @@ def x53_ann_recall(spark, sf_dir):
         F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("hits_at_5"),
         F.round(F.coalesce(F.col("h"), F.lit(0)) / 5.0, 4).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X54 — end-to-end pipeline yield report (dedup ∘ decontaminate ∘ quality)
+# ---------------------------------------------------------------------------
+
+_X54_QUAL = 0.66
+_X54_CONT = 0.5
+
+
+def _x54_sql() -> str:
+    from rehiver_spark.queries import ORACLE
+
+    ded, cont, q4 = (
+        ORACLE["x1_exact_dedup"],
+        ORACLE["x15_contamination"],
+        ORACLE["x4_text_stats"],
+    )
+    return f"""
+    WITH ded AS (SELECT * FROM ({ded})),
+    cont AS (
+      SELECT DISTINCT doc_id FROM ({cont}) WHERE containment >= {_X54_CONT}
+    ),
+    q4 AS (SELECT doc_id, n_tokens, quality FROM ({q4})),
+    st AS (
+      SELECT d.source, ded.is_keeper,
+        (cont.doc_id IS NOT NULL) AS contaminated,
+        (q4.quality >= {_X54_QUAL}) AS good, q4.n_tokens
+      FROM documents d
+      JOIN ded ON ded.doc_id = d.doc_id
+      LEFT JOIN cont ON cont.doc_id = d.doc_id
+      JOIN q4 ON q4.doc_id = d.doc_id
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+        AS dropped_dup,
+      CAST(sum(CASE WHEN is_keeper AND contaminated THEN 1 ELSE 0 END) AS BIGINT)
+        AS dropped_contam,
+      CAST(sum(CASE WHEN is_keeper AND NOT contaminated AND NOT good
+               THEN 1 ELSE 0 END) AS BIGINT) AS dropped_quality,
+      CAST(sum(CASE WHEN is_keeper AND NOT contaminated AND good
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN is_keeper AND NOT contaminated AND good
+               THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM st GROUP BY source
+    """
+
+
+@query("x54_pipeline_yield", _x54_sql())
+def x54_pipeline_yield(spark, sf_dir):
+    """X54: the end-to-end curation yield report — exact dedup (X1) ∘
+    benchmark decontamination (X15) ∘ quality floor (X4), attributed
+    SEQUENTIALLY per source: every document is counted in exactly one
+    bucket (dup → contaminated → low-quality → kept), with the kept
+    token volume — the data card a 100 TB curation run publishes.
+    Composed from the registered queries themselves (the x53
+    discipline: the Spark pipeline AND the oracle SQL both reuse the
+    certified pieces, so this query certifies the COMPOSITION, not a
+    re-implementation). One corpus pass per stage, all stage outputs
+    joined on doc_id; aggregation is a tiny per-source rollup."""
+    from rehiver_spark.queries import QUERIES
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    ded = QUERIES["x1_exact_dedup"](spark, sf_dir).select("doc_id", "is_keeper")
+    cont = (
+        QUERIES["x15_contamination"](spark, sf_dir)
+        .filter(F.col("containment") >= _X54_CONT)
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    q4 = QUERIES["x4_text_stats"](spark, sf_dir).select(
+        "doc_id", "n_tokens", (F.col("quality") >= _X54_QUAL).alias("good")
+    )
+    st = (
+        d.select("doc_id", "source")
+        .join(ded, "doc_id")
+        .join(cont, "doc_id", "left")
+        .join(q4, "doc_id")
+        .select(
+            "source",
+            "is_keeper",
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+            "good",
+            "n_tokens",
+        )
+    )
+    kept = F.col("is_keeper") & ~F.col("contaminated") & F.col("good")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        one(~F.col("is_keeper")).alias("dropped_dup"),
+        one(F.col("is_keeper") & F.col("contaminated")).alias("dropped_contam"),
+        one(
+            F.col("is_keeper") & ~F.col("contaminated") & ~F.col("good")
+        ).alias("dropped_quality"),
+        one(kept).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )

@@ -587,3 +587,25 @@ def test_weighted_sample_group_independence(spark):
         if r["source"] == "a"
     )
     assert s_one == s_both
+
+
+def test_pipeline_yield_buckets_partition_the_corpus(spark):
+    """X54 invariant: every document lands in exactly one yield bucket
+    (dup → contaminated → low-quality → kept), so the four buckets sum
+    to the per-source document count, and kept tokens are positive
+    wherever docs survive."""
+    from rehiver_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["x54_pipeline_yield"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["dropped_dup"]
+            + r["dropped_contam"]
+            + r["dropped_quality"]
+            + r["n_kept"]
+            == r["n_docs"]
+        ), r
+        if r["n_kept"] > 0:
+            assert r["tokens_kept"] > 0, r
