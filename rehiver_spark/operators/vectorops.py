@@ -961,13 +961,16 @@ def kmeans_quantized(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 10000,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Fully DISTRIBUTED Lloyd's k-means on the integer grid (X51) —
     the clustering primitive for topic-balancing and diversity
     sampling that the sampled-centroid IVF trainer (ivf_topk) cannot
     provide: every iteration sees the WHOLE corpus, not a driver-side
-    sample, and nothing is ever collected (no driver traffic at all —
-    centroids stay a k-row DataFrame end to end).
+    sample. The corpus never reaches the driver; the only driver
+    traffic is the k·dim-integer centroid relation once per round in
+    the arrow impl (the bounded CC-scalar class), and none at all in
+    the expr impl.
 
     Deterministic and bit-portable by construction:
 
@@ -984,6 +987,18 @@ def kmeans_quantized(
     ONCE per iteration on cell id with 64 BIGINT sums as the payload.
     Grid quantization perturbs each coordinate by < 1/scale, the same
     approximation the x9p/x50 family already accepts for portability.
+
+    ``impl="arrow"`` (default) assigns WITHOUT the pair join: the
+    k-row centroid relation is collected (k·dim ints) and embedded in
+    one vectorized |a|²−2a·C+|C|² int64 kernel, so the corpus crosses
+    Arrow once per round instead of k times as duplicated pair rows —
+    the interpreted HOF fold over pair rows made the expr impl
+    pathological at 100× data (>18 min at sf10 vs seconds; the x50
+    lesson squared by the join). Bit-identical results (exact int64,
+    first-minimum argmin == lowest-cell tie-break; equivalence
+    test-pinned). ``impl="expr"`` keeps the pure Column form — zero
+    Python, zero driver traffic — for oracle-shaped plans and modest
+    inputs.
 
     Returns (cell, n_members, inertia, centroid ARRAY<BIGINT> on the
     grid) — divide by ``scale`` for real-space centroids.
@@ -1009,6 +1024,45 @@ def kmeans_quantized(
             .filter(F.col("_rn") <= k)
             .select((F.col("_rn") - 1).cast("bigint").alias("cell"), F.col("q").alias("c"))
         )
+        if impl not in ("arrow", "expr"):
+            raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+
+        def _arrow_assign(cent_rows):
+            """Assignment WITHOUT the pair join: centroids (k·dim ints,
+            the bounded CC-scalar driver class) are embedded in one
+            vectorized kernel; the corpus crosses Arrow ONCE per round
+            (its q column in, two scalars out) instead of k times as
+            duplicated pair rows. np.argmin returns the FIRST minimum
+            → the same lowest-cell tie-break as the struct-min."""
+            import numpy as np
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            # sort by cell: np.argmin's first-minimum rule then equals
+            # the struct-min's lowest-cell tie-break (collect order of
+            # a checkpointed aggregate is arbitrary)
+            cent_rows = sorted(cent_rows, key=lambda r: r["cell"])
+            cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+            C = np.vstack([list(r["c"]) for r in cent_rows]).astype(np.int64)
+
+            def _assign(qs):
+                if len(qs) == 0:
+                    return pd.DataFrame({"d": [], "cell": []})
+                a = np.vstack(qs.to_numpy()).astype(np.int64)
+                # d2[i,j] = |a_i|² - 2 a_i·C_j + |C_j|², all int64 exact
+                d2 = (
+                    (a * a).sum(axis=1, keepdims=True)
+                    - 2 * (a @ C.T)
+                    + (C * C).sum(axis=1)
+                )
+                j = d2.argmin(axis=1)
+                return pd.DataFrame(
+                    {"d": d2[np.arange(len(a)), j], "cell": cells[j]}
+                )
+
+            _assign.__annotations__ = {"qs": pd.Series, "return": pd.DataFrame}
+            return pandas_udf(_assign, "d bigint, cell bigint")(F.col("q"))
+
         dist = F.aggregate(
             F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("bigint"),
@@ -1016,13 +1070,19 @@ def kmeans_quantized(
         )
         assigned = None
         for _ in range(n_iter):
-            assigned = (
-                q.crossJoin(F.broadcast(cents))
-                .select("_id", "q", F.struct(dist.alias("d"), F.col("cell")).alias("dc"))
-                .groupBy("_id")
-                .agg(F.min("dc").alias("dc"), F.first("q").alias("q"))
-                .select("_id", "q", F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
-            )
+            if impl == "arrow":
+                assigned = (
+                    q.withColumn("dc", _arrow_assign(cents.collect()))
+                    .select("_id", "q", F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+                )
+            else:
+                assigned = (
+                    q.crossJoin(F.broadcast(cents))
+                    .select("_id", "q", F.struct(dist.alias("d"), F.col("cell")).alias("dc"))
+                    .groupBy("_id")
+                    .agg(F.min("dc").alias("dc"), F.first("q").alias("q"))
+                    .select("_id", "q", F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+                )
             cents = assigned.groupBy("cell").agg(
                 F.array(
                     *[
@@ -1035,11 +1095,12 @@ def kmeans_quantized(
                 ).alias("c")
             )
             # materialize the k-row centroid relation NOW: without
-            # this, iteration i's broadcast replays the whole chain of
-            # iterations 1..i-1 (O(n²) total chain work) — with it,
-            # each round is one linear pass (measured 6.1 → 4.5 s at
-            # sf0.1 with n_iter=3; the gap grows quadratically with
-            # n_iter). Executor-side materialization, not a collect.
+            # this, iteration i's broadcast (or collect) replays the
+            # whole chain of iterations 1..i-1 (O(n²) total chain
+            # work) — with it, each round is one linear pass (measured
+            # 6.1 → 4.5 s at sf0.1 with n_iter=3; the gap grows
+            # quadratically with n_iter). Executor-side
+            # materialization, not a collect.
             cents = cents.localCheckpoint(eager=True)
         return (
             assigned.groupBy("cell")

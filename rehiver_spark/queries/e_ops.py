@@ -1693,8 +1693,8 @@ def _x53_sql() -> str:
 
     bf, iv = ORACLE["x3_cosine_topk"], ORACLE["x10_ivf_topk"]
     return f"""
-    WITH bf AS (SELECT * FROM ({bf})),
-    iv AS (SELECT * FROM ({iv})),
+    WITH bf AS (SELECT * FROM ({bf}) WHERE query_id < 5000),
+    iv AS (SELECT * FROM ({iv}) WHERE query_id < 5000),
     hits AS (
       SELECT bf.query_id, CAST(count(*) AS BIGINT) AS h
       FROM bf JOIN iv ON bf.query_id = iv.query_id AND bf.vec_id = iv.vec_id
@@ -1720,8 +1720,21 @@ def x53_ann_recall(spark, sf_dir):
     driver-free, broadcast-trivial."""
     from rehiver_spark.queries import QUERIES
 
-    bf = QUERIES["x3_cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    iv = QUERIES["x10_ivf_topk"](spark, sf_dir).select("query_id", "vec_id")
+    # pin the audited query set (query_id < 5000 → ≤200 queries at any
+    # scale): x3/x10's own fixtures grow the query count with the
+    # corpus, which would make this audit measure |queries|·|corpus|
+    # fixture inflation instead of the operator (the x39 lesson —
+    # un-pinned, the sf10 row ran >15 min)
+    bf = (
+        QUERIES["x3_cosine_topk"](spark, sf_dir)
+        .filter(F.col("query_id") < 5000)
+        .select("query_id", "vec_id")
+    )
+    iv = (
+        QUERIES["x10_ivf_topk"](spark, sf_dir)
+        .filter(F.col("query_id") < 5000)
+        .select("query_id", "vec_id")
+    )
     hits = (
         bf.join(iv, ["query_id", "vec_id"])
         .groupBy("query_id")

@@ -509,22 +509,46 @@ def test_kmeans_quantized_matches_pure_python_reference_exactly(spark):
 
 
 def test_kmeans_centroids_never_collected(spark):
-    """The plan must contain no Python evaluation and no
-    driver-materialized relation — the loop is DataFrame-only end to
-    end. (``Scan ExistingRDD`` is expected: it is the executor-side
-    localCheckpoint of the k-row centroid relation, not a collect;
-    a collect-and-recreate would surface as LocalTableScan.)"""
+    """No driver-materialized relation in either impl — the loop is
+    DataFrame-only end to end. (``Scan ExistingRDD`` is expected: it
+    is the executor-side localCheckpoint of the k-row centroid
+    relation, not a collect; a collect-and-recreate would surface as
+    LocalTableScan.) The expr impl additionally runs with zero Python
+    evaluation; the arrow impl's only Python is the vectorized
+    distance kernel."""
     from rehiver_spark.operators.vectorops import kmeans_quantized
 
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    p = (
-        kmeans_quantized(df, dim=64, k=4, n_iter=2)
+    pe = (
+        kmeans_quantized(df, dim=64, k=4, n_iter=2, impl="expr")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "LocalTableScan" not in p
-    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "LocalTableScan" not in pe
+    assert "ArrowEvalPython" not in pe and "BatchEvalPython" not in pe
+    pa = (
+        kmeans_quantized(df, dim=64, k=4, n_iter=2, impl="arrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LocalTableScan" not in pa and "BatchEvalPython" not in pa
+
+
+def test_kmeans_arrow_and_expr_impls_are_bit_identical(spark):
+    from rehiver_spark.operators.vectorops import kmeans_quantized
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(
+        (r["cell"], r["n_members"], r["inertia"], tuple(r["c"]))
+        for r in kmeans_quantized(df, dim=64, k=6, n_iter=3, impl="arrow").collect()
+    )
+    b = sorted(
+        (r["cell"], r["n_members"], r["inertia"], tuple(r["c"]))
+        for r in kmeans_quantized(df, dim=64, k=6, n_iter=3, impl="expr").collect()
+    )
+    assert a == b
 
 
 def test_ivf_with_full_probe_equals_brute_force(spark):
