@@ -1848,3 +1848,62 @@ def x54_pipeline_yield(spark, sf_dir):
         .cast("bigint")
         .alias("tokens_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X55 — sketch-driven outlier filtering (X47 ∘ filter)
+# ---------------------------------------------------------------------------
+
+
+def _x55_sql() -> str:
+    from rehiver_spark.queries import ORACLE
+
+    q47 = ORACLE["x47_hdr_quantiles"]
+    return f"""
+    WITH thr AS (
+      SELECT source, est AS p99 FROM ({q47}) WHERE q = '99/100'
+    ),
+    vals AS (SELECT source, doc_id, length(text) AS v FROM documents)
+    SELECT v.source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN v.v <= thr.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN v.v > thr.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      round(thr.p99, 6) AS p99_threshold
+    FROM vals v JOIN thr ON v.source = thr.source
+    GROUP BY v.source, thr.p99
+    """
+
+
+@query("x55_sketch_filter", _x55_sql())
+def x55_sketch_filter(spark, sf_dir):
+    """X55: percentile outlier filtering WITHOUT exact quantiles —
+    per-source p99 length thresholds come from the X47 HDR sketch
+    (fixed-size state, one capped shuffle) and broadcast back against
+    the corpus; at 100 TB this replaces an exact per-group
+    percentile (full sort or percentile_approx over every group) with
+    sketch-then-filter: two linear passes, no sort anywhere. Composed
+    from the certified X47 query and its SQL (x53/x54 discipline);
+    threshold error is bounded by the sketch's ≤3% relative-error
+    guarantee, and the report counts kept vs outlier docs per source."""
+    from rehiver_spark.queries import QUERIES
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    thr = (
+        QUERIES["x47_hdr_quantiles"](spark, sf_dir)
+        .filter(F.col("q") == "99/100")
+        .select("source", F.col("est").alias("p99"))
+    )
+    vals = d.select("source", "doc_id", F.length("text").alias("v"))
+    j = vals.join(F.broadcast(thr), "source")
+    return j.groupBy("source", "p99").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("v") <= F.col("p99"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("v") > F.col("p99"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+    ).select(
+        "source", "n_docs", "n_kept", "n_outliers",
+        F.round("p99", 6).alias("p99_threshold"),
+    )

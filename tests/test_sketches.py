@@ -241,3 +241,29 @@ def test_hdr_sketch_shuffle_is_capped(spark):
     n_big = hdr_sketch(big, "v").count()
     assert n_big == n_small  # same value universe → same buckets
     assert n_big < 16 * 50
+
+
+def test_sketch_filter_thresholds_bound_true_p99(spark):
+    """X55 invariant: the sketch-derived p99 threshold sits within the
+    sketch's relative-error guarantee (1/(2S+1) ≈ 3%) of the EXACT
+    per-source p99, and kept+outliers partitions every source."""
+    import duckdb
+
+    from rehiver_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["x55_sketch_filter"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    exact = dict(
+        duckdb.sql(
+            "SELECT source, quantile_disc(length(text), 0.99) FROM "
+            "'/root/testdata/sf0.001/documents.parquet' GROUP BY source"
+        ).fetchall()
+    )
+    for r in rows:
+        assert r["n_kept"] + r["n_outliers"] == r["n_docs"], r
+        true_p99 = exact[r["source"]]
+        assert abs(r["p99_threshold"] - true_p99) / true_p99 <= 1 / 33 + 1e-9, (
+            r,
+            true_p99,
+        )
