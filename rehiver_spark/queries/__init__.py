@@ -77,9 +77,12 @@ def load_all() -> None:
     Import order alone no longer controls the driver window: after the
     imports, the registry is reordered to
     ``x40, r_ops (18), c_ops (26), x39 + mm_* (5)`` = exactly 50, with
-    the remaining 45 (round-4-certified x_ops/e_ops queries) after.
-    Do not change ``_WINDOW_HEAD``/``_WINDOW_TAIL`` without checking
-    driver-window coverage (tests/test_engine.py pins it).
+    everything else after — the round-4-certified x_ops/e_ops queries
+    plus the round-5 additions (X41–X55), each of which is certified
+    by the local run of the identical gate (tools/check_oracle.py)
+    recorded in BASELINE.md. Do not change
+    ``_WINDOW_HEAD``/``_WINDOW_TAIL`` without checking driver-window
+    coverage (tests/test_engine.py pins it).
     """
     from rehiver_spark.queries import x_ops  # noqa: F401  (isort: skip)
     from rehiver_spark.queries import e_ops  # noqa: F401  (X28-X40 + c18b + c17g)
