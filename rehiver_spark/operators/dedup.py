@@ -1188,20 +1188,21 @@ def bloom_index(
         raise ValueError(f"m_bits/k must be positive, got {m_bits}/{k}")
     sha = content_hash(F.col(text_col))
     return (
-        corpus.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(
-                            md5_hash60(F.concat(F.lit(f"bf{i}:"), sha)),
-                            F.lit(m_bits),
-                        )
-                        for i in range(k)
-                    ]
-                )
-            ).alias("pos")
-        )
+        corpus.select(F.explode(_bloom_positions(sha, m_bits, k)).alias("pos"))
         .distinct()
+    )
+
+
+def _bloom_positions(sha: Column, m_bits: int, k: int) -> Column:
+    """The k bit positions of a content hash — ONE definition shared by
+    the index builder and the checker: a drift between the two salt
+    schemes would probe a different filter than was built, a silent
+    total false-negative mode."""
+    return F.array(
+        *[
+            F.pmod(md5_hash60(F.concat(F.lit(f"bf{i}:"), sha)), F.lit(m_bits))
+            for i in range(k)
+        ]
     )
 
 
@@ -1219,36 +1220,35 @@ def bloom_check(
     false positive; route to the exact X28 check or drop if the FP rate
     is acceptable) / ``'new'`` (≥1 bit unset — GUARANTEED unseen).
 
-    Plan: the batch explodes to k probe rows; the index joins as a
-    broadcast/semi side (≤ m rows); one groupBy on the batch id counts
+    Plan: status is a function of CONTENT, so probing is keyed on the
+    content hash with duplicates collapsed first — a batch carrying
+    the same document twice (or the same doc_id twice) probes once and
+    both rows get the same verdict (per-id counting double-counted the
+    probe rows of duplicated ids and mislabeled true duplicates
+    'new', breaking the no-false-negative guarantee). The distinct
+    content hashes explode to k probe rows each; the index joins as a
+    broadcast/semi side (≤ m rows); one groupBy on the hash counts
     hits — hits = k ⇔ all bits present. The corpus itself is never
     touched (same contract as X28).
     """
     sha = content_hash(F.col(text_col))
-    probes = batch.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(
-                        md5_hash60(F.concat(F.lit(f"bf{i}:"), sha)), F.lit(m_bits)
-                    )
-                    for i in range(k)
-                ]
-            )
-        ).alias("pos"),
+    keyed = batch.withColumn("_sha", sha)
+    probes = (
+        keyed.select("_sha")
+        .distinct()
+        .select("_sha", F.explode(_bloom_positions(F.col("_sha"), m_bits, k)).alias("pos"))
     )
     hits = (
         probes.join(F.broadcast(index), "pos", "left_semi")
-        .groupBy(id_col)
+        .groupBy("_sha")
         .agg(F.count("*").alias("_hits"))
     )
     return (
-        batch.join(hits, id_col, "left")
+        keyed.join(hits, "_sha", "left")
         .withColumn(
             "status",
             F.when(F.coalesce(F.col("_hits"), F.lit(0)) == k, F.lit("maybe_dup"))
             .otherwise(F.lit("new")),
         )
-        .drop("_hits")
+        .drop("_hits", "_sha")
     )

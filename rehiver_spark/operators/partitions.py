@@ -31,6 +31,19 @@ from pyspark.sql import functions as F
 
 _SEG_RE = re.compile(r"(?:^|/)([^/=]+)=([^/]*)")
 
+
+def _naive_utc(v):
+    """Offset-aware datetime → naive UTC (None/naive pass through).
+    Both bounds and parsed values go through this, so temporal
+    comparisons are always like-vs-like — mixing aware and naive
+    raised TypeError out of ``_check``, escaping the
+    PartitionParseError contract."""
+    if v is not None and getattr(v, "tzinfo", None) is not None:
+        from datetime import timezone
+
+        return v.astimezone(timezone.utc).replace(tzinfo=None)
+    return v
+
 _SPARK_TYPE = {
     "int": "int",
     "long": "bigint",
@@ -80,12 +93,21 @@ class PartitionField:
                         f"got {b!r}"
                     )
         elif self.dtype == "date":
-            from datetime import date
+            from datetime import date, datetime as _dt
 
             if isinstance(self.min, str):
                 self.min = date.fromisoformat(self.min)
             if isinstance(self.max, str):
                 self.max = date.fromisoformat(self.max)
+            for b in (self.min, self.max):
+                # datetime IS a date subclass but compares unlike one
+                if b is not None and (
+                    not isinstance(b, date) or isinstance(b, _dt)
+                ):
+                    raise ValueError(
+                        f"{self.name}: date bounds must be ISO strings or "
+                        f"datetime.date, got {b!r}"
+                    )
         elif self.dtype == "timestamp":
             from datetime import datetime as _dt
 
@@ -93,6 +115,16 @@ class PartitionField:
                 self.min = _dt.fromisoformat(self.min.replace(" ", "T", 1))
             if isinstance(self.max, str):
                 self.max = _dt.fromisoformat(self.max.replace(" ", "T", 1))
+            for b in (self.min, self.max):
+                if b is not None and not isinstance(b, _dt):
+                    raise ValueError(
+                        f"{self.name}: timestamp bounds must be ISO strings "
+                        f"or datetime.datetime, got {b!r}"
+                    )
+            # normalize aware bounds to naive UTC so they compare
+            # against parsed values (same rule as coerce)
+            self.min = _naive_utc(self.min)
+            self.max = _naive_utc(self.max)
         else:
             raise ValueError(
                 f"{self.name}: min/max not supported on dtype {self.dtype!r} "
@@ -126,7 +158,7 @@ class PartitionField:
             from datetime import datetime as _dt
 
             try:
-                v = _dt.fromisoformat(raw.strip().replace(" ", "T", 1))
+                v = _naive_utc(_dt.fromisoformat(raw.strip().replace(" ", "T", 1)))
             except ValueError:
                 raise PartitionParseError(
                     f"{self.name}: expected timestamp, got {raw!r}"

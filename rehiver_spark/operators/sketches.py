@@ -362,10 +362,20 @@ def hdr_quantiles(
     group: one window cumsum over the (tiny, ≤ S·64-row) sketch, then
     the first bucket whose cumulative count reaches the threshold.
     Output: (group…, q, est, rel_err_bound).
+
+    Out-of-domain buckets (-2 negatives, -3 ≥ 2^49) are EXCLUDED from
+    the quantile mass — they are diagnostic counts, not measures, and
+    would otherwise sort below every real bucket, be selectable as a
+    quantile bucket, and yield a midpoint that (a) is meaningless and
+    (b) diverges between Spark's pmod and SQL's ``%`` on negatives.
+    The zero bucket (-1) IS real mass (value 0) and stays in.
     """
     from pyspark.sql import Window
 
+    if not quantiles:
+        raise ValueError("quantiles must be a non-empty list of (num, den)")
     g = group_cols or []
+    sketch = sketch.filter(F.col("bucket") >= -1)
     totals = sketch.groupBy(*g).agg(F.sum("cnt").alias("n"))
     cum = sketch.join(totals, g) if g else sketch.crossJoin(F.broadcast(totals))
     w = Window.partitionBy(*g).orderBy("bucket") if g else Window.orderBy("bucket")

@@ -1192,8 +1192,12 @@ def weighted_sample(
 
     Deterministic and portable: u = (md5_hash60(seed:id)+1)/2^60 — no
     RNG state, so re-running, resuming, or re-deriving the sample in a
-    SQL engine yields the SAME rows. Rows with weight <= 0 or null are
-    excluded (never sampled; visible via the count, not an error).
+    SQL engine yields the SAME rows. PRECONDITION: ``id_col`` is
+    unique within each group — two rows sharing an id get the same
+    race key and tie on the (key, id) sort, so WHICH physical row is
+    sampled would be engine-/run-dependent; dedup first (X1) or pass a
+    surrogate key. Rows with weight <= 0 or null are excluded (never
+    sampled; visible via the count, not an error).
 
     One window row_number per group over the key (ties broken by id).
     At 100 TB this shuffles (group, key) once; with many groups the

@@ -894,15 +894,27 @@ def jl_project(
         def _proj(s):
             if len(s) == 0:
                 return pd.Series([], dtype=object)
-            x = np.vstack(s.to_numpy()).astype(np.float64)
-            q = np.rint(x * scale).astype(np.int64)
-            dots = q @ P
-            # np.round is half-to-even vs Spark's HALF_UP: a mismatch
-            # needs an exact .5 at the 6th decimal, impossible when
-            # div is irrational and measure-zero otherwise (pinned by
-            # the expr/arrow equivalence test on real data)
-            out = np.round(dots / div, 6)
-            return pd.Series(list(out))
+            vals = s.to_numpy()
+            # NULL embeddings project to NULL (np.vstack over a batch
+            # containing None crashes the whole stage otherwise — the
+            # lsh_cosine_neardup null-guard lesson); expr impl matches
+            valid = np.array([v is not None and len(v) == P.shape[0] for v in vals])
+            out = np.empty(len(vals), dtype=object)
+            out[~valid] = None
+            if valid.any():
+                x = np.vstack(vals[valid]).astype(np.float64)
+                q = np.rint(x * scale).astype(np.int64)
+                dots = q @ P
+                # np.round is half-to-even vs Spark's HALF_UP: a
+                # mismatch needs an exact .5 at the 6th decimal,
+                # impossible when div is irrational and measure-zero
+                # otherwise (pinned by the expr/arrow equivalence test)
+                proj = np.round(dots / div, 6)
+                # object-array boolean assignment rejects a 2-D rhs;
+                # place each row individually
+                for idx, row in zip(np.flatnonzero(valid), proj):
+                    out[idx] = row
+            return pd.Series(out)
 
         _proj.__annotations__ = {"s": pd.Series, "return": pd.Series}
         udf = pandas_udf(_proj, "array<double>")
@@ -923,7 +935,11 @@ def jl_project(
         )
         for p in planes
     ]
-    return df.withColumn(out_col, F.array(*coords))
+    # NULL / wrong-dim vectors → NULL projection (matches arrow impl)
+    return df.withColumn(
+        out_col,
+        F.when(v.isNotNull() & (F.size(v) == dim), F.array(*coords)),
+    )
 
 
 def jl_project_sql(
@@ -1008,7 +1024,11 @@ def kmeans_quantized(
     from rehiver_spark.functions.hashing import md5_hash60
 
     v = as_double(vec_col)
-    q = df.select(
+    # NULL / wrong-dim vectors are excluded up front (visible via the
+    # member counts, never an error): unguarded they crash the arrow
+    # kernel's np.vstack, poison the expr struct-min with NULL
+    # distances, and can even be chosen as seed centroids
+    q = df.filter(v.isNotNull() & (F.size(v) == dim)).select(
         F.col(id_col).alias("_id"),
         F.transform(v, lambda x: F.round(x * scale, 0).cast("bigint")).alias("q"),
     )

@@ -116,14 +116,26 @@ def scratch_dir(name: str, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    # PID in the tag: deterministic within a process (one scratch copy
-    # per query, the disk-bound goal) but safe when two processes bench
-    # the same query+sf_dir concurrently (e.g. pytest alongside bench) —
-    # without it they rmtree each other's live streaming checkpoints.
+    # Layout: <tmp>/rehiver_scratch/<pid>/<query>_<sftag>. The PID
+    # level keeps two concurrent processes benching the same
+    # query+sf_dir from rmtree'ing each other's live streaming
+    # checkpoints; the dead-PID sweep below keeps repeated runs from
+    # accumulating orphaned scratch (each run is a fresh PID, so
+    # without the sweep every bench/pytest invocation would leave its
+    # z-order layouts and stream-source copies in /tmp forever).
+    base = os.path.join(tempfile.gettempdir(), "rehiver_scratch")
+    os.makedirs(base, exist_ok=True)
+    for entry in os.listdir(base):
+        if not entry.isdigit():
+            continue
+        try:
+            os.kill(int(entry), 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # alive, owned by someone else
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(
-        tempfile.gettempdir(), f"rehiver_scratch_{name}_{tag}_{os.getpid()}"
-    )
+    d = os.path.join(base, str(os.getpid()), f"{name}_{tag}")
     if os.path.isdir(d):
         shutil.rmtree(d)
     os.makedirs(d)

@@ -1321,10 +1321,11 @@ def _hdr_sql() -> str:
     )
     return f"""
     WITH vals AS (SELECT source, length(text) AS v FROM documents),
-    sk AS (
+    sk0 AS (
       SELECT source, {b} AS bucket, CAST(count(*) AS BIGINT) AS cnt
       FROM vals GROUP BY 1, 2
     ),
+    sk AS (SELECT * FROM sk0 WHERE bucket >= -1),
     tot AS (SELECT source, sum(cnt) AS n FROM sk GROUP BY source),
     cum AS (
       SELECT sk.source, bucket, n,
@@ -1645,7 +1646,7 @@ def x52_stream_cm(spark, sf_dir):
     regardless of stream volume; counters merge across streams by sum.
     Counting is order-insensitive, so the batch SQL twin reproduces
     the STREAMED counters — and every estimate — exactly."""
-    from rehiver_spark.operators.sketches import _cm_bucket, cm_estimate
+    from rehiver_spark.operators.sketches import cm_estimate, cm_sketch
     from rehiver_spark.queries import scratch_dir
     from rehiver_spark.session import read_events
     from rehiver_spark.streaming.windows import read_file_stream, run_available_now
@@ -1657,22 +1658,10 @@ def x52_stream_cm(spark, sf_dir):
     schema = spark.read.parquet(src).schema
     sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
     uid = F.col("user_id").cast("string")
-    rows = sdf.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _cm_bucket(uid, i, _CM_W).alias("bucket"),
-                    )
-                    for i in range(_CM_D)
-                ]
-            )
-        ).alias("rb")
-    ).select("rb.row", "rb.bucket")
-    counters = rows.groupBy("row", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+    # the SAME cm_sketch the batch path certifies — its explode+groupBy
+    # body is stateless-transform + aggregation, streaming-legal as-is
+    # (a re-implementation here drifted from the sketch layout once)
+    counters = cm_sketch(sdf.select(uid.alias("item")), depth=_CM_D, width=_CM_W)
     sink = run_available_now(counters, checkpoint=f"{scratch}/ckpt")
     qs = (
         ev.filter(F.col("user_id") % 20 == 7)

@@ -89,14 +89,31 @@ def track_persist(df, storage_level=None):
 def release_persisted() -> int:
     """Unpersist every operator-persisted intermediate registered by
     :func:`track_persist`; returns how many were released. Blocking=False
-    semantics (Spark default): storage frees asynchronously."""
+    semantics (Spark default): storage frees asynchronously.
+
+    A stopped session is the expected benign failure (nothing left to
+    free). Anything else is a REAL failure — the handle's cached
+    blocks would leak with no trace if swallowed — so it is logged
+    with the cause and still counted as not-released."""
+    import logging
+
     n = 0
     while _PERSISTED:
+        df = _PERSISTED.pop()
         try:
-            _PERSISTED.pop().unpersist()
+            df.unpersist()
             n += 1
-        except Exception:
-            pass  # session already stopped — nothing to free
+        except Exception as e:  # noqa: BLE001 — classified below
+            msg = str(e)
+            if "SparkContext" in msg and (
+                "stopped" in msg or "shut down" in msg
+            ):
+                continue  # session gone: nothing to free, keep draining
+            logging.getLogger(__name__).warning(
+                "release_persisted: unpersist failed (cached blocks may "
+                "leak until clearCache): %s",
+                e,
+            )
     return n
 
 

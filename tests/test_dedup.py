@@ -518,3 +518,26 @@ def test_bloom_check_plan_broadcasts_index_and_skips_corpus(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_bloom_check_handles_duplicate_rows_in_batch(spark):
+    """Regression: a batch carrying the same document twice (same id or
+    same content) must label BOTH rows 'maybe_dup' when the content is
+    indexed — the old per-id probe counting summed the duplicated
+    probe rows (2k != k) and mislabeled true duplicates 'new',
+    breaking the no-false-negative guarantee."""
+    from rehiver_spark.operators.dedup import bloom_check, bloom_index
+
+    corpus = spark.createDataFrame([(1, "seen doc one")], "doc_id long, text string")
+    idx = bloom_index(corpus, m_bits=1 << 14, k=5)
+    batch = spark.createDataFrame(
+        [(1, "seen doc one"), (1, "seen doc one"), (9, "seen doc one"), (5, "brand new")],
+        "doc_id long, text string",
+    )
+    out = bloom_check(batch, idx, m_bits=1 << 14, k=5).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["doc_id"], r["text"]), []).append(r["status"])
+    assert by[(1, "seen doc one")] == ["maybe_dup", "maybe_dup"]
+    assert by[(9, "seen doc one")] == ["maybe_dup"]
+    assert by[(5, "brand new")] == ["new"]

@@ -278,3 +278,33 @@ def test_string_bounds_are_config_error():
         PartitionField("s", "string", min="a")
     with pytest.raises(ValueError, match="bounds must be numeric"):
         PartitionField("n", "int", min="5")
+
+
+def test_temporal_bounds_aware_values_and_bad_bound_types():
+    """Regression: an offset-aware partition value against a naive
+    bound must yield a PartitionParseError verdict (not TypeError),
+    aware bounds are normalized to UTC, and a mis-typed bound on a
+    temporal dtype is rejected at schema construction."""
+    import pytest
+
+    from rehiver_spark.operators.partitions import (
+        PartitionField,
+        PartitionParseError,
+    )
+
+    f = PartitionField("ts", "timestamp", min="2024-01-01T00:00:00")
+    # aware value inside the bound: normalized to naive UTC, passes
+    assert f.coerce("2024-06-01T12:00:00+00:00").year == 2024
+    # aware value below the bound after UTC normalization: clean error
+    with pytest.raises(PartitionParseError):
+        f.coerce("2024-01-01T00:30:00+02:00")  # = 2023-12-31T22:30 UTC
+    # mis-typed bounds rejected at construction, not at compare time
+    with pytest.raises(ValueError, match="bounds"):
+        PartitionField("d", "date", min=5)
+    with pytest.raises(ValueError, match="bounds"):
+        PartitionField("ts", "timestamp", max=1700000000)
+    # datetime bound on a date dtype: compares unlike a date, rejected
+    from datetime import datetime
+
+    with pytest.raises(ValueError, match="bounds"):
+        PartitionField("d", "date", min=datetime(2024, 1, 1))

@@ -585,3 +585,23 @@ def test_ann_recall_query_reports_honest_partial_probe_recall(spark):
     assert rows, "no queries scored"
     mean = sum(r["recall_at_5"] for r in rows) / len(rows)
     assert 0.4 <= mean <= 1.0, mean
+
+
+def test_jl_and_kmeans_tolerate_null_vectors(spark):
+    """Regression: a NULL (or wrong-dim) embedding must not crash the
+    Arrow kernels — JL projects it to NULL in BOTH impls, k-means
+    excludes it from clustering (visible via member counts)."""
+    from rehiver_spark.operators.vectorops import jl_project, kmeans_quantized
+
+    good = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(30)
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    df = good.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(bad)
+    for impl in ("arrow", "expr"):
+        rows = {r["vec_id"]: r["proj"] for r in jl_project(df, 64, 8, impl=impl).collect()}
+        assert rows[9001] is None and rows[9002] is None, impl
+        assert all(v is not None for k, v in rows.items() if k < 9000), impl
+    km = kmeans_quantized(df, dim=64, k=4, n_iter=2)
+    assert sum(r["n_members"] for r in km.collect()) == 30
