@@ -1896,3 +1896,70 @@ def x55_sketch_filter(spark, sf_dir):
         "source", "n_docs", "n_kept", "n_outliers",
         F.round("p99", 6).alias("p99_threshold"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X56 — streaming HDR quantiles (bucket counters as stream state)
+# ---------------------------------------------------------------------------
+
+
+def _x56_sql() -> str:
+    from rehiver_spark.operators.sketches import hdr_bucket_sql
+
+    s = _HDR_SUB
+    b = hdr_bucket_sql("length(text)", s)
+    mid = (
+        f"CASE WHEN bucket = -1 THEN 0.0 ELSE "
+        f"power(2.0, CAST(bucket // {s} AS DOUBLE))"
+        f" * ({2 * s} + 2 * (bucket % {s}) + 1) / {float(2 * s)} END"
+    )
+    return f"""
+    WITH sk0 AS (
+      SELECT {b} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1
+    ),
+    sk AS (SELECT * FROM sk0 WHERE bucket >= -1),
+    tot AS (SELECT sum(cnt) AS n FROM sk),
+    cum AS (
+      SELECT bucket, n, sum(cnt) OVER (ORDER BY bucket) AS cum
+      FROM sk, tot
+    ),
+    qs(qn, qd) AS (VALUES (1, 2), (9, 10), (99, 100)),
+    sel AS (
+      SELECT qn, qd, min(bucket) AS bucket
+      FROM cum, qs WHERE cum * qd >= n * qn
+      GROUP BY qn, qd
+    )
+    SELECT qn || '/' || qd AS q, round({mid}, 6) AS est
+    FROM sel
+    """
+
+
+@query("x56_stream_hdr", _x56_sql())
+def x56_stream_hdr(spark, sf_dir):
+    """X56: HDR bucket counters AS STREAMING STATE — the third member
+    of the streaming-sketch family (X44 HLL distincts, X52 CM
+    frequencies, X56 quantiles): global document-length p50/p90/p99
+    maintained by Structured Streaming (file source → hdr_sketch's
+    groupBy(bucket).count in complete mode → AvailableNow → memory
+    sink), estimated from the sink. Per-trigger state is capped at
+    S·50 bucket rows regardless of stream volume; counting is
+    order-insensitive, so the batch SQL twin reproduces the STREAMED
+    counters — and the quantile estimates — exactly."""
+    from rehiver_spark.operators.sketches import hdr_quantiles, hdr_sketch
+    from rehiver_spark.queries import scratch_dir
+    from rehiver_spark.streaming.windows import read_file_stream, run_available_now
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    scratch = scratch_dir("x56", sf_dir)
+    src = f"{scratch}/src"
+    d.select(F.length("text").alias("v")).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
+    counters = hdr_sketch(sdf, "v", sub=_HDR_SUB)
+    sink = run_available_now(counters, checkpoint=f"{scratch}/ckpt")
+    return hdr_quantiles(sink, [(1, 2), (9, 10), (99, 100)], sub=_HDR_SUB).select(
+        "q", "est"
+    )
