@@ -1241,3 +1241,125 @@ def weighted_sample_key_sql(id_expr: str, weight_expr: str, seed: int = 42) -> s
     """DuckDB twin of the X48 race key."""
     h = f"('0x' || substr(md5('ws{seed}:' || CAST({id_expr} AS VARCHAR)), 1, 15))::BIGINT"
     return f"(-ln(CAST({h} + 1 AS DOUBLE) / {float(1 << 60)}) / CAST({weight_expr} AS DOUBLE))"
+
+
+def dedup_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+) -> DataFrame:
+    """Exact substring dedup at ANY alignment (X57) — the stride-1
+    upgrade of :func:`dedup_spans` (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every ``window_tokens``-
+    token window at EVERY position is hashed; any window text that
+    occurs more than once corpus-wide keeps only its globally first
+    occurrence (ordered by (id, position)), and every other occurrence's
+    token range is excised. Fixed-stride span dedup misses duplicated
+    passages that don't align to span boundaries; stride-1 windows
+    catch a duplicated run of ≥ window_tokens tokens wherever it
+    starts, which is the published suffix-array semantics restricted
+    to runs ≥ L (keep-one, greedy).
+
+    Plan (100 TB posture — the honest Lee-et-al cost profile, two
+    corpus-token-sized shuffles and nothing worse):
+    1. positions + window hashes are pure array arithmetic per doc;
+    2. keep-first = ONE shuffle on the window hash (row_number);
+    3. excised positions merge into maximal intervals RELATIONALLY
+       (gaps-and-islands over (doc, pos) — no array folds);
+    4. reconstruction = token rows anti-joined against the (few)
+       per-doc intervals, then one ordered per-doc assembly.
+
+    Overlap subtlety (documented, standard greedy): a later occurrence
+    is excised even when the first occurrence itself partially
+    overlaps a different excision — exactly one copy of every
+    duplicated window's text survives somewhere.
+
+    Output: (id, cleaned_text, n_tokens_before, n_tokens_after,
+    n_cut_spans).
+    """
+    from rehiver_spark.functions.hashing import md5_hash60
+
+    df = ensure_parallelism(df)
+    L = window_tokens
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    n_win = F.greatest(F.size(F.col("_t")) - L + 1, F.lit(0))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: md5_hash60(F.array_join(F.slice(F.col("_t"), i, L), " ")),
+    )
+    # docs shorter than L tokens have no windows: sequence(1, 0)
+    # yields a DESCENDING [1, 0] (not empty), so the window list must
+    # be gated on n_win > 0 — CASE evaluates only the taken branch
+    occ = base.select(
+        id_col,
+        F.posexplode(F.when(n_win > 0, wins).otherwise(F.array())).alias(
+            "_p0", "_h"
+        ),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "_h")
+    w_first = Window.partitionBy("_h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    cut = (
+        occ.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") > 1)
+        .select(id_col, "pos")
+    )
+    # gaps-and-islands interval merge per doc: [pos, pos+L)
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    islands = (
+        cut.withColumn("_prev_end", F.max(F.col("pos") + L).over(w_prev))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev_end").isNull() | (F.col("pos") > F.col("_prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_doc))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("pos").alias("_s"), (F.max("pos") + L).alias("_e"))
+    )
+    tok_rows = base.select(
+        id_col, F.posexplode("_t").alias("_i0", "_tok")
+    ).select(id_col, (F.col("_i0") + 1).alias("idx"), "_tok")
+    kept = tok_rows.alias("t").join(
+        islands.alias("iv"),
+        (F.col(f"t.{id_col}") == F.col(f"iv.{id_col}"))
+        & (F.col("t.idx") >= F.col("iv._s"))
+        & (F.col("t.idx") < F.col("iv._e")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_after"),
+    )
+    spans = islands.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cut_spans")
+    )
+    totals = base.select(
+        id_col,
+        # NULL text → NULL token array → size NULL; report 0 tokens
+        F.coalesce(F.size("_t"), F.lit(0)).cast("bigint").alias("n_tokens_before"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .join(spans, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            "n_tokens_before",
+            F.coalesce(F.col("n_tokens_after"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_after"),
+            F.coalesce(F.col("n_cut_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_cut_spans"),
+        )
+    )

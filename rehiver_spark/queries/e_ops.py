@@ -1963,3 +1963,102 @@ def x56_stream_hdr(spark, sf_dir):
     return hdr_quantiles(sink, [(1, 2), (9, 10), (99, 100)], sub=_HDR_SUB).select(
         "q", "est"
     )
+
+
+# ---------------------------------------------------------------------------
+# X57 — exact substring dedup at any alignment (stride-1 windows)
+# ---------------------------------------------------------------------------
+
+_SSD_L = 15
+
+
+def _x57_sql() -> str:
+    from rehiver_spark.functions.hashing import md5_hash60_sql
+
+    L = _SSD_L
+    h = md5_hash60_sql(f"array_to_string(t[i:i+{L - 1}], ' ')")
+    return f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    occ AS (
+      SELECT doc_id, i AS pos, {h} AS hh
+      FROM base, unnest(range(1, greatest(len(t) - {L} + 1, 0) + 1)) AS u(i)
+    ),
+    cut AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+        FROM occ
+      ) WHERE rn > 1
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+        sum(new) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM (
+        SELECT doc_id, pos,
+          CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS new
+        FROM (
+          SELECT doc_id, pos,
+            max(pos + {L}) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM cut
+        )
+      )
+    ),
+    iv AS (
+      SELECT doc_id, g, min(pos) AS s, max(pos) + {L} AS e
+      FROM isl GROUP BY doc_id, g
+    ),
+    tok_rows AS (
+      SELECT doc_id, i AS idx, t[i] AS tok
+      FROM base, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT tr.doc_id, tr.idx, tr.tok FROM tok_rows tr
+      WHERE NOT EXISTS (
+        SELECT 1 FROM iv
+        WHERE iv.doc_id = tr.doc_id AND tr.idx >= iv.s AND tr.idx < iv.e
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS cleaned,
+        CAST(count(*) AS BIGINT) AS n_after
+      FROM kept GROUP BY doc_id
+    ),
+    spans AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM iv GROUP BY doc_id)
+    SELECT b.doc_id,
+      substr(sha256(coalesce(r.cleaned, '')), 1, 16) AS cleaned_sha16,
+      CAST(coalesce(len(b.t), 0) AS BIGINT) AS n_tokens_before,
+      CAST(coalesce(r.n_after, 0) AS BIGINT) AS n_tokens_after,
+      CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_cut_spans
+    FROM base b
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN spans s USING (doc_id)
+    """
+
+
+@query("x57_substring_dedup", _x57_sql())
+def x57_substring_dedup(spark, sf_dir):
+    """X57: exact substring dedup at ANY alignment (Lee et al. 2021
+    semantics restricted to runs ≥ L tokens): every stride-1 L-token
+    window is hashed, duplicated window text keeps only its globally
+    first occurrence, every other occurrence's token range is excised
+    (gaps-and-islands interval merge), and documents are rebuilt from
+    surviving tokens. The stride-1 upgrade of X23's fixed-stride span
+    dedup — catches duplicated passages wherever they start. Two
+    corpus-token-sized shuffles (window-hash keep-first + per-doc
+    reconstruction), the honest suffix-dedup cost profile; pinned
+    EXACTLY against a pure-Python reference in tests."""
+    from rehiver_spark.operators.textops import dedup_substrings
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    out = dedup_substrings(d, window_tokens=_SSD_L)
+    return out.select(
+        "doc_id",
+        F.substring(F.sha2(F.col("cleaned_text"), 256), 1, 16).alias(
+            "cleaned_sha16"
+        ),
+        "n_tokens_before",
+        "n_tokens_after",
+        "n_cut_spans",
+    )

@@ -609,3 +609,90 @@ def test_pipeline_yield_buckets_partition_the_corpus(spark):
         ), r
         if r["n_kept"] > 0:
             assert r["tokens_kept"] > 0, r
+
+
+# ---------------------------------------------------------------------------
+# X57 — exact substring dedup at any alignment
+# ---------------------------------------------------------------------------
+
+
+def _ref_dedup_substrings(docs, L):
+    """Pure-Python reference: stride-1 window keep-first + interval
+    excision, identical greedy semantics."""
+    seen = {}
+    cuts = {i: [] for i, _ in docs}
+    for i, text in docs:
+        toks = (text or "").lower().split()
+        for p in range(len(toks) - L + 1):
+            key = " ".join(toks[p : p + L])
+            if key in seen:
+                cuts[i].append(p)
+            else:
+                seen[key] = (i, p)
+    out = {}
+    for i, text in docs:
+        toks = (text or "").lower().split()
+        remove = set()
+        for p in cuts[i]:
+            remove.update(range(p, p + L))
+        kept = [t for j, t in enumerate(toks) if j not in remove]
+        # merged interval count
+        spans, prev_end = 0, -1
+        for p in sorted(cuts[i]):
+            if p > prev_end:
+                spans += 1
+            prev_end = max(prev_end, p + L - 1)
+        out[i] = (" ".join(kept), len(toks), len(kept), spans)
+    return out
+
+
+def test_dedup_substrings_matches_reference_any_alignment(spark):
+    from rehiver_spark.operators.textops import dedup_substrings
+
+    # doc 1 repeats doc 0's middle at a NON-span-aligned offset; doc 2
+    # repeats a run twice internally; doc 3 is short (< L, untouched)
+    core = " ".join(f"w{i}" for i in range(12))
+    docs = [
+        (0, "alpha beta " + core + " gamma delta"),
+        (1, "prefix one two three " + core + " suffix"),
+        (2, "x " + core + " mid " + core + " y"),
+        (3, "tiny doc"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["cleaned_text"],
+            r["n_tokens_before"],
+            r["n_tokens_after"],
+            r["n_cut_spans"],
+        )
+        for r in dedup_substrings(df, window_tokens=12).collect()
+    }
+    expect = _ref_dedup_substrings(docs, 12)
+    assert got == expect
+    # the duplicated core survives exactly once corpus-wide
+    n_core = sum(g[0].count(core) for g in got.values())
+    assert n_core == 1
+
+
+def test_dedup_substrings_on_real_corpus_matches_reference(spark):
+    import duckdb
+
+    from rehiver_spark.operators.textops import dedup_substrings
+
+    rows = duckdb.sql(
+        "SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) "
+        "FROM '/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"], r["n_cut_spans"])
+        for r in dedup_substrings(df, window_tokens=15).collect()
+    }
+    expect = {
+        i: (b, a, s)
+        for i, (_, b, a, s) in _ref_dedup_substrings(rows, 15).items()
+    }
+    assert got == expect
+    assert any(b != a for b, a, _ in got.values())  # fixture has real dups
