@@ -1210,7 +1210,6 @@ def bloom_check(
     batch: DataFrame,
     index: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     m_bits: int = 1 << 20,
     k: int = 5,
 ) -> DataFrame:
@@ -1231,24 +1230,27 @@ def bloom_check(
     hits — hits = k ⇔ all bits present. The corpus itself is never
     touched (same contract as X28).
     """
+    # collision-proof temp names: a user batch may legitimately carry
+    # a `_sha` column of its own
+    SHA, HITS = "__bf_sha", "__bf_hits"
     sha = content_hash(F.col(text_col))
-    keyed = batch.withColumn("_sha", sha)
+    keyed = batch.withColumn(SHA, sha)
     probes = (
-        keyed.select("_sha")
+        keyed.select(SHA)
         .distinct()
-        .select("_sha", F.explode(_bloom_positions(F.col("_sha"), m_bits, k)).alias("pos"))
+        .select(SHA, F.explode(_bloom_positions(F.col(SHA), m_bits, k)).alias("pos"))
     )
     hits = (
         probes.join(F.broadcast(index), "pos", "left_semi")
-        .groupBy("_sha")
-        .agg(F.count("*").alias("_hits"))
+        .groupBy(SHA)
+        .agg(F.count("*").alias(HITS))
     )
     return (
-        keyed.join(hits, "_sha", "left")
+        keyed.join(hits, SHA, "left")
         .withColumn(
             "status",
-            F.when(F.coalesce(F.col("_hits"), F.lit(0)) == k, F.lit("maybe_dup"))
+            F.when(F.coalesce(F.col(HITS), F.lit(0)) == k, F.lit("maybe_dup"))
             .otherwise(F.lit("new")),
         )
-        .drop("_hits", "_sha")
+        .drop(HITS, SHA)
     )

@@ -1283,6 +1283,13 @@ def dedup_substrings(
     df = ensure_parallelism(df)
     L = window_tokens
     toks = tokens(F.col(text_col))
+    # base feeds the window pass, the token rows, AND the totals —
+    # DELIBERATELY recomputed, not persisted: materializing the
+    # token-array projection measured SLOWER than the two extra
+    # normalize+split scans (19.2 s recompute vs 23.4 s persisted at
+    # sf10 — block-store write+read of the wide arrays costs more
+    # than the codegen'd re-scan; the r16 recompute-over-persist
+    # trade-off, measured here too)
     base = df.select(F.col(id_col), toks.alias("_t"))
     n_win = F.greatest(F.size(F.col("_t")) - L + 1, F.lit(0))
     wins = F.transform(

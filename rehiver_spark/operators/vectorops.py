@@ -895,10 +895,19 @@ def jl_project(
             if len(s) == 0:
                 return pd.Series([], dtype=object)
             vals = s.to_numpy()
-            # NULL embeddings project to NULL (np.vstack over a batch
-            # containing None crashes the whole stage otherwise — the
-            # lsh_cosine_neardup null-guard lesson); expr impl matches
-            valid = np.array([v is not None and len(v) == P.shape[0] for v in vals])
+            # NULL / wrong-dim / element-null embeddings project to
+            # NULL (np.vstack over None crashes the stage; a NaN
+            # element — how Arrow delivers a null ELEMENT — survives
+            # vstack but turns np.rint(...).astype(int64) into
+            # INT64_MIN garbage); expr impl matches
+            valid = np.array(
+                [
+                    v is not None
+                    and len(v) == P.shape[0]
+                    and not np.isnan(np.asarray(v, dtype=np.float64)).any()
+                    for v in vals
+                ]
+            )
             out = np.empty(len(vals), dtype=object)
             out[~valid] = None
             if valid.any():
@@ -935,10 +944,12 @@ def jl_project(
         )
         for p in planes
     ]
-    # NULL / wrong-dim vectors → NULL projection (matches arrow impl)
+    # NULL / wrong-dim / element-null-or-NaN vectors → NULL projection
+    # (matches the arrow impl's validity mask exactly)
+    clean = ~F.exists(v, lambda x: x.isNull() | F.isnan(x))
     return df.withColumn(
         out_col,
-        F.when(v.isNotNull() & (F.size(v) == dim), F.array(*coords)),
+        F.when(v.isNotNull() & (F.size(v) == dim) & clean, F.array(*coords)),
     )
 
 
@@ -1024,11 +1035,13 @@ def kmeans_quantized(
     from rehiver_spark.functions.hashing import md5_hash60
 
     v = as_double(vec_col)
-    # NULL / wrong-dim vectors are excluded up front (visible via the
-    # member counts, never an error): unguarded they crash the arrow
-    # kernel's np.vstack, poison the expr struct-min with NULL
-    # distances, and can even be chosen as seed centroids
-    q = df.filter(v.isNotNull() & (F.size(v) == dim)).select(
+    # NULL / wrong-dim / element-null-or-NaN vectors are excluded up
+    # front (visible via the member counts, never an error): unguarded
+    # they crash the arrow kernel's np.vstack (or garble the int64
+    # cast via NaN), poison the expr struct-min with NULL distances,
+    # and can even be chosen as seed centroids
+    clean = ~F.exists(v, lambda x: x.isNull() | F.isnan(x))
+    q = df.filter(v.isNotNull() & (F.size(v) == dim) & clean).select(
         F.col(id_col).alias("_id"),
         F.transform(v, lambda x: F.round(x * scale, 0).cast("bigint")).alias("q"),
     )

@@ -123,7 +123,12 @@ def scratch_dir(name: str, sf_dir: str) -> str:
     # accumulating orphaned scratch (each run is a fresh PID, so
     # without the sweep every bench/pytest invocation would leave its
     # z-order layouts and stream-source copies in /tmp forever).
-    base = os.path.join(tempfile.gettempdir(), "rehiver_scratch")
+    # per-UID base: a shared /tmp/rehiver_scratch owned by another OS
+    # user would make our makedirs fail with PermissionError (sticky
+    # /tmp lets anyone create toplevel dirs, not write into others')
+    base = os.path.join(
+        tempfile.gettempdir(), f"rehiver_scratch_u{os.getuid()}"
+    )
     os.makedirs(base, exist_ok=True)
     for entry in os.listdir(base):
         if not entry.isdigit():

@@ -1006,8 +1006,8 @@ def _bf_pos_sql(sha_expr: str, i: int) -> str:
     return f"({md5_hash60_sql(salted)} % {_BF_M})"
 
 
-def _bf_rows_sql(src: str, with_id: bool) -> str:
-    head = "doc_id, " if with_id else ""
+def _bf_rows_sql(src: str, with_sha: bool = False) -> str:
+    head = "sha, " if with_sha else ""
     return " UNION ALL ".join(
         f"SELECT {head}{_bf_pos_sql('sha', i)} AS pos FROM {src}"
         for i in range(_BF_K)
@@ -1028,18 +1028,22 @@ def _bf_rows_sql(src: str, with_id: bool) -> str:
       FROM documents WHERE doc_id % 15 = 0
     ),
     bits AS (SELECT DISTINCT pos FROM ({{corpus_rows}})),
+    -- probe per CONTENT HASH with duplicates collapsed — the per-id
+    -- form double-counted probe rows of duplicated ids and mislabeled
+    -- true duplicates 'new' (the bloom_check dup-batch bug, mirrored)
+    uniq AS (SELECT DISTINCT sha FROM batch),
     probes AS ({{batch_rows}}),
     hits AS (
-      SELECT doc_id, count(*) AS h
+      SELECT sha, count(*) AS h
       FROM probes JOIN bits USING (pos)
-      GROUP BY doc_id
+      GROUP BY sha
     )
     SELECT b.doc_id,
       CASE WHEN coalesce(h.h, 0) = {_BF_K} THEN 'maybe_dup' ELSE 'new' END AS status
-    FROM batch b LEFT JOIN hits h ON h.doc_id = b.doc_id
+    FROM batch b LEFT JOIN hits h ON h.sha = b.sha
     """.format(
-        corpus_rows=_bf_rows_sql("corpus", with_id=False),
-        batch_rows=_bf_rows_sql("batch", with_id=True),
+        corpus_rows=_bf_rows_sql("corpus"),
+        batch_rows=_bf_rows_sql("uniq", with_sha=True),
     ),
 )
 def x43_bloom_dedup(spark, sf_dir):

@@ -636,12 +636,15 @@ def _ref_dedup_substrings(docs, L):
         for p in cuts[i]:
             remove.update(range(p, p + L))
         kept = [t for j, t in enumerate(toks) if j not in remove]
-        # merged interval count
+        # merged MAXIMAL-interval count: [p, p+L) half-open, so two
+        # back-to-back cut windows (next starts exactly at prev end)
+        # form ONE contiguous excised interval — the operator's
+        # gaps-and-islands condition (pos > prev_end) does the same
         spans, prev_end = 0, -1
         for p in sorted(cuts[i]):
             if p > prev_end:
                 spans += 1
-            prev_end = max(prev_end, p + L - 1)
+            prev_end = max(prev_end, p + L)
         out[i] = (" ".join(kept), len(toks), len(kept), spans)
     return out
 
@@ -652,12 +655,18 @@ def test_dedup_substrings_matches_reference_any_alignment(spark):
     # doc 1 repeats doc 0's middle at a NON-span-aligned offset; doc 2
     # repeats a run twice internally; doc 3 is short (< L, untouched)
     core = " ".join(f"w{i}" for i in range(12))
+    core2 = " ".join(f"v{i}" for i in range(12))
     docs = [
         (0, "alpha beta " + core + " gamma delta"),
         (1, "prefix one two three " + core + " suffix"),
         (2, "x " + core + " mid " + core + " y"),
         (3, "tiny doc"),
         (4, None),
+        (5, "p q " + core2 + " r s"),
+        # doc 6: TWO different previously-seen windows BACK TO BACK —
+        # their excised intervals touch and must merge into ONE
+        # maximal span (the gaps-and-islands condition), not two
+        (6, core + " " + core2),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {
@@ -674,6 +683,8 @@ def test_dedup_substrings_matches_reference_any_alignment(spark):
     # the duplicated core survives exactly once corpus-wide
     n_core = sum(g[0].count(core) for g in got.values())
     assert n_core == 1
+    # doc 6's two back-to-back excisions merged into ONE maximal span
+    assert got[6] == ("", 24, 0, 1), got[6]
 
 
 def test_dedup_substrings_on_real_corpus_matches_reference(spark):

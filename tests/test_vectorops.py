@@ -605,3 +605,26 @@ def test_jl_and_kmeans_tolerate_null_vectors(spark):
         assert all(v is not None for k, v in rows.items() if k < 9000), impl
     km = kmeans_quantized(df, dim=64, k=4, n_iter=2)
     assert sum(r["n_members"] for r in km.collect()) == 30
+
+
+def test_jl_and_kmeans_tolerate_element_nulls(spark):
+    """Regression (round-5 review): a vector with a NULL ELEMENT must
+    project to NULL in BOTH JL impls (Arrow delivers element nulls as
+    NaN, which turned the int64 cast into garbage in the arrow kernel
+    while expr returned nulls — silently divergent), and k-means must
+    exclude it."""
+    from rehiver_spark.operators.vectorops import jl_project, kmeans_quantized
+
+    good = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    holed = spark.createDataFrame(
+        [(9005, [0.5] * 30 + [None] + [0.5] * 33)],
+        "vec_id long, embedding array<double>",
+    )
+    df = good.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(holed)
+    for impl in ("arrow", "expr"):
+        rows = {r["vec_id"]: r["proj"] for r in jl_project(df, 64, 8, impl=impl).collect()}
+        assert rows[9005] is None, impl
+    km = kmeans_quantized(df, dim=64, k=4, n_iter=2)
+    assert sum(r["n_members"] for r in km.collect()) == 20
