@@ -1587,8 +1587,10 @@ def x51_kmeans(spark, sf_dir):
     the 3-iteration recursion is reproduced EXACTLY by a mechanically
     generated CTE chain in DuckDB. Per iteration: one broadcast join
     against the k-row centroid relation + one partial-combined
-    groupBy; NOTHING ever reaches the driver. Output: per-cell size,
-    inertia, and the 64 centroid coordinates exploded."""
+    groupBy; the ONLY driver traffic is the k-row centroid relation
+    (seeding TakeOrdered + per-round arrow embed — the bounded
+    CC-scalar class). Output: per-cell size, inertia, and the 64
+    centroid coordinates exploded."""
     from rehiver_spark.operators.vectorops import kmeans_quantized
 
     e = tables(spark, sf_dir, ["embeddings"])["embeddings"]

@@ -288,3 +288,35 @@ def test_x46b_bpe_apply_is_map_only(spark, queries):
     # the 100 TB tokenization pass: zero Exchange — output
     # partitioning = input partitioning, whole-stage codegen
     assert "Exchange" not in p
+
+
+def test_x51_kmeans_no_unpartitioned_window(spark, queries):
+    """The r5 verdict's one weak plan: seeding used a global row_number
+    Window (every vector through ONE task). It is now a TakeOrdered
+    collect of k rows; no Window — partitioned or not — may appear
+    anywhere in the final x51 plan, and the expr-impl pair join must
+    stay broadcast."""
+    p = plan_of(queries["x51_kmeans"](spark, SF))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_x51_seeding_plan_is_take_ordered(spark):
+    """The seeding job itself (built the same way kmeans_quantized
+    builds it) must compile to TakeOrderedAndProject, never a sort or
+    window over the full relation."""
+    from rehiver_spark.functions.hashing import md5_hash60
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.select(
+        F.col("vec_id").alias("_id"),
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x * 10000, 0).cast("bigint")
+        ).alias("q"),
+    )
+    seed_h = md5_hash60(F.concat(F.lit("km:"), F.col("_id").cast("string")))
+    plan = plan_of(
+        q.select(seed_h.alias("_h"), "_id", "q").orderBy("_h", "_id").limit(8)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
