@@ -107,24 +107,43 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     ok = [v for v in timings.values() if v >= 0]
-    # compact separators: the driver's capture buffer has truncated the
-    # front of this line before (BENCH_r04 "parsed": null) — every byte
-    # of the one-line artifact counts
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": round(sum(ok), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "n_failed": len(timings) - len(ok),
-                "flaky": flaky,
-            },
-            separators=(",", ":"),
+    full = {
+        "metric": "total_query_sec",
+        "value": round(sum(ok), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": len(timings) - len(ok),
+        "flaky": flaky,
+    }
+    full_line = json.dumps(full, separators=(",", ":"))
+    # The driver's artifact keeps only the LAST 2000 chars of stdout
+    # (BENCH_r02..r05 all have len(tail)==2000) — at 114 queries the
+    # full one-line record is ~3.5 KB, so its FRONT was cut and
+    # "parsed" stayed null every round. Persist the complete record to
+    # a file the judge reads, print the full line for local use, and
+    # make the FINAL line a compact summary (per-query map replaced by
+    # the top-10 slowest + a pointer) guaranteed to fit the capture
+    # window whole.
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+        f.write(full_line + "\n")
+    print(full_line)
+    if len(full_line) > 1500:
+        slowest = dict(
+            sorted(
+                ((n, v) for n, v in timings.items() if v >= 0),
+                key=lambda kv: -kv[1],
+            )[:10]
         )
-    )
+        compact = {
+            **full,
+            "queries": slowest,
+            "queries_truncated_to_top10_slowest": True,
+            "queries_file": "BENCH_FULL.json",
+        }
+        print(json.dumps(compact, separators=(",", ":")))
     return 0
 
 
