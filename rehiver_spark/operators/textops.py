@@ -1370,3 +1370,115 @@ def dedup_substrings(
             .alias("n_cut_spans"),
         )
     )
+
+
+def dedup_substrings_pruned(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+    min_run: int = 40,
+) -> DataFrame:
+    """X57's cost knob for 100 TB: :func:`dedup_substrings` shuffles
+    one row per corpus token TWICE. This variant guarantees the
+    published semantics only for duplicated runs of ≥ ``min_run``
+    tokens and, in exchange, shuffles (1) only winnowed fingerprints
+    (expected ~2/(w+1) of positions, w = min_run − window_tokens + 1 —
+    the Schleimer/Wilkerson/Aiken density) to find CANDIDATE docs, then
+    (2) only the candidate docs through the exact stride-1 pipeline.
+    Non-candidate docs pass through untouched (normalized token join —
+    byte-identical to what reconstruction would emit for them).
+
+    Why winnowing and not a positional stride: stride-s sampling is
+    alignment-SENSITIVE — the two copies of a duplicated run generally
+    sit at different offsets mod s, so their sampled windows are
+    different substrings and never collide. Winnowing selects windows
+    by CONTENT (each sliding window of w consecutive L-window hashes
+    keeps its minimum), so identical text selects identical hashes:
+    any duplicated run of ≥ min_run = w + L − 1 tokens fully contains
+    one such w-window in each copy, both select the same min → ≥ 2
+    distinct (doc, pos) selections of that hash → every involved doc
+    becomes a candidate. Guarantee, not heuristic.
+
+    Declared coarsening (the knob's honest price): duplications of
+    length ≥ window_tokens but < min_run are excised only when every
+    involved doc happens to be a candidate anyway; with
+    ``min_run == window_tokens`` (w = 1, every position selected) the
+    result is IDENTICAL to the exact form — test-pinned.
+
+    Keep-first order among candidates is the exact form's (id, pos)
+    rule; docs outside the candidate set cannot claim "first
+    occurrence", which is exactly the restriction stated above.
+    """
+    from rehiver_spark.functions.hashing import md5_hash60
+
+    L, R = window_tokens, min_run
+    if R < L:
+        raise ValueError(f"min_run ({R}) must be >= window_tokens ({L})")
+    w = R - L + 1
+    src = ensure_parallelism(df)
+    toks = tokens(F.col(text_col))
+    base = src.select(F.col(id_col), toks.alias("_t"))
+    n_win = F.greatest(F.size(F.col("_t")) - L + 1, F.lit(0))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: md5_hash60(F.array_join(F.slice(F.col("_t"), i, L), " ")),
+    )
+    # projection BARRIER (the X14 lesson): the hash array must
+    # materialize once per row — inlined into the per-window slice
+    # lambda it re-hashes per window, O(n·w) md5 calls
+    hashed = base.select(
+        id_col,
+        F.when(n_win > 0, wins)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_h"),
+    )
+    n_sel = F.greatest(F.size(F.col("_h")) - w + 1, F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_sel),
+        lambda i: F.struct(
+            (
+                i
+                + F.array_position(
+                    F.slice(F.col("_h"), i, w),
+                    F.array_min(F.slice(F.col("_h"), i, w)),
+                )
+                - 1
+            ).alias("pos"),
+            F.array_min(F.slice(F.col("_h"), i, w)).alias("fp"),
+        ),
+    )
+    fp_occ = (
+        hashed.filter(F.size(F.col("_h")) > 0)
+        .select(id_col, F.explode(F.array_distinct(mins)).alias("_f"))
+        .select(id_col, F.col("_f.pos").alias("pos"), F.col("_f.fp").alias("fp"))
+    )
+    # a fingerprint hash selected at >= 2 distinct (doc, pos) sites —
+    # across docs OR twice within one doc — marks every holder doc a
+    # candidate; the count shuffles only fingerprint rows
+    dup_fp = (
+        fp_occ.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("fp")
+    )
+    cand_docs = (
+        fp_occ.join(dup_fp, "fp", "left_semi").select(id_col).distinct()
+    )
+    deduped = dedup_substrings(
+        src.join(cand_docs, id_col, "left_semi"), id_col, text_col, L
+    )
+    passthru = base.join(cand_docs, id_col, "left_anti").select(
+        id_col,
+        F.coalesce(F.array_join(F.col("_t"), " "), F.lit("")).alias(
+            "cleaned_text"
+        ),
+        F.coalesce(F.size(F.col("_t")), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens_before"),
+        F.coalesce(F.size(F.col("_t")), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens_after"),
+        F.lit(0).cast("bigint").alias("n_cut_spans"),
+    )
+    return deduped.unionByName(passthru)

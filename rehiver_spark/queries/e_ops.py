@@ -2043,6 +2043,131 @@ def _x57_sql() -> str:
     """
 
 
+_SSD_R = 29  # pruned-variant min_run → winnow window w = R − L + 1 = 15
+
+
+def _x57b_sql() -> str:
+    from rehiver_spark.functions.hashing import md5_hash60_sql
+
+    L, R = _SSD_L, _SSD_R
+    w = R - L + 1
+    h = md5_hash60_sql(f"array_to_string(t[i:i+{L - 1}], ' ')")
+    win = f"h[i:i+{w - 1}]"
+    return f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    harr AS (
+      SELECT doc_id, t,
+        CASE WHEN len(t) >= {L}
+          THEN list_transform(range(1, len(t) - {L} + 2), i -> {h})
+          ELSE []::BIGINT[] END AS h
+      FROM base
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+        i + list_position({win}, list_min({win})) - 1 AS pos,
+        list_min({win}) AS fp
+      FROM harr, unnest(range(1, greatest(len(h) - {w} + 1, 1) + 1)) AS u(i)
+      WHERE len(h) > 0
+    ),
+    dupfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 2),
+    cand AS (
+      SELECT DISTINCT doc_id FROM fps WHERE fp IN (SELECT fp FROM dupfp)
+    ),
+    occ AS (
+      SELECT b.doc_id, i AS pos, {h.replace("t[", "b.t[")} AS hh
+      FROM (SELECT base.doc_id, base.t AS t FROM base JOIN cand USING (doc_id)) b,
+        unnest(range(1, greatest(len(b.t) - {L} + 1, 0) + 1)) AS u(i)
+    ),
+    cut AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+        FROM occ
+      ) WHERE rn > 1
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+        sum(new) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM (
+        SELECT doc_id, pos,
+          CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS new
+        FROM (
+          SELECT doc_id, pos,
+            max(pos + {L}) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM cut
+        )
+      )
+    ),
+    iv AS (
+      SELECT doc_id, g, min(pos) AS s, max(pos) + {L} AS e
+      FROM isl GROUP BY doc_id, g
+    ),
+    tok_rows AS (
+      SELECT b.doc_id, i AS idx, b.t[i] AS tok
+      FROM (SELECT base.doc_id, base.t AS t FROM base JOIN cand USING (doc_id)) b,
+        unnest(range(1, len(b.t) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT tr.doc_id, tr.idx, tr.tok FROM tok_rows tr
+      WHERE NOT EXISTS (
+        SELECT 1 FROM iv
+        WHERE iv.doc_id = tr.doc_id AND tr.idx >= iv.s AND tr.idx < iv.e
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS cleaned,
+        CAST(count(*) AS BIGINT) AS n_after
+      FROM kept GROUP BY doc_id
+    ),
+    spans AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM iv GROUP BY doc_id)
+    SELECT b.doc_id,
+      CASE WHEN c.doc_id IS NOT NULL
+        THEN substr(sha256(coalesce(r.cleaned, '')), 1, 16)
+        ELSE substr(sha256(coalesce(array_to_string(b.t, ' '), '')), 1, 16)
+      END AS cleaned_sha16,
+      CAST(coalesce(len(b.t), 0) AS BIGINT) AS n_tokens_before,
+      CAST(CASE WHEN c.doc_id IS NOT NULL
+        THEN coalesce(r.n_after, 0) ELSE coalesce(len(b.t), 0)
+      END AS BIGINT) AS n_tokens_after,
+      CAST(CASE WHEN c.doc_id IS NOT NULL
+        THEN coalesce(s.n_spans, 0) ELSE 0 END AS BIGINT) AS n_cut_spans
+    FROM base b
+    LEFT JOIN cand c USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN spans s USING (doc_id)
+    """
+
+
+@query("x57b_substring_dedup_pruned", _x57b_sql())
+def x57b_substring_dedup_pruned(spark, sf_dir):
+    """X57b: the 100 TB cost knob on X57 — winnow-fingerprint candidate
+    pre-filter (guarantee: every duplicated run ≥ min_run = 29 tokens
+    is excised exactly as X57 excises it; Schleimer/Wilkerson/Aiken
+    selection, so the filter is alignment-INVARIANT), then the exact
+    stride-1 pipeline over candidate docs only. Shuffle volume drops
+    from 2× corpus tokens to ~2/(w+1) of positions (fingerprints) plus
+    the candidate subset — the knob a 100 TB run turns when the full
+    Lee-et-al pass is too expensive. min_run == L degenerates to X57
+    exactly (test-pinned)."""
+    from rehiver_spark.operators.textops import dedup_substrings_pruned
+
+    d = tables(spark, sf_dir, ["documents"])["documents"]
+    out = dedup_substrings_pruned(
+        d, window_tokens=_SSD_L, min_run=_SSD_R
+    )
+    return out.select(
+        "doc_id",
+        F.substring(F.sha2(F.col("cleaned_text"), 256), 1, 16).alias(
+            "cleaned_sha16"
+        ),
+        "n_tokens_before",
+        "n_tokens_after",
+        "n_cut_spans",
+    )
+
+
 @query("x57_substring_dedup", _x57_sql())
 def x57_substring_dedup(spark, sf_dir):
     """X57: exact substring dedup at ANY alignment (Lee et al. 2021

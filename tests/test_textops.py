@@ -707,3 +707,86 @@ def test_dedup_substrings_on_real_corpus_matches_reference(spark):
     }
     assert got == expect
     assert any(b != a for b, a, _ in got.values())  # fixture has real dups
+
+
+def test_dedup_substrings_pruned_min_run_eq_L_is_exact(spark):
+    """min_run == window_tokens ⇒ w = 1 ⇒ every position fingerprinted
+    ⇒ every doc holding any duplicated window is a candidate — the
+    pruned form must be IDENTICAL to the exact form (the knob's zero
+    setting), on the real corpus."""
+    from rehiver_spark.operators.textops import (
+        dedup_substrings,
+        dedup_substrings_pruned,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    key = lambda r: (  # noqa: E731
+        r["doc_id"],
+        r["cleaned_text"],
+        r["n_tokens_before"],
+        r["n_tokens_after"],
+        r["n_cut_spans"],
+    )
+    exact = sorted(map(key, dedup_substrings(df, window_tokens=15).collect()))
+    pruned = sorted(
+        map(
+            key,
+            dedup_substrings_pruned(
+                df, window_tokens=15, min_run=15
+            ).collect(),
+        )
+    )
+    assert exact == pruned
+
+
+def test_dedup_substrings_pruned_guarantees_long_runs(spark):
+    """Any duplicated run ≥ min_run tokens must be excised exactly as
+    the exact form excises it (winnowing guarantee), while a short
+    cross-doc duplication (≥ L, < min_run) between two otherwise
+    duplicate-free docs is the declared miss."""
+    from rehiver_spark.operators.textops import (
+        dedup_substrings,
+        dedup_substrings_pruned,
+    )
+
+    L, R = 8, 16
+    long_run = " ".join(f"r{i}" for i in range(R))  # exactly min_run tokens
+    short_run = " ".join(f"s{i}" for i in range(L))  # L tokens < min_run
+    filler1 = " ".join(f"a{i}" for i in range(10))
+    filler2 = " ".join(f"b{i}" for i in range(10))
+    docs = [
+        (0, filler1 + " " + long_run + " tail0"),
+        (1, "head1 " + long_run + " " + filler2),  # different alignment
+        (2, "head2 " + short_run + " tail2"),
+        (3, "head3x " + short_run + " tail3x"),
+        (4, "totally unrelated words only here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        r["doc_id"]: (r["cleaned_text"], r["n_cut_spans"])
+        for r in dedup_substrings(df, window_tokens=L).collect()
+    }
+    pruned = {
+        r["doc_id"]: (r["cleaned_text"], r["n_cut_spans"])
+        for r in dedup_substrings_pruned(
+            df, window_tokens=L, min_run=R
+        ).collect()
+    }
+    # the >= min_run duplication: both involved docs handled exactly
+    assert pruned[0] == exact[0] and pruned[1] == exact[1]
+    assert pruned[1][1] >= 1  # doc 1's copy of the long run was cut
+    # the short duplication's docs are not candidates: pass through
+    assert pruned[2][1] == 0 and pruned[3][1] == 0
+    assert exact[3][1] == 1  # ...which the exact form does excise
+    # untouched doc identical either way
+    assert pruned[4] == exact[4]
+
+
+def test_dedup_substrings_pruned_rejects_bad_min_run(spark):
+    import pytest as _pytest
+
+    from rehiver_spark.operators.textops import dedup_substrings_pruned
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_run"):
+        dedup_substrings_pruned(df, window_tokens=10, min_run=9)
