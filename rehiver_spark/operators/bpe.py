@@ -17,21 +17,28 @@ traffic, same discipline as the connected-components loop in
 dedup.py). Lineage is truncated with ``localCheckpoint`` every few
 rounds so round N's plan does not replay rounds 1..N-1.
 
-Portability — the merge step is TWO nested literal ``replace`` calls
-on a space-delimited symbol string (no regex, no lookaround), so a SQL
-engine (DuckDB/RE2, which lacks lookbehind) reproduces it exactly:
+Portability — the merge step is literal ``replace`` calls on a
+space-delimited symbol string (no regex, no lookaround), so a SQL
+engine (DuckDB/RE2, which lacks lookarounds entirely) reproduces it
+exactly:
 
 - a word is rendered ``" l o w </w> "`` (leading/trailing pad spaces,
   ``</w>`` end-of-word marker as its own final symbol);
-- merging pair (a, b) replaces ``" a b "`` with ``" ab "``. A single
-  left-to-right non-overlapping pass misses an occurrence whose
-  leading space was consumed by the immediately preceding match
-  (``a b a b`` → only the first merges); the SECOND pass catches
-  exactly those, because after pass one no two remaining occurrences
-  are adjacent. Two passes therefore reproduce the classical
-  sequential greedy merge (``a a a a`` → ``aa aa``, ``a a a`` →
-  ``aa a``) — property-tested against a pure-Python reference
-  implementation in tests/test_bpe.py.
+- merging pair (a, b) must replace ``" a b "`` with ``" ab "`` in the
+  classical sequential greedy left-to-right order. A naive literal
+  replace CONSUMES the shared delimiter, so adjacent occurrences
+  compete for it and the result diverges from the published
+  algorithm (a second pass fixes ``a b a b`` but NOT self-pair runs:
+  ``a a a a a`` two-pass gives ``aa a aa`` where classical greedy
+  gives ``aa aa a``). The fix is the SPACE-DOUBLING transform: double
+  every delimiter, match ``"␣a␣␣b␣"`` (each match consumes only its
+  own half of each boundary), replace with ``"␣ab␣"``, halve the
+  delimiters back. With no shared characters between candidate
+  matches, one leftmost-first non-overlapping literal pass IS the
+  classical greedy merge — for every pair including ``left == right``
+  on arbitrary run lengths. Property-tested against a pure-Python
+  reference implementation in tests/test_bpe.py (runs of 3–7,
+  alternating pairs, mixed contexts).
 
 Caveat: characters are split with a regex ``(.)`` — a UTF-16
 surrogate pair (non-BMP code point) splits into two code units on the
@@ -82,17 +89,25 @@ def spaced_sql(word_expr: str) -> str:
 
 
 def merge_once(col: Column, left: str, right: str) -> Column:
-    """Apply ONE learned merge to a spaced symbol string: two literal
-    non-overlapping replaces (see module docstring for why two)."""
-    pat, rep = f" {left} {right} ", f" {left}{right} "
-    return F.replace(F.replace(col, F.lit(pat), F.lit(rep)), F.lit(pat), F.lit(rep))
+    """Apply ONE learned merge to a spaced symbol string — the exact
+    classical sequential greedy merge via the space-doubling literal
+    replace (see module docstring): double delimiters, replace
+    ``"␣l␣␣r␣"`` → ``"␣lr␣"`` (matches never share a character, so
+    leftmost-first non-overlapping == greedy), halve delimiters."""
+    pat, rep = f" {left}  {right} ", f" {left}{right} "
+    doubled = F.replace(col, F.lit(" "), F.lit("  "))
+    merged = F.replace(doubled, F.lit(pat), F.lit(rep))
+    return F.replace(merged, F.lit("  "), F.lit(" "))
 
 
 def merge_once_sql(expr: str, left: str, right: str) -> str:
     """DuckDB twin of :func:`merge_once`."""
-    pat, rep = f" {left} {right} ", f" {left}{right} "
+    pat, rep = f" {left}  {right} ", f" {left}{right} "
     pq, rq = pat.replace("'", "''"), rep.replace("'", "''")
-    return f"replace(replace({expr}, '{pq}', '{rq}'), '{pq}', '{rq}')"
+    return (
+        f"replace(replace(replace({expr}, ' ', '  '), "
+        f"'{pq}', '{rq}'), '  ', ' ')"
+    )
 
 
 def _symbols(spaced_col: Column) -> Column:

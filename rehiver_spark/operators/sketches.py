@@ -302,8 +302,12 @@ def hdr_bucket_sql(expr: str, sub: int = 16) -> str:
     v = f"CAST({expr} AS BIGINT)"
     e = f"(length(bin({v})) - 1)"
     m = f"(({v} * {sub}) >> {e}) - {sub}"
+    # the v >= 2^49 guard must match the Spark side: without it the
+    # twin computes a real bucket id for values Spark diagnoses as -3
+    # (and v*sub can overflow the shift math) — r5 advisor finding
     return (
         f"CASE WHEN {v} < 0 THEN -2 WHEN {v} = 0 THEN -1 "
+        f"WHEN {v} >= {1 << 49} THEN -3 "
         f"ELSE CAST({e} AS BIGINT) * {sub} + {m} END"
     )
 

@@ -1,13 +1,15 @@
-"""X28–X40 + C18b + C17g: round-4/5 scale-path extensions (SURVEY §2
-Part B) — 20 queries.
+"""X28–X57b + C18b + C17g: round-4/5/6 scale-path extensions (SURVEY
+§2 Part B) — 35 queries.
 
 Import order no longer decides the driver's 50-query correctness
 window: ``load_all`` reorders the registry explicitly after importing
-all modules (see ``rehiver_spark/queries/__init__.py``). In the
-round-5 rotation, x40 and x39 from this module are inside the window
-(x40's first-ever driver row; x39's fixture changed this round) and
-the 13 others keep their round-4 driver rows.
+all modules (see ``rehiver_spark/queries/__init__.py``). The round-6
+rotation puts this module's never-recorded r5 additions (x41–x57
+incl. the streaming-state trio and x21f) and the new x57b inside the
+window; the rest keep their r4/r5 driver rows or the judge's
+r5-session oracle re-runs.
 
+Round-4 block:
 - X28 incremental exact dedup: dedup a new batch against a persisted
   corpus hash index; the corpus itself is never re-read.
 - X29 end-to-end fuzzy dedup: MinHash-LSH ∘ exact verify ∘ connected
@@ -33,12 +35,32 @@ the 13 others keep their round-4 driver rows.
 - X38 corpus drift: exact TV distance between token distributions
   (integer summation only).
 - X39 hybrid search: integer token-overlap recall → cosine rerank.
+- X40 source-overlap matrix (pairwise exact-dup sharing per source).
 - C17g sliding-window aggregation (the C17 form that had no row).
-- X41 Count-Min frequency sketch (round 5; portable counters).
-- X42 HyperLogLog distinct counting (round 5; portable registers).
-- X43 Bloom-filter membership index (round 5; compact dedup state).
-- X21f winnow contamination fast path (round 5; rows-only xxhash64 twin).
-- X44 streaming HyperLogLog (round 5; sketch registers as stream state).
+
+Round-5 block:
+- X41 Count-Min frequency sketch (portable counters).
+- X42 HyperLogLog distinct counting (portable registers).
+- X43 Bloom-filter membership index (compact dedup state).
+- X21f winnow contamination fast path (rows-only xxhash64 twin).
+- X44/X52/X56 streaming HLL / Count-Min / HDR quantiles — sketch
+  state as real AvailableNow Structured-Streaming state, oracle-equal
+  to batch.
+- X45/X46/X46b BPE pair statistics, merge learning, and map-only
+  segmentation (the 100 TB tokenization pass).
+- X47 HDR-histogram quantile sketch (bit-exact integer bucketing).
+- X48 PPS weighted sampling (exponential-race keys, integer-exact).
+- X49 DSIR importance weighting (fixed-point BIGINT scores).
+- X50 JL projection (Arrow int64 matmul, zero shuffle).
+- X51 distributed quantized k-means (whole-corpus Lloyd's).
+- X53 ANN recall audit (measured n_probe operating curve).
+- X54 curation yield report / X55 sketch-driven outlier filter.
+- X57 exact substring dedup at any alignment (Lee et al. stride-1).
+
+Round-6 block:
+- X57b substring-dedup cost knob: winnow-fingerprint candidate
+  pre-filter (guaranteed for duplicated runs ≥ min_run), exact
+  stride-1 pass over candidates only.
 """
 
 from __future__ import annotations
@@ -1086,37 +1108,11 @@ def x21f_winnow_fast(spark, sf_dir):
     a multi-node cluster the removed shuffle is the real win).
     Fingerprint VALUES differ from the oracle-checkable md5 form, so
     this registers rows-only (x7/x7p convention); the winnowing
-    guarantee and plan shape are identical and test-pinned."""
-    from rehiver_spark.operators.textops import winnow_fingerprints
-    from rehiver_spark.session import track_persist
+    guarantee and plan shape are identical and test-pinned. Body is
+    the SHARED x21 pipeline (one copy — the two used to drift)."""
+    from rehiver_spark.queries.x_ops import winnow_contamination_pipeline
 
-    d = tables(spark, sf_dir, ["documents"])["documents"]
-    bench = d.filter(
-        (F.col("doc_id") % 11 == 0) & (F.col("doc_id") < 500) & (F.length("text") >= 160)
-    ).select(
-        (F.col("doc_id") + 700000).alias("bench_id"),
-        F.substring("text", 41, 120).alias("text"),
-    )
-    dfp = winnow_fingerprints(d.select("doc_id", "text"), k=5, window=4)
-    bfp = track_persist(winnow_fingerprints(bench, id_col="bench_id", k=5, window=4))
-    bsz = bfp.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
-    shared = (
-        dfp.join(F.broadcast(bfp), "fp")
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    return (
-        shared.join(F.broadcast(bsz), "bench_id")
-        .withColumn("containment", F.col("n_shared") / F.col("n_bench"))
-        .filter(F.col("containment") >= 0.8)
-        .select(
-            "doc_id",
-            "bench_id",
-            F.col("n_shared").cast("bigint").alias("n_shared"),
-            F.col("n_bench").cast("bigint").alias("n_bench"),
-            F.round("containment", 6).alias("containment"),
-        )
-    )
+    return winnow_contamination_pipeline(spark, sf_dir, hash_fn="xxhash64")
 
 
 # ---------------------------------------------------------------------------

@@ -1269,6 +1269,15 @@ def x21_winnow_contamination(spark, sf_dir):
     sf1/sf10 rows measure corpus growth at constant benchmark size —
     unpinned, the bench side grew with the corpus and the sf1 row
     measured bench×corpus inflation (22×), not the operator."""
+    return winnow_contamination_pipeline(spark, sf_dir, hash_fn="md5")
+
+
+def winnow_contamination_pipeline(spark, sf_dir, hash_fn: str):
+    """Shared body of x21 (md5, oracle-green) and x21f (xxhash64 fast
+    path, rows-only) — ONE copy of the pinned bench slice, fingerprint
+    broadcast, and containment thresholds, parameterized only by the
+    gram hash. The two used to be full duplicates and drifted (the
+    doc_id < 500 pinning had to be edited twice in round 5)."""
     d = tables(spark, sf_dir, ["documents"])["documents"]
     bench = d.filter(
         (F.col("doc_id") % 11 == 0) & (F.col("doc_id") < 500) & (F.length("text") >= 160)
@@ -1276,11 +1285,15 @@ def x21_winnow_contamination(spark, sf_dir):
         (F.col("doc_id") + 700000).alias("bench_id"),
         F.substring("text", 41, 120).alias("text"),
     )
-    dfp = winnow_fingerprints(d.select("doc_id", "text"), k=5, window=4, hash_fn="md5")
+    dfp = winnow_fingerprints(
+        d.select("doc_id", "text"), k=5, window=4, hash_fn=hash_fn
+    )
     from rehiver_spark.session import track_persist
 
     bfp = track_persist(
-        winnow_fingerprints(bench, id_col="bench_id", k=5, window=4, hash_fn="md5")
+        winnow_fingerprints(
+            bench, id_col="bench_id", k=5, window=4, hash_fn=hash_fn
+        )
     )
     bsz = bfp.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
     shared = (

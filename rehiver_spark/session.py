@@ -75,46 +75,67 @@ def ensure_parallelism(df, min_partitions: int | None = None):
 # spark.catalog.clearCache() (what the bench does), which a long-lived
 # service sharing the session with OTHER cached data cannot afford.
 # track_persist() registers every such handle; release_persisted()
-# unpersists exactly those, leaving unrelated caches alone.
+# unpersists exactly those, leaving unrelated caches alone. The list
+# is lock-guarded (operators may run from concurrent threads sharing
+# one session) and capped: past the high-water mark the OLDEST
+# handles are unpersisted eagerly — unpersisting a still-referenced
+# DataFrame is always safe in Spark (it recomputes), so the cap
+# bounds plan/handle retention for session-lifetime services instead
+# of leaking until a manual release (r5 advisor finding).
+import threading as _threading
+
 _PERSISTED: list = []
+_PERSISTED_LOCK = _threading.Lock()
+_PERSISTED_HIGH_WATER = 256
+
+
+def _safe_unpersist(df) -> bool:
+    """True if released; stopped-session is benign, anything else is
+    logged (the handle's cached blocks would otherwise leak with no
+    trace) and counted as not-released."""
+    import logging
+
+    try:
+        df.unpersist()
+        return True
+    except Exception as e:  # noqa: BLE001 — classified below
+        msg = str(e)
+        if "SparkContext" in msg and ("stopped" in msg or "shut down" in msg):
+            return False  # session gone: nothing to free
+        logging.getLogger(__name__).warning(
+            "unpersist failed (cached blocks may leak until clearCache): %s",
+            e,
+        )
+        return False
 
 
 def track_persist(df, storage_level=None):
     """persist() + register the handle for :func:`release_persisted`."""
     df = df.persist(storage_level) if storage_level is not None else df.persist()
-    _PERSISTED.append(df)
+    overflow = []
+    with _PERSISTED_LOCK:
+        _PERSISTED.append(df)
+        if len(_PERSISTED) > _PERSISTED_HIGH_WATER:
+            cut = len(_PERSISTED) - _PERSISTED_HIGH_WATER
+            overflow = _PERSISTED[:cut]
+            del _PERSISTED[:cut]
+    for old in overflow:
+        _safe_unpersist(old)
     return df
 
 
 def release_persisted() -> int:
     """Unpersist every operator-persisted intermediate registered by
     :func:`track_persist`; returns how many were released. Blocking=False
-    semantics (Spark default): storage frees asynchronously.
-
-    A stopped session is the expected benign failure (nothing left to
-    free). Anything else is a REAL failure — the handle's cached
-    blocks would leak with no trace if swallowed — so it is logged
-    with the cause and still counted as not-released."""
-    import logging
-
+    semantics (Spark default): storage frees asynchronously."""
     n = 0
-    while _PERSISTED:
-        df = _PERSISTED.pop()
-        try:
-            df.unpersist()
+    while True:
+        with _PERSISTED_LOCK:
+            if not _PERSISTED:
+                return n
+            df = _PERSISTED.pop()
+        if _safe_unpersist(df):
             n += 1
-        except Exception as e:  # noqa: BLE001 — classified below
-            msg = str(e)
-            if "SparkContext" in msg and (
-                "stopped" in msg or "shut down" in msg
-            ):
-                continue  # session gone: nothing to free, keep draining
-            logging.getLogger(__name__).warning(
-                "release_persisted: unpersist failed (cached blocks may "
-                "leak until clearCache): %s",
-                e,
-            )
-    return n
 
 
 _SHIPPED: set[str] = set()

@@ -97,9 +97,15 @@ def docs(spark):
 
 
 def test_merge_once_matches_sequential_greedy_on_overlaps(spark):
-    """The adversarial cases for the two-pass literal replace: runs of
-    the same symbol, and alternating pairs sharing delimiters."""
-    cases = ["a a a", "a a a a", "a b a b", "a b a b a b", "a a b a a", "b a a a b"]
+    """The adversarial cases for the literal-replace merge: runs of
+    the same symbol (incl. length 5/6/7, where the earlier two-pass
+    form diverged from classical greedy — the r5 advisor finding),
+    and alternating pairs sharing delimiters."""
+    cases = [
+        "a a a", "a a a a", "a a a a a", "a a a a a a", "a a a a a a a",
+        "a b a b", "a b a b a b", "a a b a a", "b a a a b",
+        "b a a a a a c", "a a a b a a a a a",
+    ]
     df = spark.createDataFrame([(c,) for c in cases], "s string")
     got = {
         r["s"]: r["m"]

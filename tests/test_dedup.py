@@ -541,3 +541,46 @@ def test_bloom_check_handles_duplicate_rows_in_batch(spark):
     assert by[(1, "seen doc one")] == ["maybe_dup", "maybe_dup"]
     assert by[(9, "seen doc one")] == ["maybe_dup"]
     assert by[(5, "brand new")] == ["new"]
+
+
+def test_track_persist_high_water_mark_and_thread_safety(spark):
+    """The registry is capped (oldest handles unpersist eagerly past
+    the high-water mark) and lock-guarded — concurrent track_persist /
+    release_persisted must neither race nor grow without bound."""
+    import threading
+
+    import rehiver_spark.session as S
+
+    S.release_persisted()  # start clean
+    old_hw = S._PERSISTED_HIGH_WATER
+    S._PERSISTED_HIGH_WATER = 8
+    try:
+        df = spark.range(10)
+        handles = [S.track_persist(df.selectExpr(f"id + {i} AS id")) for i in range(20)]
+        assert len(S._PERSISTED) <= 8
+        # evicted handles were really unpersisted
+        assert sum(1 for h in handles[:12] if h.storageLevel.useMemory) == 0
+
+        errs = []
+
+        def worker(k):
+            try:
+                for i in range(25):
+                    S.track_persist(df.selectExpr(f"id * {k} + {i} AS id"))
+                    if i % 5 == 0:
+                        S.release_persisted()
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(k,)) for k in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        assert len(S._PERSISTED) <= 8
+        S.release_persisted()
+        assert len(S._PERSISTED) == 0
+    finally:
+        S._PERSISTED_HIGH_WATER = old_hw
+        S.release_persisted()

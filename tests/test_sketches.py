@@ -167,22 +167,25 @@ def test_hdr_bucket_matches_integer_shift_at_octave_boundaries(spark):
     vals = [0, 1, 2, 3, 15, 16, 17, -5]
     for e in range(1, 50):
         vals += [(1 << e) - 1, 1 << e, (1 << e) + 1]
-    vals.append((1 << 49) + 7)  # out of domain → -3
+    # out-of-domain values → -3 in BOTH engines (the SQL twin used to
+    # compute a real bucket id here, and v·sub overflows the shift
+    # math near int64 max — r5 advisor finding)
+    vals += [(1 << 49) + 7, (1 << 62) + 3, (1 << 63) - 1]
     df = spark.createDataFrame([(v,) for v in vals], "v long")
     got = {
         r["v"]: r["b"]
         for r in df.select("v", hdr_bucket(F.col("v")).alias("b")).collect()
     }
     con = duckdb.connect()
-    in_dom = [v for v in vals if 0 < v < (1 << 49)]
     expect = dict(
         con.sql(
-            f"SELECT v, {hdr_bucket_sql('v')} FROM (SELECT unnest({in_dom}) AS v)"
+            f"SELECT v, {hdr_bucket_sql('v')} FROM (SELECT unnest({vals}) AS v)"
         ).fetchall()
     )
-    for v in in_dom:
+    for v in vals:  # the twin agrees on the WHOLE BIGINT domain
         assert got[v] == expect[v], v
     assert got[0] == -1 and got[-5] == -2 and got[(1 << 49) + 7] == -3
+    assert got[(1 << 63) - 1] == -3
 
 
 def test_hdr_quantiles_within_relative_error_bound(spark):
