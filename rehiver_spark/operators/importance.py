@@ -115,6 +115,7 @@ def dsir_scores(
     scale: int = 1_000_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_features: bool = False,
 ) -> DataFrame:
     """Per-document importance scores: (id, score) with
     ``score = Σ_grams [ln p_target(bucket) - ln p_raw(bucket)]`` in
@@ -124,8 +125,21 @@ def dsir_scores(
     like the raw corpus. Feed ``exp(clamp(score))`` (or a rank cut)
     into :func:`rehiver_spark.operators.textops.weighted_sample` for
     the resampling step of DSIR.
+
+    ``raw``'s gram explode feeds BOTH the raw bucket model and the
+    scoring pass; by default it is recomputed, not persisted — the
+    r16/x16 recompute-over-persist posture, re-confirmed for THIS
+    operator at sf10 (BASELINE.md round-6 row: recompute beats
+    persisting the corpus-sized (id, bucket) relation; block-store
+    write+read of the exploded gram rows costs more than the second
+    codegen'd scan). ``persist_features=True`` keeps the measured
+    alternative available for storage-rich deployments.
     """
     raw_feats = feature_buckets(raw, buckets, text_col, id_col)
+    if persist_features:
+        from rehiver_spark.session import track_persist
+
+        raw_feats = track_persist(raw_feats)
     tgt_feats = feature_buckets(target, buckets, text_col, id_col)
     lt = _log_table(tgt_feats, buckets, scale, "t")
     lr = _log_table(raw_feats, buckets, scale, "r")
