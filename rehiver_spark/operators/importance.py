@@ -115,7 +115,7 @@ def dsir_scores(
     scale: int = 1_000_000,
     text_col: str = "text",
     id_col: str = "doc_id",
-    persist_features: bool = False,
+    persist_features: bool = True,
 ) -> DataFrame:
     """Per-document importance scores: (id, score) with
     ``score = Σ_grams [ln p_target(bucket) - ln p_raw(bucket)]`` in
@@ -127,13 +127,15 @@ def dsir_scores(
     the resampling step of DSIR.
 
     ``raw``'s gram explode feeds BOTH the raw bucket model and the
-    scoring pass; by default it is recomputed, not persisted — the
-    r16/x16 recompute-over-persist posture, re-confirmed for THIS
-    operator at sf10 (BASELINE.md round-6 row: recompute beats
-    persisting the corpus-sized (id, bucket) relation; block-store
-    write+read of the exploded gram rows costs more than the second
-    codegen'd scan). ``persist_features=True`` keeps the measured
-    alternative available for storage-rich deployments.
+    scoring pass. Unlike the r16/x16 cases (wide rows, cheap rescans),
+    here the recompute side pays normalize+tokenize+bigram+md5 per
+    gram while the cached relation is two BIGINTs per gram — measured
+    at sf10 (500k docs, min of 3): recompute 19.3 s vs persisted
+    8.9 s, so the default PERSISTS the (id, bucket) relation
+    (BASELINE.md round-6 row; the r5 verdict asked for this
+    measurement). ``persist_features=False`` keeps the recompute form
+    for deployments where executor storage, not CPU, is the
+    constraint.
     """
     raw_feats = feature_buckets(raw, buckets, text_col, id_col)
     if persist_features:
