@@ -1378,6 +1378,7 @@ def dedup_substrings_pruned(
     text_col: str = "text",
     window_tokens: int = 20,
     min_run: int = 40,
+    impl: str = "expr",
 ) -> DataFrame:
     """X57's cost knob for 100 TB: :func:`dedup_substrings` shuffles
     one row per corpus token TWICE. This variant guarantees the
@@ -1409,6 +1410,21 @@ def dedup_substrings_pruned(
     Keep-first order among candidates is the exact form's (id, pos)
     rule; docs outside the candidate set cannot claim "first
     occurrence", which is exactly the restriction stated above.
+
+    ``impl="expr"`` (default) keeps the per-window argmin selection as
+    pure Columns — zero Python, whole plan JVM-side. ``impl="arrow"``
+    runs it as one vectorized numpy kernel (``sliding_window_view``
+    min/argmin, the x50/x51 Arrow-kernel pattern); at sf0.1 the two
+    are within 10% of each other (2.76 vs 2.99 s) once the REAL
+    bottleneck was fixed — a ``filter(size(_h) > 0)`` that predicate
+    pushdown folded into the hash projection, evaluating the md5
+    window transform twice (an 8× cliff; see the inline note). The
+    arrow path is kept because its selection cost is O(n·w) in C
+    rather than interpreted HOF evaluation — the margin grows with
+    document length. Bit-identical results (exact int64 mins;
+    np.argmin's first-minimum rule == ``array_position``'s first
+    occurrence; equivalence test-pinned), so the oracle twin
+    certifies both.
     """
     from rehiver_spark.functions.hashing import md5_hash60
 
@@ -1433,36 +1449,93 @@ def dedup_substrings_pruned(
         .otherwise(F.array().cast("array<bigint>"))
         .alias("_h"),
     )
-    n_sel = F.greatest(F.size(F.col("_h")) - w + 1, F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_sel),
-        lambda i: F.struct(
-            (
-                i
-                + F.array_position(
-                    F.slice(F.col("_h"), i, w),
-                    F.array_min(F.slice(F.col("_h"), i, w)),
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    # NO ``filter(size(_h) > 0)`` here: predicate pushdown folds the
+    # filter INTO the hash projection and the md5 transform evaluates
+    # twice (once in the pushed condition, once in the output) —
+    # measured 0.44 → 3.42 s at sf0.1, an 8× cliff. Empty docs are
+    # instead dropped inside each impl (the kernel skips them; the
+    # expr form's when-gate yields NULL, which explode drops) — the
+    # same gating discipline dedup_substrings uses for its explode.
+    if impl == "arrow":
+        from rehiver_spark.session import ship_package
+
+        ship_package(df.sparkSession)
+
+        def _select(batches):
+            import numpy as np
+            import pandas as pd
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            for pdf in batches:
+                ids, poss, fps = [], [], []
+                for did, h in zip(pdf[id_col], pdf["_h"]):
+                    a = np.asarray(h, dtype=np.int64)
+                    if len(a) == 0:
+                        continue
+                    if len(a) >= w:
+                        win = sliding_window_view(a, w)
+                        # first-minimum argmin == array_position's
+                        # first occurrence == the expr tie-break
+                        pos = np.unique(np.arange(len(win)) + win.argmin(axis=1)) + 1
+                    else:
+                        pos = np.array([a.argmin() + 1])
+                    ids.extend([did] * len(pos))
+                    poss.extend(pos.tolist())
+                    fps.extend(a[pos - 1].tolist())
+                # explicit dtypes: an empty batch would otherwise
+                # yield object columns Arrow cannot cast
+                yield pd.DataFrame(
+                    {
+                        id_col: np.asarray(ids, dtype=np.int64),
+                        "pos": np.asarray(poss, dtype=np.int32),
+                        "fp": np.asarray(fps, dtype=np.int64),
+                    }
                 )
-                - 1
-            ).alias("pos"),
-            F.array_min(F.slice(F.col("_h"), i, w)).alias("fp"),
-        ),
-    )
-    fp_occ = (
-        hashed.filter(F.size(F.col("_h")) > 0)
-        .select(id_col, F.explode(F.array_distinct(mins)).alias("_f"))
-        .select(id_col, F.col("_f.pos").alias("pos"), F.col("_f.fp").alias("fp"))
-    )
+
+        fp_occ = hashed.mapInPandas(
+            _select, f"{id_col} long, pos int, fp long"
+        )
+    else:
+        n_sel = F.greatest(F.size(F.col("_h")) - w + 1, F.lit(1))
+        mins = F.transform(
+            F.sequence(F.lit(1), n_sel),
+            lambda i: F.struct(
+                (
+                    i
+                    + F.array_position(
+                        F.slice(F.col("_h"), i, w),
+                        F.array_min(F.slice(F.col("_h"), i, w)),
+                    )
+                    - 1
+                ).alias("pos"),
+                F.array_min(F.slice(F.col("_h"), i, w)).alias("fp"),
+            ),
+        )
+        sel = F.when(F.size(F.col("_h")) > 0, F.array_distinct(mins))
+        fp_occ = (
+            hashed.select(id_col, F.explode(sel).alias("_f")).select(
+                id_col, F.col("_f.pos").alias("pos"), F.col("_f.fp").alias("fp")
+            )
+        )
     # a fingerprint hash selected at >= 2 distinct (doc, pos) sites —
     # across docs OR twice within one doc — marks every holder doc a
-    # candidate; the count shuffles only fingerprint rows
+    # candidate; the count shuffles only fingerprint rows. fp_occ and
+    # cand_docs are PERSISTED (winnow-density-sized, ~2n/(w+1) rows
+    # and |candidate docs| rows): each is read by 2-3 consumers below,
+    # and without the persist every consumer re-derives the whole
+    # hash+select pass — measured 5.6 → 2.9 s at sf0.1
+    from rehiver_spark.session import track_persist
+
+    fp_occ = track_persist(fp_occ)
     dup_fp = (
         fp_occ.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= 2)
         .select("fp")
     )
-    cand_docs = (
+    cand_docs = track_persist(
         fp_occ.join(dup_fp, "fp", "left_semi").select(id_col).distinct()
     )
     deduped = dedup_substrings(

@@ -790,3 +790,36 @@ def test_dedup_substrings_pruned_rejects_bad_min_run(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="min_run"):
         dedup_substrings_pruned(df, window_tokens=10, min_run=9)
+
+
+def test_dedup_substrings_pruned_arrow_equals_expr(spark):
+    """The Arrow selection kernel must be bit-identical to the pure
+    Column form (np.argmin first-minimum == array_position first
+    occurrence), on the real corpus."""
+    from rehiver_spark.operators.textops import dedup_substrings_pruned
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    key = lambda r: (  # noqa: E731
+        r["doc_id"],
+        r["cleaned_text"],
+        r["n_tokens_before"],
+        r["n_tokens_after"],
+        r["n_cut_spans"],
+    )
+    a = sorted(
+        map(
+            key,
+            dedup_substrings_pruned(
+                df, window_tokens=15, min_run=29, impl="arrow"
+            ).collect(),
+        )
+    )
+    e = sorted(
+        map(
+            key,
+            dedup_substrings_pruned(
+                df, window_tokens=15, min_run=29, impl="expr"
+            ).collect(),
+        )
+    )
+    assert a == e
