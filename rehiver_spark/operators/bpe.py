@@ -227,9 +227,17 @@ def apply_merges(
     from rehiver_spark.operators.textops import tokens
 
     def seg_word(w: Column) -> Column:
-        s = spaced(w)
+        # the doubled-delimiter form is CLOSED under merges (every
+        # boundary keeps exactly two spaces after each replace — see
+        # merge_once), so the chain doubles ONCE, applies each merge
+        # as a single replace, and never halves: the symbol split
+        # filters empty strings, which absorbs the doubled spaces.
+        # N+2 string passes instead of merge_once's 3N.
+        s = F.replace(spaced(w), F.lit(" "), F.lit("  "))
         for left, right in merges:
-            s = merge_once(s, left, right)
+            s = F.replace(
+                s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+            )
         return _symbols(s)
 
     return docs.withColumn(
@@ -241,10 +249,13 @@ def apply_merges_sql(
     merges: list[tuple[str, str]], toks_sql: str
 ) -> str:
     """DuckDB twin of :func:`apply_merges`'s per-document symbol list
-    (``toks_sql`` is the token-array expression)."""
-    s = spaced_sql("w")
+    (``toks_sql`` is the token-array expression) — same double-once /
+    merge-per-replace / never-halve chain."""
+    s = f"replace({spaced_sql('w')}, ' ', '  ')"
     for left, right in merges:
-        s = merge_once_sql(s, left, right)
+        pat = f" {left}  {right} ".replace("'", "''")
+        rep = f" {left}{right} ".replace("'", "''")
+        s = f"replace({s}, '{pat}', '{rep}')"
     return (
         f"flatten(list_transform({toks_sql}, "
         f"w -> list_filter(string_split({s}, ' '), x -> x <> '')))"

@@ -239,11 +239,18 @@ def repetition_stats(
         )
 
     df = ensure_parallelism(df)
-    base = df.select(
+    # empty-doc exclusion via the RAW text (trim(text) != '' ⟺
+    # tokens(text) non-empty, since normalize only trims/collapses):
+    # a size(_tk) filter AFTER the projection gets predicate-pushed
+    # INTO it and re-evaluates the tokenize chain (the x57b cliff
+    # class); the trim form pushes to the parquet scan instead
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(
         F.col(id_col).alias("_id"),
         tokens(F.col(text_col)).alias("_tk"),
         word_ngrams(F.col(text_col), 2).alias("_bg"),
-    ).filter(F.size("_tk") > 0)
+    )
     return base.select(
         F.col("_id").alias(id_col),
         F.size("_tk").cast("bigint").alias("n_tokens"),
