@@ -106,6 +106,22 @@ def main() -> int:
             continue
         timings[name] = round(best, 3)
 
+    emit_artifacts(timings, flaky, sf)
+    return 0
+
+
+def emit_artifacts(timings: dict, flaky: list, sf: float) -> None:
+    """Write BENCH_FULL.json and print the record.
+
+    The driver's artifact keeps only the LAST 2000 chars of stdout
+    (BENCH_r02..r05 all have len(tail)==2000) — at 114 queries the
+    full one-line record is ~3.5 KB, so its FRONT was cut and
+    "parsed" stayed null every round. Persist the complete record to
+    a file the judge reads, print the full line for local use, and
+    make the FINAL line a compact summary (per-query map replaced by
+    the top-10 slowest + a pointer) guaranteed to fit the capture
+    window whole (invariant unit-tested in tests/test_bench_smoke.py).
+    """
     ok = [v for v in timings.values() if v >= 0]
     full = {
         "metric": "total_query_sec",
@@ -118,14 +134,6 @@ def main() -> int:
         "flaky": flaky,
     }
     full_line = json.dumps(full, separators=(",", ":"))
-    # The driver's artifact keeps only the LAST 2000 chars of stdout
-    # (BENCH_r02..r05 all have len(tail)==2000) — at 114 queries the
-    # full one-line record is ~3.5 KB, so its FRONT was cut and
-    # "parsed" stayed null every round. Persist the complete record to
-    # a file the judge reads, print the full line for local use, and
-    # make the FINAL line a compact summary (per-query map replaced by
-    # the top-10 slowest + a pointer) guaranteed to fit the capture
-    # window whole.
     repo_root = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
         f.write(full_line + "\n")
@@ -144,7 +152,6 @@ def main() -> int:
             "queries_file": "BENCH_FULL.json",
         }
         print(json.dumps(compact, separators=(",", ":")))
-    return 0
 
 
 if __name__ == "__main__":

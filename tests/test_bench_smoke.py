@@ -45,3 +45,35 @@ def test_bench_survives_custom_dir_name_and_zero_runs(tmp_path):
     )
     assert res["n_failed"] == 0 and res["sf"] == -1.0
     assert res["queries"]["c1_projection"] > 0
+
+
+def test_bench_final_line_fits_driver_capture_window(capsys, monkeypatch, tmp_path):
+    """The driver records only the last 2000 chars of bench stdout and
+    parses the final JSON line. For the REAL registry size (every
+    declared query name, worst-case -1.0 timings), the last printed
+    line must parse and fit the window with margin."""
+    import json
+
+    import bench
+
+    from rehiver_spark.queries import QUERIES, load_all
+
+    load_all()
+    # worst-case widths: real names, negative timings, all flaky
+    timings = {n: -1.0 for n in QUERIES}
+    flaky = list(QUERIES)[:5]
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda _p: str(tmp_path)
+    )
+    bench.emit_artifacts(timings, flaky, 0.1)
+    out = capsys.readouterr().out
+    last = out.strip().splitlines()[-1]
+    assert len(last) < 1800, len(last)
+    rec = json.loads(last)
+    assert rec["n_queries"] == len(QUERIES)
+    # the full record round-trips from the file
+    full = json.loads((tmp_path / "BENCH_FULL.json").read_text())
+    assert set(full["queries"]) == set(QUERIES)
+    # simulate the capture: last line survives a 2000-char tail whole
+    tail = out[-2000:]
+    assert json.loads(tail.strip().splitlines()[-1]) == rec
