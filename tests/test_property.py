@@ -339,3 +339,54 @@ def test_split_thresholds_partition_hash_space(weights):
         frac = (ub - lo) / float(1 << 60)
         assert abs(frac - w / total) < 1e-6 + 1.0 / (1 << 59)
         lo = ub
+
+
+# -- X57b pruned substring dedup: guarantee + degeneracy properties ---------
+
+_VOCAB = ["aa", "bb", "cc", "dd", "ee", "ff"]
+_DOC = st.lists(
+    st.sampled_from(_VOCAB), min_size=0, max_size=40
+).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_DOC, min_size=2, max_size=10))
+def test_pruned_dedup_min_run_eq_L_equals_exact_property(spark, docs):
+    """For ANY corpus (tiny vocab → dense duplication, repeated-symbol
+    runs, empty docs): min_run == L must reproduce the exact form
+    bit-for-bit, and with min_run > L every doc's cut-token count is
+    bounded by the exact form's (pruning only ever cuts LESS)."""
+    from rehiver_spark.operators.textops import (
+        dedup_substrings,
+        dedup_substrings_pruned,
+    )
+
+    L = 4
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    key = lambda r: (  # noqa: E731
+        r["doc_id"],
+        r["cleaned_text"],
+        r["n_tokens_before"],
+        r["n_tokens_after"],
+        r["n_cut_spans"],
+    )
+    exact = sorted(map(key, dedup_substrings(df, window_tokens=L).collect()))
+    zero = sorted(
+        map(
+            key,
+            dedup_substrings_pruned(df, window_tokens=L, min_run=L).collect(),
+        )
+    )
+    assert exact == zero
+    pruned = {
+        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"])
+        for r in dedup_substrings_pruned(
+            df, window_tokens=L, min_run=L + 3
+        ).collect()
+    }
+    for did, ct, nb, na, _s in exact:
+        pb, pa = pruned[did]
+        assert pb == nb  # totals agree
+        assert (pb - pa) <= (nb - na)  # never cuts more than exact
