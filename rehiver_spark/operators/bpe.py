@@ -162,7 +162,14 @@ def learn_bpe(
     truncated every ``checkpoint_every`` rounds. Stops early when the
     best remaining pair's frequency drops below ``min_freq``.
     """
-    vocab = word_freqs(docs, text_col).withColumn("spaced", spaced(F.col("word")))
+    # the vocabulary's symbol strings live in DOUBLED-delimiter form
+    # for the whole loop (closed under merges — see merge_once): each
+    # round's merge is then ONE literal replace instead of
+    # merge_once's three, and pair_counts' symbol split filters the
+    # empty strings the doubled spaces produce
+    vocab = word_freqs(docs, text_col).withColumn(
+        "spaced", F.replace(spaced(F.col("word")), F.lit(" "), F.lit("  "))
+    )
     vocab = vocab.persist()
     merges: list[dict] = []
     try:
@@ -193,7 +200,12 @@ def learn_bpe(
                     "pair_freq": pf,
                 }
             )
-            nxt = vocab.withColumn("spaced", merge_once(F.col("spaced"), l, r))
+            nxt = vocab.withColumn(
+                "spaced",
+                F.replace(
+                    F.col("spaced"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+                ),
+            )
             if (rank + 1) % checkpoint_every == 0:
                 nxt = nxt.localCheckpoint()
             nxt = nxt.persist()
