@@ -1168,18 +1168,34 @@ def x44_stream_hll(spark, sf_dir):
     register math is the portable md5-60 form, and max is
     order-insensitive, so the BATCH SQL twin reproduces the streamed
     registers — and therefore the estimate — exactly."""
+    import os as _os
+
     from rehiver_spark.operators.sketches import hll_estimate, hll_registers
     from rehiver_spark.queries import scratch_dir
-    from rehiver_spark.streaming.windows import read_file_stream, run_available_now
+    from rehiver_spark.streaming.windows import (
+        read_file_stream,
+        run_available_now,
+        suggest_state_partitions,
+    )
 
     ev = tables(spark, sf_dir, ["events"])["events"]
     scratch = scratch_dir("x44", sf_dir)
     src = f"{scratch}/src"
     ev.select("event_type", "user_id").repartition(4).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
+    src_bytes = sum(
+        e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")
+    )
     sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
     regs = hll_registers(sdf, item_col="user_id", p=_HLL_P, group_cols=["event_type"])
-    sink = run_available_now(regs, checkpoint=f"{scratch}/ckpt")
+    # state is |types|·2^p register rows — letting the session's full
+    # shuffle width create a state store apiece costs pure setup/commit
+    # (measured 2.27 → 0.94 s at sf0.1); size like the c17 family
+    sink = run_available_now(
+        regs,
+        checkpoint=f"{scratch}/ckpt",
+        state_partitions=suggest_state_partitions(spark, src_bytes),
+    )
     return hll_estimate(sink, p=_HLL_P, group_cols=["event_type"])
 
 
@@ -1648,23 +1664,38 @@ def x52_stream_cm(spark, sf_dir):
     regardless of stream volume; counters merge across streams by sum.
     Counting is order-insensitive, so the batch SQL twin reproduces
     the STREAMED counters — and every estimate — exactly."""
+    import os as _os
+
     from rehiver_spark.operators.sketches import cm_estimate, cm_sketch
     from rehiver_spark.queries import scratch_dir
     from rehiver_spark.session import read_events
-    from rehiver_spark.streaming.windows import read_file_stream, run_available_now
+    from rehiver_spark.streaming.windows import (
+        read_file_stream,
+        run_available_now,
+        suggest_state_partitions,
+    )
 
     ev = read_events(spark, sf_dir)
     scratch = scratch_dir("x52", sf_dir)
     src = f"{scratch}/src"
     ev.select("user_id").repartition(4).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
+    src_bytes = sum(
+        e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")
+    )
     sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
     uid = F.col("user_id").cast("string")
     # the SAME cm_sketch the batch path certifies — its explode+groupBy
     # body is stateless-transform + aggregation, streaming-legal as-is
-    # (a re-implementation here drifted from the sketch layout once)
+    # (a re-implementation here drifted from the sketch layout once).
+    # State is d·w counter rows → size the store count to the input
+    # (x44's measured 2.3× win), not the session shuffle width
     counters = cm_sketch(sdf.select(uid.alias("item")), depth=_CM_D, width=_CM_W)
-    sink = run_available_now(counters, checkpoint=f"{scratch}/ckpt")
+    sink = run_available_now(
+        counters,
+        checkpoint=f"{scratch}/ckpt",
+        state_partitions=suggest_state_partitions(spark, src_bytes),
+    )
     qs = (
         ev.filter(F.col("user_id") % 20 == 7)
         .select(uid.alias("item"))
@@ -1948,9 +1979,15 @@ def x56_stream_hdr(spark, sf_dir):
     S·50 bucket rows regardless of stream volume; counting is
     order-insensitive, so the batch SQL twin reproduces the STREAMED
     counters — and the quantile estimates — exactly."""
+    import os as _os
+
     from rehiver_spark.operators.sketches import hdr_quantiles, hdr_sketch
     from rehiver_spark.queries import scratch_dir
-    from rehiver_spark.streaming.windows import read_file_stream, run_available_now
+    from rehiver_spark.streaming.windows import (
+        read_file_stream,
+        run_available_now,
+        suggest_state_partitions,
+    )
 
     d = tables(spark, sf_dir, ["documents"])["documents"]
     scratch = scratch_dir("x56", sf_dir)
@@ -1959,9 +1996,17 @@ def x56_stream_hdr(spark, sf_dir):
         "overwrite"
     ).parquet(src)
     schema = spark.read.parquet(src).schema
+    src_bytes = sum(
+        e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")
+    )
     sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
     counters = hdr_sketch(sdf, "v", sub=_HDR_SUB)
-    sink = run_available_now(counters, checkpoint=f"{scratch}/ckpt")
+    # S·50 bucket rows of state — sized store count (the x44 win)
+    sink = run_available_now(
+        counters,
+        checkpoint=f"{scratch}/ckpt",
+        state_partitions=suggest_state_partitions(spark, src_bytes),
+    )
     return hdr_quantiles(sink, [(1, 2), (9, 10), (99, 100)], sub=_HDR_SUB).select(
         "q", "est"
     )
