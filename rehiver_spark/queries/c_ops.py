@@ -648,10 +648,13 @@ def c17c_streaming_exec(spark, sf_dir):
     tumbling window agg → Trigger.AvailableNow → memory sink. The
     returned DataFrame is the sink table, so the oracle verifies the
     streaming execution itself, not just a batch replay."""
+    import os as _os
+
     from rehiver_spark.queries import scratch_dir
     from rehiver_spark.streaming.windows import (
         read_file_stream,
         run_available_now,
+        suggest_state_partitions,
         tumbling_counts,
     )
 
@@ -662,9 +665,16 @@ def c17c_streaming_exec(spark, sf_dir):
         "overwrite"
     ).parquet(src)
     schema = spark.read.parquet(src).schema
+    src_bytes = sum(
+        e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")
+    )
     sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
+    # hourly-window agg state is |windows| rows — sized store count
+    # (the x44/c17d measured class), not the session shuffle width
     res = run_available_now(
-        tumbling_counts(sdf, "ts", "1 hour"), checkpoint=f"{scratch}/ckpt"
+        tumbling_counts(sdf, "ts", "1 hour"),
+        checkpoint=f"{scratch}/ckpt",
+        state_partitions=suggest_state_partitions(spark, src_bytes),
     )
     return res.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
