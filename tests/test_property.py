@@ -390,3 +390,47 @@ def test_pruned_dedup_min_run_eq_L_equals_exact_property(spark, docs):
         pb, pa = pruned[did]
         assert pb == nb  # totals agree
         assert (pb - pa) <= (nb - na)  # never cuts more than exact
+
+
+# -- BPE merge_once: classical sequential greedy on RANDOM sequences --------
+
+_SYM = st.sampled_from(["a", "b", "ab", "c"])
+
+
+def _ref_greedy(syms, pair):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.lists(_SYM, min_size=0, max_size=12), min_size=1, max_size=8),
+    st.tuples(_SYM, _SYM),
+)
+def test_merge_once_equals_classical_greedy_random(spark, seqs, pair):
+    """The space-doubling literal replace must equal the classical
+    left-to-right greedy merge on arbitrary symbol sequences and
+    arbitrary pairs — including self-pairs over long runs and symbols
+    ('ab') that are concatenations of other symbols (the adversarial
+    boundary case for literal string matching)."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.bpe import merge_once
+
+    rows = [(i, " " + " ".join(s) + " " if s else "  ") for i, s in enumerate(seqs)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {
+        r["i"]: [t for t in r["m"].split(" ") if t]
+        for r in df.select(
+            "i", merge_once(F.col("s"), pair[0], pair[1]).alias("m")
+        ).collect()
+    }
+    for i, s in enumerate(seqs):
+        assert got[i] == _ref_greedy(s, pair), (s, pair)
