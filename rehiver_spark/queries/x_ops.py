@@ -182,7 +182,7 @@ def x1_exact_dedup(spark, sf_dir):
     """
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id % 25 = 0
+      FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 500
     ),
     scored AS (
       SELECT query_id, e.vec_id,
@@ -200,11 +200,16 @@ def x1_exact_dedup(spark, sf_dir):
 )
 def x3_cosine_topk(spark, sf_dir):
     """X3: exact top-k, query side broadcast, (score DESC, vec_id ASC)
-    tiebreak — the baseline every ANN variant is measured against."""
+    tiebreak — the baseline every ANN variant is measured against. The
+    query slice is pinned to vec_id < 500 (present at every scale
+    point; 20 queries) so sf1/sf10 rows measure corpus growth at a
+    constant query count — unpinned, Q grew with N and the scale rows
+    measured O(N·Q) fixture inflation (the x39/x30/x31 r5 lesson,
+    applied here in r6)."""
     emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    queries = emb.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     out = cosine_topk(queries, emb, k=5)
     return out.select(
         "query_id",
@@ -801,7 +806,8 @@ def x14_winnow_fingerprints(spark, sf_dir):
         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
       FROM embeddings
     ),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id % 25 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv
+          FROM corpus WHERE vec_id % 25 = 0 AND vec_id < 500),
     cents AS (SELECT vec_id AS cell_id, v AS cv FROM corpus ORDER BY vec_id ASC LIMIT 16),
     corp_cell AS (
       SELECT vec_id, cell_id, v FROM (
@@ -836,10 +842,12 @@ def x14_winnow_fingerprints(spark, sf_dir):
 # so the oracle recomputes the identical cells/probes and the whole
 # pipeline hash-matches
 def x10_ivf_topk(spark, sf_dir):
+    # query slice pinned to vec_id < 500 (scale-invariant, 20 queries)
+    # — same r6 pinning as x3; the corpus side still grows with scale
     emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    queries = emb.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     out = ivf_topk(queries, emb, k=5, n_cells=16, n_probe=4)
     return out.select(
         "query_id",
