@@ -106,12 +106,17 @@ def main() -> int:
             continue
         timings[name] = round(best, 3)
 
-    emit_artifacts(timings, flaky, sf)
+    # partial runs (positional args) must not clobber the full-suite
+    # artifact — a single-query sanity run once overwrote the 115-query
+    # record the judge reads
+    emit_artifacts(timings, flaky, sf, write_file=not only)
     return 0
 
 
-def emit_artifacts(timings: dict, flaky: list, sf: float) -> None:
-    """Write BENCH_FULL.json and print the record.
+def emit_artifacts(
+    timings: dict, flaky: list, sf: float, write_file: bool = True
+) -> None:
+    """Write BENCH_FULL.json (full-suite runs only) and print the record.
 
     The driver's artifact keeps only the LAST 2000 chars of stdout
     (BENCH_r02..r05 all have len(tail)==2000) — at 114 queries the
@@ -134,9 +139,10 @@ def emit_artifacts(timings: dict, flaky: list, sf: float) -> None:
         "flaky": flaky,
     }
     full_line = json.dumps(full, separators=(",", ":"))
-    repo_root = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
-        f.write(full_line + "\n")
+    if write_file:
+        repo_root = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+            f.write(full_line + "\n")
     print(full_line)
     if len(full_line) > 1500:
         slowest = dict(
