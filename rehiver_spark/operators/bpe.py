@@ -40,10 +40,14 @@ exactly:
   reference implementation in tests/test_bpe.py (runs of 3–7,
   alternating pairs, mixed contexts).
 
-Caveat: characters are split with a regex ``(.)`` — a UTF-16
-surrogate pair (non-BMP code point) splits into two code units on the
-JVM but one code point under RE2; corpora with astral-plane text
-should pre-filter or accept the divergence (documented, not hidden).
+Non-BMP text: the character split regex ``(.)`` is CODE-POINT-aware
+on both engines — java.util.regex treats a supplementary character
+(UTF-16 surrogate pair) as a single unit, as does DuckDB's RE2 — so
+astral-plane corpora (emoji, musical symbols, Egyptian hieroglyphs)
+train identically everywhere. Measured and pinned on both engines in
+tests/test_bpe.py (astral spaced()/SQL-twin parity + an end-to-end
+astral learn vs the pure-Python reference); an earlier caveat here
+claiming a JVM surrogate split was wrong.
 """
 
 from __future__ import annotations

@@ -239,13 +239,16 @@ def repetition_stats(
         )
 
     df = ensure_parallelism(df)
-    # empty-doc exclusion via the RAW text (trim(text) != '' ⟺
-    # tokens(text) non-empty, since normalize only trims/collapses):
-    # a size(_tk) filter AFTER the projection gets predicate-pushed
-    # INTO it and re-evaluates the tokenize chain (the x57b cliff
-    # class); the trim form pushes to the parquet scan instead
+    # empty-doc exclusion via the RAW text (rlike '\S' ⟺ tokens(text)
+    # non-empty — tokenize splits on the regex class \s, and Spark's
+    # trim strips ONLY 0x20 spaces, so a tab/newline-only doc would
+    # pass a trim!='' filter with zero tokens and the ratio divisions
+    # below would raise DIVIDE_BY_ZERO under ANSI mode). A size(_tk)
+    # filter AFTER the projection gets predicate-pushed INTO it and
+    # re-evaluates the tokenize chain (the x57b cliff class); the
+    # rlike form stays a scan-level pushdown on the raw column
     base = df.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
     ).select(
         F.col(id_col).alias("_id"),
         tokens(F.col(text_col)).alias("_tk"),
@@ -1469,6 +1472,12 @@ def dedup_substrings_pruned(
         from rehiver_spark.session import ship_package
 
         ship_package(df.sparkSession)
+        # the id column keeps ITS OWN type end-to-end: the output
+        # schema echoes hashed's id field (string ids are as valid as
+        # longs — the exact path and the expr impl both handle them),
+        # and inside the kernel ids stay in the input Series' dtype
+        # rather than being forced through np.int64
+        id_dt = hashed.schema[id_col].dataType.simpleString()
 
         def _select(batches):
             import numpy as np
@@ -1492,17 +1501,18 @@ def dedup_substrings_pruned(
                     poss.extend(pos.tolist())
                     fps.extend(a[pos - 1].tolist())
                 # explicit dtypes: an empty batch would otherwise
-                # yield object columns Arrow cannot cast
+                # yield object columns Arrow cannot cast (ids inherit
+                # the input column's dtype, int or object alike)
                 yield pd.DataFrame(
                     {
-                        id_col: np.asarray(ids, dtype=np.int64),
+                        id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
                         "pos": np.asarray(poss, dtype=np.int32),
                         "fp": np.asarray(fps, dtype=np.int64),
                     }
                 )
 
         fp_occ = hashed.mapInPandas(
-            _select, f"{id_col} long, pos int, fp long"
+            _select, f"{id_col} {id_dt}, pos int, fp long"
         )
     else:
         n_sel = F.greatest(F.size(F.col("_h")) - w + 1, F.lit(1))

@@ -166,3 +166,51 @@ def test_apply_merges_is_map_only(spark, docs):
     """Segmentation must not shuffle: the plan has no Exchange."""
     plan = apply_merges(docs, [("l", "o"), ("lo", "w")])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_astral_plane_words_split_as_single_code_points(spark):
+    """r6 verdict task: the bpe.py caveat claimed the ``(.)`` split
+    breaks a UTF-16 surrogate pair into two code units on the JVM.
+    Measured FALSE — java.util.regex is code-point-aware (a
+    supplementary character matches ``.`` as ONE unit), and DuckDB's
+    RE2 agrees, so non-BMP corpora train identically on both engines.
+    Pins spaced() and its SQL twin on astral-plane words."""
+    import duckdb
+
+    from rehiver_spark.operators.bpe import spaced_sql
+
+    words = ["a\U0001F600b", "\U0001D11E\U0001D11E", "\U00013000x\U00013001"]
+    got = (
+        spark.createDataFrame([(w,) for w in words], "w string")
+        .select(spaced(F.col("w")).alias("s"))
+        .collect()
+    )
+    for w, row in zip(words, got):
+        expect = " " + " ".join(list(w) + ["</w>"]) + " "
+        assert row["s"] == expect, repr(w)
+        ddb = duckdb.sql(
+            f"SELECT {spaced_sql('?')} AS s", params=[w]
+        ).fetchone()[0]
+        assert ddb == expect, f"DuckDB twin diverged on {w!r}"
+
+
+def test_learn_on_astral_corpus_matches_reference(spark):
+    """End-to-end: learning on a corpus of supplementary-plane words
+    (emoji runs — including self-pair merges OF an astral symbol)
+    matches the pure-Python reference, whose list(word) split is
+    code-point semantics by construction."""
+    texts = [
+        "\U0001F600\U0001F600\U0001F600 \U0001F600\U0001F600 go",
+        "\U0001F600\U0001F600\U0001F600\U0001F600 go go",
+        "\U0001D11Eclef \U0001D11Eclef music",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = learn_bpe(d, num_merges=6)
+    expect = ref_learn(texts, 6)
+    assert [(m["left_sym"], m["right_sym"], m["pair_freq"]) for m in got] == expect
+    merges = [(m["left_sym"], m["right_sym"]) for m in got]
+    seg = {r["doc_id"]: r["bpe_symbols"] for r in apply_merges(d, merges).collect()}
+    for i, t in enumerate(texts):
+        assert seg[i] == [s for w in t.split() for s in ref_segment(w, merges)]

@@ -823,3 +823,61 @@ def test_dedup_substrings_pruned_arrow_equals_expr(spark):
         )
     )
     assert a == e
+
+
+def test_repetition_stats_whitespace_only_docs_emit_no_row(spark):
+    """r6 advisor (high): Spark's trim strips only 0x20 spaces, so a
+    tab/newline/NBSP-only document slipped past the old trim!=''
+    empty-doc filter with ZERO tokens and the ratio divisions raised
+    DIVIDE_BY_ZERO under ANSI mode. The rlike('\\S') filter matches
+    tokenize's \\s semantics: zero-token docs emit no row, non-empty
+    docs are untouched."""
+    from rehiver_spark.operators.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "\t"),
+            (2, "\n\n"),
+            (3, " \t \n "),
+            (4, None),
+            (5, ""),
+            (6, "real words here real"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = repetition_stats(df).collect()
+    assert [r["doc_id"] for r in rows] == [6]
+    assert rows[0]["n_tokens"] == 4
+
+
+def test_dedup_substrings_pruned_arrow_handles_string_ids(spark):
+    """r6 advisor (low): the arrow path hard-coded the id column as
+    long (np.int64 cast + 'long' in the mapInPandas schema), crashing
+    on string doc ids that the expr impl and the exact form accept.
+    The schema now echoes the input id type; both impls must agree on
+    a string-id corpus."""
+    from rehiver_spark.operators.textops import dedup_substrings_pruned
+
+    run = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            ("doc-a", run + " tail alpha beta"),
+            ("doc-b", "fresh start " + run),
+            ("doc-c", "nothing shared at all in this one document"),
+        ],
+        "doc_id string, text string",
+    )
+    key = lambda r: tuple(r)  # noqa: E731
+    got = {
+        impl: sorted(
+            map(
+                key,
+                dedup_substrings_pruned(
+                    df, window_tokens=10, min_run=20, impl=impl
+                ).collect(),
+            )
+        )
+        for impl in ("arrow", "expr")
+    }
+    assert got["arrow"] == got["expr"]
+    assert {r[0] for r in got["expr"]} == {"doc-a", "doc-b", "doc-c"}
