@@ -22,9 +22,15 @@ README — tests/index.test.ts:25-126, README.md:66-81):
   expander)
 - extglobs ``@(a|b)`` ``?(x)`` ``*(x)`` ``+(x)`` ``!(x)`` — alternates
   may nest wildcards/classes/extglobs; ``!(p)`` means "a segment run
-  that does not entirely match p" (exact bash parity when the extglob
-  ends its segment; embedded trailing context is matched permissively,
-  documented divergence)
+  that does not entirely match p". Exact bash parity when the extglob
+  ends its segment, when the trailing context is a fixed literal
+  (``!(foo)bar`` — the split is unique, so the exclusion is exact),
+  and for a lone trailing ``*`` (``!(p)*`` ≡ ``*`` whenever p cannot
+  match empty — the empty run always refutes p). The one REMAINING
+  divergence: wildcard-bearing trailing context (``!(foo)b*``), where
+  bash's per-split run≠p check needs variable-width lookbehind that
+  Python ``re`` lacks — matched permissively, pinned against real
+  bash in tests/test_globs.py.
 - POSIX classes ``[[:alpha:]]`` etc. inside bracket expressions
 - options: ``dot`` (match dotfiles), ``nocase``
 
@@ -56,6 +62,10 @@ def _escape(ch: str) -> str:
 _RANGE_RE = re.compile(
     r"^(?:(-?\d+)\.\.(-?\d+)|([A-Za-z])\.\.([A-Za-z]))(?:\.\.(-?\d+))?$"
 )
+
+# any char that can open a glob construct — a remainder free of these
+# is a fixed literal suffix (unique-split guarantee for `!(p)rest`)
+_GLOB_META_RE = re.compile(r"[*?\[\](){}|!@+:\\,]")
 
 
 def _expand_range(body: str) -> list[str] | None:
@@ -248,7 +258,43 @@ def _translate_one(pattern: str, dot: bool) -> str:
                 elif c == "+":
                     out.append(f"(?:{body})+")
                 else:  # '!' — a run not entirely matching the alts
-                    out.append(f"(?:(?!(?:{body})(?:/|$))[^/]*)")
+                    # bash ∃-split semantics ("some decomposition
+                    # avoids p") where one regex can express them —
+                    # decided by the remainder of the SEGMENT:
+                    seg_close = pattern.find("/", j)
+                    rest = pattern[j:] if seg_close < 0 else pattern[j:seg_close]
+                    if not _GLOB_META_RE.search(rest):
+                        # literal trailing context ⇒ the run|rest
+                        # split is UNIQUE (rest is a fixed suffix),
+                        # so excluding "segment == p·rest" IS the
+                        # bash rule — '!(foo)bar' rejects 'foobar',
+                        # accepts 'foofoobar'. rest == '' is the
+                        # end-of-segment case (same form, exact all
+                        # along). Pinned against real bash in
+                        # tests/test_globs.py.
+                        lit = "".join(_escape(ch) for ch in rest)
+                        out.append(f"(?:(?!(?:{body}){lit}(?:/|$))[^/]*)")
+                    elif rest == "*" and not re.fullmatch(f"(?:{body})", ""):
+                        # '!(p)*' to segment end, p can't match
+                        # empty: the empty run refutes p for every
+                        # segment, so the pair ≡ '*' (bash accepts
+                        # 'foo' for '!(foo)*'); the old lookahead
+                        # form wrongly rejected S == p·ε
+                        out.append("[^/]*")
+                        i = j + 1  # consume the trailing star too
+                        seg_start = False
+                        continue
+                    else:
+                        # wildcard-bearing trailing context: the
+                        # split is ambiguous and per-split run≠p
+                        # checks are not expressible in a single
+                        # Java+Python-portable regex (variable-width
+                        # lookbehind), so the run is matched
+                        # PERMISSIVELY — only "p at end of segment"
+                        # is excluded. Documented divergence, pinned
+                        # vs bash in tests/test_globs.py ('!(foo)b*'
+                        # matches 'foob' here, bash rejects).
+                        out.append(f"(?:(?!(?:{body})(?:/|$))[^/]*)")
                 i = j
                 seg_start = False
                 continue

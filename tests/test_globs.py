@@ -233,3 +233,72 @@ def test_extglob_respects_dot_option():
     assert nodot.is_match("foo", "@(foo|bar)")
     # dot=True keeps matching dotfiles
     assert M.is_match(".gz", "*(a).gz")
+
+
+def test_negated_extglob_embedded_context_bash_parity():
+    """r6 verdict task: the last documented micromatch divergence was
+    '!(p)' with embedded trailing context. Two classes are now EXACT
+    (fixed-literal context — unique split; lone trailing '*' with a
+    non-empty-matching body); only wildcard-bearing context remains
+    permissive. The whole matrix is pinned against REAL bash extglob
+    (the published semantics micromatch tests itself against), run
+    live when bash is available."""
+    import shutil
+    import subprocess
+
+    from rehiver_spark.functions.globs import glob_to_regex
+    import re as _re
+
+    # (key, pattern, expected-per-bash, exact_parity)
+    cases = [
+        ("foobar", "!(foo)bar", False, True),
+        ("xbar", "!(foo)bar", True, True),
+        ("bar", "!(foo)bar", True, True),
+        ("foofoobar", "!(foo)bar", True, True),
+        ("food", "!(foo)d", False, True),
+        ("fooxd", "!(foo)d", True, True),
+        ("fod", "!(foo)d", True, True),
+        ("abbar", "!(ab|cd)bar", False, True),
+        ("cdbar", "!(ab|cd)bar", False, True),
+        ("xybar", "!(ab|cd)bar", True, True),
+        ("afoob", "a!(foo)b", False, True),
+        ("axb", "a!(foo)b", True, True),
+        ("ab", "a!(foo)b", True, True),
+        ("foo", "!(foo)*", True, True),
+        ("foobar", "!(foo)*", True, True),
+        ("foobar/baz", "!(foo)bar/baz", False, True),
+        ("xbar/baz", "!(foo)bar/baz", True, True),
+        # segment-final forms (exact all along)
+        ("foo", "!(foo)", False, True),
+        ("foobar", "!(foo)", True, True),
+        ("foo/x", "!(foo)/x", False, True),
+        ("bar/x", "!(foo)/x", True, True),
+        # the pinned PERMISSIVE remainder: wildcard trailing context —
+        # bash rejects 'foob' ('foo' is the only split), we accept
+        ("foob", "!(foo)b*", None, False),
+        ("foobb", "!(foo)b*", True, True),
+        ("fb", "!(foo)b*", True, True),
+    ]
+    for key, pat, want, exact in cases:
+        got = _re.fullmatch(glob_to_regex(pat), key) is not None
+        if exact:
+            assert got is want, f"{key!r} ~ {pat!r}: got {got}, bash says {want}"
+        else:
+            assert got is True, f"permissive pin changed: {key!r} ~ {pat!r}"
+    if shutil.which("bash"):
+        # the pattern must be UNQUOTED inside [[ ]] — quoting makes
+        # bash compare it as a literal string, not an extglob
+        script = "shopt -s extglob\n" + "\n".join(
+            f"[[ {k!r} == {p} ]] && echo 1 || echo 0"
+            for k, p, w, e in cases
+        )
+        out = subprocess.run(
+            ["bash", "-c", script], capture_output=True, text=True
+        ).stdout.split()
+        for (k, p, want, exact), bit in zip(cases, out):
+            if exact:
+                assert (bit == "1") is want, (
+                    f"bash disagrees with the pinned table on {k!r} ~ {p!r}"
+                )
+            else:
+                assert bit == "0", f"permissive-pin rationale stale: {k!r} ~ {p!r}"
