@@ -1436,6 +1436,29 @@ def dedup_substrings_pruned(
     occurrence; equivalence test-pinned), so the oracle twin
     certifies both.
     """
+    src, base, cand_docs = _winnow_candidates(
+        df, id_col, text_col, window_tokens, min_run, impl
+    )
+    return _assemble_pruned(
+        src, base, cand_docs, id_col, text_col, window_tokens
+    )
+
+
+def _winnow_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int,
+    min_run: int,
+    impl: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Stage 1 of the pruned substring dedup — winnow fingerprint
+    selection and candidate-doc identification. Shared by
+    :func:`dedup_substrings_pruned` and :func:`dedup_substrings_auto`
+    (whose decision probe IS this stage, so choosing the pruned branch
+    wastes nothing). Returns (src, base, cand_docs); the fingerprint
+    occurrences and candidate set are persisted (2-3 consumers each —
+    see the persist note inline)."""
     from rehiver_spark.functions.hashing import md5_hash60
 
     L, R = window_tokens, min_run
@@ -1555,6 +1578,20 @@ def dedup_substrings_pruned(
     cand_docs = track_persist(
         fp_occ.join(dup_fp, "fp", "left_semi").select(id_col).distinct()
     )
+    return src, base, cand_docs
+
+
+def _assemble_pruned(
+    src: DataFrame,
+    base: DataFrame,
+    cand_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    L: int,
+) -> DataFrame:
+    """Stage 2 of the pruned substring dedup: the exact stride-1
+    pipeline over candidate docs only, normalized-token passthrough
+    for everyone else."""
     deduped = dedup_substrings(
         src.join(cand_docs, id_col, "left_semi"), id_col, text_col, L
     )
@@ -1572,3 +1609,61 @@ def dedup_substrings_pruned(
         F.lit(0).cast("bigint").alias("n_cut_spans"),
     )
     return deduped.unionByName(passthru)
+
+
+def dedup_substrings_auto(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+    min_run: int = 40,
+    density_cutoff: float = 0.2,
+    impl: str = "expr",
+) -> DataFrame:
+    """Auto-dial between :func:`dedup_substrings` (exact) and
+    :func:`dedup_substrings_pruned` (r6 verdict task 3): the pruned
+    knob's operating curve shows it WINS at sparse duplication
+    (sf0.1: 9% candidate docs → 2.5× less stage-REST shuffle) and
+    LOSES when candidates are dense (sf1: 32% candidates → slower
+    than exact — nearly every doc goes through the exact pipeline
+    anyway, plus the winnow pass on top).
+
+    The probe is EXACT and nearly free: candidate density is computed
+    from the pruned form's own stage 1 (winnow fingerprints → docs
+    holding a ≥2-site fingerprint), so when the decision is "pruned"
+    the probe work is fully reused — zero overhead beyond two count
+    jobs on persisted relations. When the decision is "exact" the
+    sunk cost is one map-side winnow pass plus a fingerprint-sized
+    (~2/(w+1) density) shuffle — small next to the exact form's two
+    corpus-token shuffles, and bounded regardless of which branch is
+    worse. The measured envelope (BASELINE.md round-7 row): auto is
+    within 10% of the better branch at both sf0.1 and sf1.
+
+    ``density_cutoff`` defaults to 0.2 — between the measured 9%-wins
+    and 32%-loses operating points. The decision is logged
+    (``rehiver_spark.operators.textops`` logger, INFO).
+
+    Semantics follow the chosen branch: exact when density >
+    ``density_cutoff`` (the coarser guarantee would buy nothing),
+    pruned's ≥``min_run`` guarantee otherwise — crossover and
+    branch-equivalence are property-tested in tests/test_textops.py.
+    """
+    import logging
+
+    src, base, cand_docs = _winnow_candidates(
+        df, id_col, text_col, window_tokens, min_run, impl
+    )
+    n_docs = src.count()
+    n_cand = cand_docs.count() if n_docs else 0
+    density = (n_cand / n_docs) if n_docs else 0.0
+    chosen = "exact" if density > density_cutoff else "pruned"
+    logging.getLogger(__name__).info(
+        "dedup_substrings_auto: %d/%d candidate docs (density %.3f, "
+        "cutoff %.3f) -> %s branch",
+        n_cand, n_docs, density, density_cutoff, chosen,
+    )
+    if chosen == "exact":
+        return dedup_substrings(src, id_col, text_col, window_tokens)
+    return _assemble_pruned(
+        src, base, cand_docs, id_col, text_col, window_tokens
+    )

@@ -1384,6 +1384,74 @@ def x22_semdedup(spark, sf_dir):
     )
 
 
+@query(
+    "x22b_semdedup_scaled",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+        list_transform(embedding::DOUBLE[], x -> x + 0.02) AS e
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    normed AS (
+      SELECT vec_id,
+        list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS v
+      FROM corpus
+    ),
+    ksz AS (
+      SELECT greatest(16, least(65536,
+        CAST(floor(sqrt(count(*)::DOUBLE)) AS BIGINT) + 1)) AS k
+      FROM corpus
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, v AS cv FROM (
+        SELECT vec_id, v, row_number() OVER (ORDER BY vec_id ASC) AS rn
+        FROM normed
+      ) CROSS JOIN ksz WHERE rn <= k
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id, v FROM (
+        SELECT n.vec_id, c.cell_id, n.v,
+          row_number() OVER (PARTITION BY n.vec_id
+            ORDER BY list_dot_product(n.v, c.cv) DESC, c.cell_id ASC) AS rn
+        FROM normed n CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    prior AS (
+      SELECT b.vec_id AS vec_id, max(list_dot_product(a.v, b.v)) AS mp
+      FROM assigned a JOIN assigned b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, CAST(s.cell_id AS BIGINT) AS cell_id,
+      round(coalesce(mp, -1.0), 6) AS max_prior_cosine,
+      coalesce(mp, -1.0) < 0.9 AS keep
+    FROM assigned s LEFT JOIN prior p ON s.vec_id = p.vec_id
+    """,
+)
+def x22b_semdedup_scaled(spark, sf_dir):
+    """X22's SCALE posture as its own oracle-pinned query (r6 verdict
+    task 2): the k∝N dial — n_cells=None picks ceil(sqrt(N)) clamped
+    to [16, 65536], so per-cell population stays ~constant and the
+    within-cell pair join does N²/k ≈ N·√N̄ work instead of the
+    fixed-16-cell N²/16 that x22's oracle shape deliberately measures
+    (600 rows → k=25 at sf0.01; 2,400 → k=49 at sf0.1). The hot-cell
+    cap is disabled here (max_cell_rows=None) so the plan is exactly
+    the SQL-expressible assignment + cell-keyed pair join; the cap is
+    the operator's separate skew hardening, test-pinned in
+    tests/test_vectorops.py and never binding on this corpus anyway
+    (it is 16× the expected cell size)."""
+    corpus = _perturbed_embeddings(spark, sf_dir)
+    out = semdedup(corpus, threshold=0.9, n_cells=None, max_cell_rows=None)
+    return out.select(
+        "vec_id",
+        "cell_id",
+        F.round("max_prior_cosine", 6).alias("max_prior_cosine"),
+        "keep",
+    )
+
+
 # ---------------------------------------------------------------------------
 # X23 — C4-style duplicate-span removal
 # ---------------------------------------------------------------------------

@@ -110,20 +110,45 @@ def test_metadata_cache_rejects_reconfigure(spark):
     assert c2 is not c1 and c2.ttl == 10
 
 
-def test_driver_window_round6_rotation():
+def test_driver_window_round7_rotation():
     """The correctness harness records only the FIRST 50 registered
-    queries. Round 6 rotates in the 19 queries that had NEVER had a
-    driver row (the r5 sketch/BPE/streaming-state additions + x21f),
-    the new x57b pruned variant, and 30 of the r4-row holders.
-    Pins the invariant against future import reshuffles."""
-    from rehiver_spark.queries import QUERIES, _DRIVER_WINDOW, load_all
+    queries. Round 7 adopts the standing rotation policy (every query
+    a driver row ≥ every 3 rounds; touched/new queries enter the next
+    window) — see queries/__init__.py. Pins the window AND the exact
+    outside set: the r6 advisor flagged the old families-prefix
+    assertion as vacuous (every name starts with r/c/x/mm_), so any
+    new registration must now be explicitly classified into the
+    window, the committed r8 window, or the has-r6-row remainder."""
+    from rehiver_spark.queries import (
+        QUERIES,
+        _DRIVER_WINDOW,
+        _R8_COMMITTED,
+        load_all,
+    )
 
     load_all()
     first50 = list(QUERIES)[:50]
     assert first50 == list(_DRIVER_WINDOW)
     assert len(first50) == 50 and len(set(first50)) == 50
-    # the never-recorded r5 additions must ALL be inside
-    never = {
+    # r4-stale names (rule 1: MUST be inside this round)
+    r4_stale = {
+        "x14_winnow_fingerprints", "x17_dedup_clusters",
+        "x18_sequence_packing", "x19_pipeline", "x29_fuzzy_dedup",
+        "x30_zorder_layout", "x34_incremental_neardup",
+        "x35_epoch_shuffle", "c18b_python_udtf", "c17g_sliding_window",
+        "x6_approx", "x6b_sampling", "x7_minhash_pairs",
+        "x8_simhash_pairs", "x9_lsh_cosine_neardup",
+    }
+    assert not r4_stale - set(first50)
+    # new/touched this round (rules 2-3)
+    assert {
+        "x22b_semdedup_scaled", "x16_repetition",
+        "x57b_substring_dedup_pruned",
+    } <= set(first50)
+    # EXACT outside set: the committed r8 window (r5 rows turning
+    # 3 rounds old there) + the r6-row holders on unchanged code
+    outside = set(QUERIES) - set(first50)
+    has_r6_row = {
         "x41_count_min", "x42_hll_distinct", "x43_bloom_dedup",
         "x21f_winnow_fast", "x44_stream_hll", "x45_bpe_pairs",
         "x46_bpe_learn", "x46b_bpe_apply", "x47_hdr_quantiles",
@@ -131,15 +156,21 @@ def test_driver_window_round6_rotation():
         "x51_kmeans", "x52_stream_cm", "x53_ann_recall",
         "x54_pipeline_yield", "x55_sketch_filter", "x56_stream_hdr",
         "x57_substring_dedup",
+        "x1_exact_dedup", "x2_jaccard_pairs", "x3_cosine_topk",
+        "x4_text_stats", "x5_tf_idf", "x6c_portable_sample",
+        "x7p_minhash_lsh", "x8p_simhash", "x9p_lsh_cosine",
+        "x10_ivf_topk", "x11_chunking", "x12_redact_pii",
+        "x13_stratified_sample", "x15_contamination",
+        "x20_training_mix", "x21_winnow_contamination", "x22_semdedup",
+        "x23_span_dedup", "x24_url_dedup", "x25_charlm_quality",
+        "x26_quantize_int8", "x27_line_dedup", "x28_incremental_dedup",
+        "x31_semantic_decontamination", "x32_corpus_report",
+        "x33_quality_select", "x36_vocab_topk", "x37_chunk_reassembly",
+        "x38_corpus_drift",
     }
-    missing = never - set(first50)
-    assert not missing, f"driver window no longer covers: {sorted(missing)}"
-    # every name outside the window has prior driver/judge evidence —
-    # the set of outsiders is pinned so additions can't silently slip out
-    outside = set(QUERIES) - set(first50)
-    expected_outside_families = {"r", "c", "mm_", "x"}
-    assert all(
-        n.startswith(tuple(expected_outside_families)) for n in outside
+    assert outside == set(_R8_COMMITTED) | has_r6_row, (
+        f"unclassified registrations: "
+        f"{sorted(outside ^ (set(_R8_COMMITTED) | has_r6_row))}"
     )
 
 

@@ -434,3 +434,55 @@ def test_merge_once_equals_classical_greedy_random(spark, seqs, pair):
     }
     for i, s in enumerate(seqs):
         assert got[i] == _ref_greedy(s, pair), (s, pair)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_DOC, min_size=2, max_size=8))
+def test_auto_dedup_output_equals_its_chosen_branch(spark, docs):
+    """X57 auto-dial (r7): forcing each side of the density cutoff
+    must reproduce the corresponding branch bit-for-bit on ANY corpus
+    — cutoff below any possible density (−1) ⇒ exact form, cutoff
+    above any possible density (1.1) ⇒ pruned form. The dispatcher
+    adds no semantics of its own."""
+    from rehiver_spark.operators.textops import (
+        dedup_substrings,
+        dedup_substrings_auto,
+        dedup_substrings_pruned,
+    )
+
+    L = 4
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    key = lambda r: (  # noqa: E731
+        r["doc_id"],
+        r["cleaned_text"],
+        r["n_tokens_before"],
+        r["n_tokens_after"],
+        r["n_cut_spans"],
+    )
+    forced_exact = sorted(
+        map(
+            key,
+            dedup_substrings_auto(
+                df, window_tokens=L, min_run=L + 3, density_cutoff=-1.0
+            ).collect(),
+        )
+    )
+    assert forced_exact == sorted(
+        map(key, dedup_substrings(df, window_tokens=L).collect())
+    )
+    forced_pruned = sorted(
+        map(
+            key,
+            dedup_substrings_auto(
+                df, window_tokens=L, min_run=L + 3, density_cutoff=1.1
+            ).collect(),
+        )
+    )
+    assert forced_pruned == sorted(
+        map(
+            key,
+            dedup_substrings_pruned(df, window_tokens=L, min_run=L + 3).collect(),
+        )
+    )

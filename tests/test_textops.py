@@ -881,3 +881,66 @@ def test_dedup_substrings_pruned_arrow_handles_string_ids(spark):
     }
     assert got["arrow"] == got["expr"]
     assert {r[0] for r in got["expr"]} == {"doc-a", "doc-b", "doc-c"}
+
+
+def test_dedup_substrings_auto_crossover_decisions(spark, caplog):
+    """The auto-dial's decision logic on the two regimes it was built
+    for (r6 verdict task 3): sparse duplication → pruned branch (and
+    on a corpus whose only duplication is SHORTER than min_run, that
+    choice is visible in the output — the short dup survives, where
+    exact would cut it); dense duplication → exact branch (logged),
+    because nearly every doc would go through the exact pipeline
+    anyway."""
+    import logging
+
+    from rehiver_spark.operators.textops import (
+        dedup_substrings,
+        dedup_substrings_auto,
+    )
+
+    L, R = 5, 15  # w = 11: candidate guarantee needs a 15-token run
+    short_dup = "s1 s2 s3 s4 s5 s6"  # 6-token shared run: L ≤ 6 < R
+    sparse = spark.createDataFrame(
+        [
+            (1, short_dup + " " + " ".join(f"a{i}" for i in range(20))),
+            (2, " ".join(f"b{i}" for i in range(20)) + " " + short_dup),
+            (3, " ".join(f"c{i}" for i in range(26))),
+            (4, " ".join(f"d{i}" for i in range(26))),
+        ],
+        "doc_id long, text string",
+    )
+    with caplog.at_level(logging.INFO, "rehiver_spark.operators.textops"):
+        caplog.clear()
+        got = {
+            r["doc_id"]: r["n_tokens_after"]
+            for r in dedup_substrings_auto(
+                sparse, window_tokens=L, min_run=R
+            ).collect()
+        }
+        assert "-> pruned branch" in caplog.text
+    # pruned semantics: no doc is a candidate, the short dup survives
+    assert got[2] == 26
+    exact = {
+        r["doc_id"]: r["n_tokens_after"]
+        for r in dedup_substrings(sparse, window_tokens=L).collect()
+    }
+    assert exact[2] == 20  # exact WOULD have cut it — the dial matters
+    long_run = " ".join(f"z{i}" for i in range(18))  # ≥ min_run tokens
+    dense = spark.createDataFrame(
+        [
+            (1, long_run + " one extra"),
+            (2, "prefix " + long_run),
+            (3, long_run),
+            (4, " ".join(f"u{i}" for i in range(12))),
+        ],
+        "doc_id long, text string",
+    )
+    with caplog.at_level(logging.INFO, "rehiver_spark.operators.textops"):
+        caplog.clear()
+        out = dedup_substrings_auto(dense, window_tokens=L, min_run=R)
+        rows = {r["doc_id"]: r["n_tokens_after"] for r in out.collect()}
+        assert "-> exact branch" in caplog.text  # density 3/4 > 0.2
+    assert rows == {
+        r["doc_id"]: r["n_tokens_after"]
+        for r in dedup_substrings(dense, window_tokens=L).collect()
+    }
