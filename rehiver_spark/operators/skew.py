@@ -1,14 +1,32 @@
 """Skew mitigation: salted joins for pathological key distributions.
 
-AQE's skew-join splitting (on by default in ``session.get_spark``)
-handles most skew at runtime; this operator is the explicit form for
-cases AQE can't fix — e.g. a single key holding >50% of a 100 TB fact
-table, where even a split partition floods one join side.
-
 ``salted_join`` replicates the SMALL side ``salt`` times and scatters
 the large side across the replicas with a deterministic hash, so the
 hot key's rows spread over ``salt`` tasks. Results are identical to
 the unsalted join (verified in tests); cost is small-side × salt.
+
+WHEN to use what (measured round 7, BASELINE.md — 6M-row fact with a
+single key holding 60% of rows, SMJ against a 1k dim, AQE skew split
+verified firing via ``SortMergeJoin(skew=true)`` in the final plan):
+
+1. **Broadcast first.** If the small side fits the broadcast
+   threshold, there is no shuffle and key skew is moot (0.24 s vs
+   1.88 s unmitigated in the fixture).
+2. **Then AQE's skew-join** (on by default in ``session.get_spark``).
+   It beat explicit salting on the exact single-hot-key scenario this
+   module was written for (0.79 s vs 1.12–1.24 s): AQE splits only
+   the oversized partition and replicates only the MATCHING
+   small-side partition, where salting replicates the whole small
+   side ``salt``× and re-hashes every large-side row. Mind the
+   trigger conditions: post-shuffle SMJ only, partition >
+   ``skewedPartitionThresholdInBytes`` (256MB default) AND >
+   ``skewedPartitionFactor``× the median — at small scale lower the
+   thresholds or it silently never fires.
+3. **Explicit salting** (this operator) for what AQE skew-join does
+   NOT cover: skewed AGGREGATIONS (AQE splits join partitions only —
+   pre-aggregate on (key, salt) then re-aggregate), paths with AQE
+   disabled, and stream-static joins (no AQE re-plan inside a
+   micro-batch).
 """
 
 from __future__ import annotations
