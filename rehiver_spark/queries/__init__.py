@@ -90,6 +90,11 @@ _R8_COMMITTED = (
     "c10b_except_all", "c11_string", "c12_datetime", "c13_math",
     "c14_array", "c15_json", "c16_dedup", "c18_pandas_udf",
     "x39_hybrid_search", "x40_source_overlap",
+    # touched LATE in round 7 (after the r7 window shipped): the
+    # charlm Arrow rewrite — rule 2 sends it to the next window
+    # (its r6 driver row covers the join form, which remains the
+    # oracle-shaped twin and is equivalence-tested against arrow)
+    "x25_charlm_quality",
 )
 _DRIVER_WINDOW = (
     # 10 hash-checked r4-row holders (rule 1) — FIRST

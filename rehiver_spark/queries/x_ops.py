@@ -1643,11 +1643,14 @@ def x24_url_dedup(spark, sf_dir):
     """,
 )
 def x25_charlm_quality(spark, sf_dir):
-    """X25 (CCNet quality filter, relational form): add-one-smoothed
-    char-bigram LM trained on the corpus, per-doc cross-entropy. The
-    model is two broadcast aggregate tables (size ≤ charset², corpus-
-    independent) + a scalar vocab; scoring is map-side. High scores =
-    boilerplate/junk/wrong-language outliers."""
+    """X25 (CCNet quality filter): add-one-smoothed char-bigram LM
+    trained on the corpus, per-doc cross-entropy. Arrow impl (r7):
+    the charset²-bounded model (≤254 bigrams here) is trained from
+    per-batch vectorized partial counts and collected behind a driver
+    guard; scoring is ONE map-only Arrow pass — zero corpus-row
+    shuffles (sf10 48.8 → 4.5 s; BASELINE round-7 row). The join form
+    stays as the oracle-shaped twin, bit-equality test-pinned. High
+    scores = boilerplate/junk/wrong-language outliers."""
     d = tables(spark, sf_dir, ["documents"])["documents"]
     return charlm_score(d.select("doc_id", "text"))
 

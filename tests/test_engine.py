@@ -162,7 +162,7 @@ def test_driver_window_round7_rotation():
         "x10_ivf_topk", "x11_chunking", "x12_redact_pii",
         "x13_stratified_sample", "x15_contamination",
         "x20_training_mix", "x21_winnow_contamination", "x22_semdedup",
-        "x23_span_dedup", "x24_url_dedup", "x25_charlm_quality",
+        "x23_span_dedup", "x24_url_dedup",
         "x26_quantize_int8", "x27_line_dedup", "x28_incremental_dedup",
         "x31_semantic_decontamination", "x32_corpus_report",
         "x33_quality_select", "x36_vocab_topk", "x37_chunk_reassembly",

@@ -944,3 +944,48 @@ def test_dedup_substrings_auto_crossover_decisions(spark, caplog):
         r["doc_id"]: r["n_tokens_after"]
         for r in dedup_substrings(dense, window_tokens=L).collect()
     }
+
+
+def test_charlm_score_arrow_equals_join(spark):
+    """The round-7 Arrow charlm path (vectorized code-point kernel +
+    driver-collected charset²-bounded model, zero corpus-row shuffles)
+    must reproduce the join form exactly on the real corpus — including
+    the HALF_UP 6-decimal rounding (np.round's banker's rounding would
+    silently diverge) — plus the edge rows: <2-char docs emit nothing,
+    astral chars count as single code points."""
+    from rehiver_spark.operators.textops import charlm_score
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (900001, "x"),          # 1 char: no bigram, no row
+            (900002, ""),           # empty
+            (900003, None),         # null
+            (900004, "\U0001F600\U0001F600ab"),  # astral bigrams
+        ],
+        "doc_id long, text string",
+    )
+    src = d.unionByName(edge)
+    key = lambda r: (r["doc_id"], r["n_bigrams"], r["cross_entropy"])  # noqa: E731
+    a = sorted(map(key, charlm_score(src, impl="arrow").collect()))
+    j = sorted(map(key, charlm_score(src, impl="join").collect()))
+    assert a == j
+    ids = {r[0] for r in a}
+    assert 900004 in ids and not {900001, 900002, 900003} & ids
+
+
+def test_charlm_score_arrow_model_guard_falls_back(spark):
+    """max_model_rows=1 forces the fallback: the arrow impl must
+    return the join form's result rather than collecting an unbounded
+    model to the driver."""
+    from rehiver_spark.operators.textops import charlm_score
+
+    df = spark.createDataFrame(
+        [(1, "abcab"), (2, "xyz")], "doc_id long, text string"
+    )
+    key = lambda r: (r["doc_id"], r["n_bigrams"], r["cross_entropy"])  # noqa: E731
+    got = sorted(map(key, charlm_score(df, impl="arrow", max_model_rows=1).collect()))
+    want = sorted(map(key, charlm_score(df, impl="join").collect()))
+    assert got == want
