@@ -332,3 +332,30 @@ def test_x57b_pruned_fingerprint_phase_shape(spark, queries):
     p = plan_of(queries["x57b_substring_dedup_pruned"](spark, SF))
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_x22b_adaptive_semdedup_has_no_cartesian_pair_stage(spark, queries):
+    """The k∝N dial must keep the SemDeDup scaling shape: centroid
+    assignment broadcasts the (√N-sized) centroid table, and the pair
+    stage is an equi-join keyed on cell_id — never a cartesian
+    product. (The one crossJoin in the lineage is the broadcast
+    centroid scoring, which is the documented N×k assignment.)"""
+    p = plan_of(queries["x22b_semdedup_scaled"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p or "BuildRight" in p
+    # the within-cell pair join is a real equi-join on cell_id
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_x25_arrow_scoring_pass_is_map_only(spark):
+    """The round-7 charlm rewrite exists to remove the per-char
+    shuffle: the scoring DataFrame's plan must contain no aggregate,
+    no window, and no join — one Arrow eval over the scan (plus at
+    most the ensure_parallelism round-robin repartition)."""
+    from rehiver_spark.operators.textops import charlm_score
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    p = plan_of(charlm_score(d, impl="arrow"))
+    for node in ("HashAggregate", "SortMergeJoin", "Window", "CartesianProduct"):
+        assert node not in p, f"{node} leaked into the arrow scoring pass"
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
