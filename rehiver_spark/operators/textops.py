@@ -943,7 +943,11 @@ def charlm_score(
     carries ~charset² rows PER BATCH, not per char) and collected to
     the driver behind a ``max_model_rows`` guard; scoring is then one
     map-only Arrow pass — per-doc gram codes, vectorized log-prob
-    lookup, ordered in-doc sum. ZERO corpus-row shuffles end to end.
+    lookup, ordered in-doc sum. No per-char rows ever cross the wire
+    (the only corpus-row movement left is ensure_parallelism's
+    round-robin repartition on few-file inputs, input-row-sized;
+    absent when the source is already parallel — sf10 receipts:
+    9.9 MB → 0.2 MB shuffle write, BASELINE.md round 7).
     The previous formulation (kept as ``impl="join"``, the
     oracle-shaped twin) exploded one row per corpus character and
     re-grouped it per doc — profiled at sf10 (500k docs): 14.4 s for
