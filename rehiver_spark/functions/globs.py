@@ -23,14 +23,17 @@ README — tests/index.test.ts:25-126, README.md:66-81):
 - extglobs ``@(a|b)`` ``?(x)`` ``*(x)`` ``+(x)`` ``!(x)`` — alternates
   may nest wildcards/classes/extglobs; ``!(p)`` means "a segment run
   that does not entirely match p". Exact bash parity when the extglob
-  ends its segment, when the trailing context is a fixed literal
-  (``!(foo)bar`` — the split is unique, so the exclusion is exact),
-  and for a lone trailing ``*`` (``!(p)*`` ≡ ``*`` whenever p cannot
-  match empty — the empty run always refutes p). The one REMAINING
-  divergence: wildcard-bearing trailing context (``!(foo)b*``), where
-  bash's per-split run≠p check needs variable-width lookbehind that
-  Python ``re`` lacks — matched permissively, pinned against real
-  bash in tests/test_globs.py.
+  ends its segment, when its TOP-LEVEL trailing context is a fixed
+  literal (``!(foo)bar`` — the split is unique, so the exclusion is
+  exact; bare ``+``/``@``/``!``/``,`` count as literal since they only
+  open constructs before ``(``), and for a lone trailing ``*``
+  (``!(p)*`` ≡ ``*`` whenever p cannot match empty — the empty run
+  always refutes p, in any context). Remaining PERMISSIVE cases, both
+  pinned against real bash in tests/test_globs.py: wildcard-bearing
+  trailing context (``!(foo)b*`` — bash's per-split run≠p check needs
+  variable-width lookbehind that Python ``re`` lacks) and ``!()``
+  nested inside another extglob with following context
+  (``@(!(foo)bar)baz`` — the segment-end anchor is meaningless there).
 - POSIX classes ``[[:alpha:]]`` etc. inside bracket expressions
 - options: ``dot`` (match dotfiles), ``nocase``
 
@@ -63,9 +66,13 @@ _RANGE_RE = re.compile(
     r"^(?:(-?\d+)\.\.(-?\d+)|([A-Za-z])\.\.([A-Za-z]))(?:\.\.(-?\d+))?$"
 )
 
-# any char that can open a glob construct — a remainder free of these
-# is a fixed literal suffix (unique-split guarantee for `!(p)rest`)
-_GLOB_META_RE = re.compile(r"[*?\[\](){}|!@+:\\,]")
+# any char that can open a glob construct in remainder position — a
+# remainder free of these is a fixed literal suffix (the unique-split
+# guarantee for `!(p)rest`). '@'/'!'/'+' are only special before '('
+# and '(' is itself in the class, so bare occurrences stay literal
+# ('!(foo)+bar' keeps its exact form); ':' stays in the class because
+# capture mode turns ':name' into a group.
+_GLOB_META_RE = re.compile(r"[*?\[\](){}|:\\]")
 
 
 def _expand_range(body: str) -> list[str] | None:
@@ -226,7 +233,7 @@ def _parse_extglob_alts(pattern: str, i: int) -> tuple[list[str], int] | None:
     return None
 
 
-def _translate_one(pattern: str, dot: bool) -> str:
+def _translate_one(pattern: str, dot: bool, nested: bool = False) -> str:
     """Translate a single brace-free glob into an (unanchored) regex body."""
     out: list[str] = []
     i = 0
@@ -242,7 +249,9 @@ def _translate_one(pattern: str, dot: bool) -> str:
                 # alternates translate recursively with dot=True: the
                 # leading-dot guard applies to the segment as a whole
                 # (emitted below), not inside a nested alternate
-                body = "|".join(_translate_one(a, dot=True) for a in alts)
+                body = "|".join(
+                    _translate_one(a, dot=True, nested=True) for a in alts
+                )
                 if seg_start and not dot:
                     # bash/micromatch with dotglob off: an extglob at
                     # segment start never matches a dotfile, even when
@@ -263,7 +272,7 @@ def _translate_one(pattern: str, dot: bool) -> str:
                     # decided by the remainder of the SEGMENT:
                     seg_close = pattern.find("/", j)
                     rest = pattern[j:] if seg_close < 0 else pattern[j:seg_close]
-                    if not _GLOB_META_RE.search(rest):
+                    if not nested and not _GLOB_META_RE.search(rest):
                         # literal trailing context ⇒ the run|rest
                         # split is UNIQUE (rest is a fixed suffix),
                         # so excluding "segment == p·rest" IS the
@@ -271,7 +280,11 @@ def _translate_one(pattern: str, dot: bool) -> str:
                         # accepts 'foofoobar'. rest == '' is the
                         # end-of-segment case (same form, exact all
                         # along). Pinned against real bash in
-                        # tests/test_globs.py.
+                        # tests/test_globs.py. TOP LEVEL ONLY: the
+                        # (?:/|$) anchor is meaningless inside an
+                        # enclosing extglob whose own context
+                        # continues past this alternate — there the
+                        # permissive form below applies instead.
                         lit = "".join(_escape(ch) for ch in rest)
                         out.append(f"(?:(?!(?:{body}){lit}(?:/|$))[^/]*)")
                     elif rest == "*" and not re.fullmatch(f"(?:{body})", ""):

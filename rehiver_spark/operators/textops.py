@@ -1018,11 +1018,14 @@ def charlm_score(
 
 def _batch_gram_codes(texts):
     """Vectorized char-bigram extraction for one Arrow batch: returns
-    (codes, doc_idx, doc_lens) where ``codes`` is the uint64
+    (codes, doc_idx, doc_lens, chars) where ``codes`` is the uint64
     (hi<<32|lo) code-point-pair encoding of every in-doc bigram in
-    document order, ``doc_idx`` maps each code to its row, and
-    ``doc_lens`` is per-row bigram counts. Code-point semantics by
-    construction (utf-32 == Python ord == Spark/DuckDB substr)."""
+    document order, ``doc_idx`` maps each code to its row,
+    ``doc_lens`` is per-row bigram counts, and ``chars`` is the raw
+    per-char code-point array (returned so the training kernel does
+    not re-join/re-encode the batch a second time). Code-point
+    semantics by construction (utf-32 == Python ord == Spark/DuckDB
+    substr)."""
     import numpy as np
 
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
@@ -1030,7 +1033,7 @@ def _batch_gram_codes(texts):
     arr = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
     if len(arr) == 0:
         e = np.empty(0, dtype=np.int64)
-        return e.astype(np.uint64), e, np.maximum(lens - 1, 0)
+        return e.astype(np.uint64), e, np.maximum(lens - 1, 0), arr
     pair = (arr[:-1].astype(np.uint64) << np.uint64(32)) | arr[1:].astype(
         np.uint64
     )
@@ -1041,7 +1044,7 @@ def _batch_gram_codes(texts):
     valid[ends - 1] = False  # last char of each doc opens no bigram
     valid = valid[:-1]
     doc_of_pos = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
-    return pair[valid], doc_of_pos[:-1][valid], np.maximum(lens - 1, 0)
+    return pair[valid], doc_of_pos[:-1][valid], np.maximum(lens - 1, 0), arr
 
 
 def _charlm_score_arrow(
@@ -1066,11 +1069,9 @@ def _charlm_score_arrow(
 
         for pdf in batches:
             texts = ["" if t is None else t for t in pdf["_nt"]]
-            codes, _, _ = _batch_gram_codes(texts)
+            codes, _, _, arr = _batch_gram_codes(texts)
             bg, cnt = np.unique(codes, return_counts=True)
-            chars = np.unique(
-                np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
-            )
+            chars = np.unique(arr)  # reuse — no second join+encode pass
             yield pd.DataFrame(
                 {
                     "kind": np.concatenate(
@@ -1098,24 +1099,33 @@ def _charlm_score_arrow(
     )
     # the shuffle here carries ~charset² rows per BATCH (pre-combined
     # in the kernel), never one row per corpus char
-    model_rows = (
+    model_df = (
         parts.filter(F.col("kind") == 0)
         .groupBy("code")
         .agg(F.sum("cnt").alias("cb"))
-        .collect()
     )
-    if len(model_rows) > max_model_rows:
+    # guard BEFORE collecting: a bounded fetch decides whether the
+    # model fits the driver — collecting first and counting after
+    # would be the exact OOM the guard exists to prevent
+    probe = model_df.limit(max_model_rows + 1).collect()
+    if len(probe) > max_model_rows:
         logging.getLogger(__name__).warning(
-            "charlm_score: %d distinct bigrams exceeds max_model_rows=%d; "
+            "charlm_score: distinct bigrams exceed max_model_rows=%d; "
             "falling back to impl='join'",
-            len(model_rows), max_model_rows,
+            max_model_rows,
         )
+        parts.unpersist()
         return None
+    model_rows = probe
     v = (
         parts.filter(F.col("kind") == 1)
         .select(F.countDistinct("code").alias("v"))
         .collect()[0]["v"]
     )
+    # both consumers of the persisted partial-counts relation are done
+    # (the scoring pass below reads `base`, not `parts`) — release the
+    # cache now instead of holding it to session-level eviction
+    parts.unpersist()
     cb = {r["code"]: r["cb"] for r in model_rows}
     cu: dict[int, int] = {}
     for code, c in cb.items():
@@ -1146,8 +1156,20 @@ def _charlm_score_arrow(
         lp_s = pd.Series(lp, dtype=np.float64)
         for pdf in batches:
             texts = ["" if t is None else t for t in pdf["_nt"]]
-            codes, doc_idx, nb = _batch_gram_codes(texts)
+            codes, doc_idx, nb, _ = _batch_gram_codes(texts)
             logs = lp_s.reindex(codes.astype(np.int64)).to_numpy()
+            if np.isnan(logs).any():
+                # the corpus is self-scored, so every bigram should be
+                # in the model — a miss means the input changed between
+                # the training job and this one (non-deterministic
+                # source: sample()/limit() lineage, rewritten files).
+                # Fail with the cause, not a downstream Decimal error.
+                raise ValueError(
+                    "charlm_score: scored bigram absent from the trained "
+                    "model — the input DataFrame is not deterministic "
+                    "between the model job and the scoring job; "
+                    "materialize it (persist/write) or use impl='join'"
+                )
             sums = np.zeros(len(texts), dtype=np.float64)
             np.add.at(sums, doc_idx, logs)
             keep = nb > 0  # <2-char docs emit no row (join-impl parity)
@@ -1824,7 +1846,9 @@ def dedup_substrings_auto(
     (~2/(w+1) density) shuffle — small next to the exact form's two
     corpus-token shuffles, and bounded regardless of which branch is
     worse. The measured envelope (BASELINE.md round-7 row): auto is
-    within 10% of the better branch at both sf0.1 and sf1.
+    within 10% of the WORSE branch at both sf0.1 and sf1 (the gate;
+    vs the better branch it reads 1.28× at sf0.1 and 1.09× at sf1 —
+    the probe is not free, it is bounded).
 
     ``density_cutoff`` defaults to 0.2 — between the measured 9%-wins
     and 32%-loses operating points. The decision is logged

@@ -638,7 +638,7 @@ def semdedup(
     Skew hardening — the within-cell pair join is O(pop²) per cell, so
     a hot cell is the one thing that can go quadratic:
 
-    - ``n_cells=None`` (default) picks ``ceil(sqrt(N))`` clamped to
+    - ``n_cells=None`` (default) picks ``floor(sqrt(N)) + 1`` clamped to
       [16, 65536] (one count job) — k grows with N as in the SemDeDup
       paper instead of a fixed 16.
     - ``max_cell_rows`` caps cell population by recursively splitting

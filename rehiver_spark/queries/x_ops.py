@@ -1432,7 +1432,7 @@ def x22_semdedup(spark, sf_dir):
 )
 def x22b_semdedup_scaled(spark, sf_dir):
     """X22's SCALE posture as its own oracle-pinned query (r6 verdict
-    task 2): the k∝N dial — n_cells=None picks ceil(sqrt(N)) clamped
+    task 2): the k∝N dial — n_cells=None picks floor(sqrt(N))+1 clamped
     to [16, 65536], so per-cell population stays ~constant and the
     within-cell pair join does N²/k ≈ N·√N̄ work instead of the
     fixed-16-cell N²/16 that x22's oracle shape deliberately measures

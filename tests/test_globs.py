@@ -273,9 +273,19 @@ def test_negated_extglob_embedded_context_bash_parity():
         ("foobar", "!(foo)", True, True),
         ("foo/x", "!(foo)/x", False, True),
         ("bar/x", "!(foo)/x", True, True),
+        # bare '+'/',' in the trailing context are literal (they only
+        # open constructs before '(') — still the exact class
+        ("foo+bar", "!(foo)+bar", False, True),
+        ("x+bar", "!(foo)+bar", True, True),
+        ("fooa,b", "!(foo)a,b", False, True),
+        ("xa,b", "!(foo)a,b", True, True),
+        ("xbarbaz", "@(!(foo)bar)baz", True, True),
         # the pinned PERMISSIVE remainder: wildcard trailing context —
-        # bash rejects 'foob' ('foo' is the only split), we accept
+        # bash rejects 'foob' ('foo' is the only split), we accept —
+        # and '!()' nested inside another extglob with following
+        # context, where the segment-end anchor cannot apply
         ("foob", "!(foo)b*", None, False),
+        ("foobarbaz", "@(!(foo)bar)baz", None, False),
         ("foobb", "!(foo)b*", True, True),
         ("fb", "!(foo)b*", True, True),
     ]

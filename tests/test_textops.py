@@ -827,7 +827,9 @@ def test_dedup_substrings_pruned_arrow_equals_expr(spark):
 
 def test_repetition_stats_whitespace_only_docs_emit_no_row(spark):
     """r6 advisor (high): Spark's trim strips only 0x20 spaces, so a
-    tab/newline/NBSP-only document slipped past the old trim!=''
+    tab/newline-only document slipped past the old trim!=''
+    (NBSP is NOT in Java's ASCII \\s, so an NBSP-only doc tokenizes to
+    one token on both engines and was never in this failure class)
     empty-doc filter with ZERO tokens and the ratio divisions raised
     DIVIDE_BY_ZERO under ANSI mode. The rlike('\\S') filter matches
     tokenize's \\s semantics: zero-token docs emit no row, non-empty
