@@ -957,6 +957,15 @@ def charlm_score(
     arrow impl falls back to the join form (a corpus whose charset²
     outgrows the driver is not a char-bigram use case).
 
+    Determinism contract (arrow impl): training and scoring are two
+    separate jobs over the SAME input plan, so the input must be
+    deterministic between them — ``persist()`` or write it first if
+    its lineage involves ``sample()``/``limit()``/changing files.
+    Violations are detected only when the re-read corpus produces a
+    bigram absent from the trained model (then a loud ValueError);
+    a drifted input whose new bigrams all exist in the stale model
+    scores silently against stale counts.
+
     Exact and portable: ln/+1 smoothing reproduce in DuckDB; sums are
     rounded at 6; bigram/char splits are code-point semantics on every
     engine (numpy utf-32 == Python ord == Spark/DuckDB substr).
@@ -1645,7 +1654,7 @@ def dedup_substrings_pruned(
     occurrence; equivalence test-pinned), so the oracle twin
     certifies both.
     """
-    src, base, cand_docs = _winnow_candidates(
+    src, base, cand_docs, _fp_occ = _winnow_candidates(
         df, id_col, text_col, window_tokens, min_run, impl
     )
     return _assemble_pruned(
@@ -1665,9 +1674,12 @@ def _winnow_candidates(
     selection and candidate-doc identification. Shared by
     :func:`dedup_substrings_pruned` and :func:`dedup_substrings_auto`
     (whose decision probe IS this stage, so choosing the pruned branch
-    wastes nothing). Returns (src, base, cand_docs); the fingerprint
-    occurrences and candidate set are persisted (2-3 consumers each —
-    see the persist note inline)."""
+    wastes nothing). Returns (src, base, cand_docs, fp_occ); the
+    fingerprint occurrences and candidate set are persisted (2-3
+    consumers each — see the persist note inline). ``fp_occ`` is
+    returned so a caller that abandons this stage (the auto dial's
+    exact branch) can unpersist BOTH relations promptly instead of
+    leaving them to the track_persist high-water eviction."""
     from rehiver_spark.functions.hashing import md5_hash60
 
     L, R = window_tokens, min_run
@@ -1787,7 +1799,7 @@ def _winnow_candidates(
     cand_docs = track_persist(
         fp_occ.join(dup_fp, "fp", "left_semi").select(id_col).distinct()
     )
-    return src, base, cand_docs
+    return src, base, cand_docs, fp_occ
 
 
 def _assemble_pruned(
@@ -1858,10 +1870,17 @@ def dedup_substrings_auto(
     ``density_cutoff`` (the coarser guarantee would buy nothing),
     pruned's ≥``min_run`` guarantee otherwise — crossover and
     branch-equivalence are property-tested in tests/test_textops.py.
+
+    NOTE: unlike every other operator in this module, this call is
+    EAGER — the density probe runs two count() jobs (src rows,
+    candidate docs) before returning the still-lazy result plan.
+    When the exact branch wins, the probe's persisted stage-1
+    relations have no remaining consumer and are unpersisted here
+    immediately (not left to the session high-water eviction).
     """
     import logging
 
-    src, base, cand_docs = _winnow_candidates(
+    src, base, cand_docs, fp_occ = _winnow_candidates(
         df, id_col, text_col, window_tokens, min_run, impl
     )
     n_docs = src.count()
@@ -1874,6 +1893,12 @@ def dedup_substrings_auto(
         n_cand, n_docs, density, density_cutoff, chosen,
     )
     if chosen == "exact":
+        # stage-1 relations are probe-only on this branch — release
+        # their cached partitions now (the pruned branch instead reuses
+        # both in the result plan, where unpersisting early would void
+        # the persist)
+        fp_occ.unpersist()
+        cand_docs.unpersist()
         return dedup_substrings(src, id_col, text_col, window_tokens)
     return _assemble_pruned(
         src, base, cand_docs, id_col, text_col, window_tokens
