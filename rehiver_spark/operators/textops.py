@@ -190,7 +190,10 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Gopher-style repetition quality signals per document:
 
@@ -201,17 +204,34 @@ def repetition_stats(
     High top-gram fractions flag boilerplate/spam (repeated nav text,
     keyword stuffing) — the standard pre-training repetition filters.
 
-    Plan: entirely MAP-SIDE — no explode, no shuffle. The stats a doc
-    needs are all within-row: totals are array sizes, distinct counts
-    come from ``array_distinct``, and the top-gram multiplicity is the
-    longest run of a sorted copy of the gram array (``array_sort`` +
-    one run-length fold, O(n log n) per row, whole-stage codegen).
-    The exploded formulation shuffles the full gram multiset on
-    (doc, gram) — keys that are nearly unique, so partial aggregation
-    reduces nothing and every token crosses the wire; at 100 TB that is
-    the whole corpus re-shuffled for a per-row answer. Documents with
-    zero tokens produce no output row (nothing to measure).
+    Plan: entirely MAP-SIDE — no explode, no shuffle, in BOTH impls.
+    The stats a doc needs are all within-row. The exploded formulation
+    would shuffle the full gram multiset on (doc, gram) — keys that
+    are nearly unique, so partial aggregation reduces nothing and
+    every token crosses the wire; at 100 TB that is the whole corpus
+    re-shuffled for a per-row answer. Documents with zero tokens
+    produce no output row (nothing to measure).
+
+    ``impl="arrow"`` (default, round 8 — the x25 playbook): text is
+    normalized JVM-side (``normalize_text`` — trim/``\\s+``-collapse/
+    lower stay on Java semantics: ASCII-only ``\\s``, 0x20-only trim,
+    UTF8String lowercasing; nothing Unicode-sensitive is re-implemented
+    in Python), then ONE mapInPandas pass splits on the single space
+    the normalization guarantees and computes all four stats via
+    factorize + np.unique — C-speed hash/sort kernels. The expression
+    form (kept as ``impl="expr"``, the oracle-shaped twin) pays Spark's
+    interpreted higher-order functions: the run-length ``aggregate``
+    fold, the ``zip_with`` bigram build and the per-element lambda
+    evaluation are NOT whole-stage-codegen'd — profiled as the
+    largest remaining sf10 outlier (12.8 s, 27× growth at 100× data,
+    BASELINE.md round 7). Bit-identical outputs (equal integer counts
+    → identical IEEE double quotients; equivalence test-pinned), so
+    the oracle twin certifies both.
     """
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    if impl == "arrow":
+        return _repetition_stats_arrow(df, text_col, id_col)
 
     def max_multiplicity(arr: Column) -> Column:
         """Longest run in the sorted array == max element multiplicity."""
@@ -260,6 +280,101 @@ def repetition_stats(
         (F.size(F.array_distinct("_tk")) / F.size("_tk")).alias("distinct_token_ratio"),
         (max_multiplicity(F.col("_tk")) / F.size("_tk")).alias("top_token_frac"),
         (max_multiplicity(F.col("_bg")) / F.size("_bg")).alias("top_bigram_frac"),
+    )
+
+
+def _repetition_stats_arrow(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Arrow path of :func:`repetition_stats` — see its docstring.
+
+    Parity notes (the reasons this is bit-identical to the expr form):
+
+    - the JVM does ALL Unicode-sensitive work (``normalize_text``);
+      the kernel receives a string whose only separator is 0x20, so
+      ``str.split(" ")`` + drop-empties reproduces ``tokens()``
+      exactly (Python and Java agree on literal-space splitting with
+      trailing empties kept-then-filtered);
+    - word bigrams are counted as CODE PAIRS of factorized tokens —
+      tokens cannot contain spaces post-normalization, so pair
+      identity ≡ the expr form's ``concat_ws(" ", a, b)`` string
+      identity; a 1-token doc contributes its single token as its one
+      "gram" (``word_ngrams``'s short-text rule) → frac 1.0, which is
+      the kernel's multiplicity-init value;
+    - ratios are int64/int64 true division in float64 — identical
+      IEEE operation to Spark's double Divide on the same exact
+      integers (callers round JVM-side, so rounding parity is moot).
+    """
+    from rehiver_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    df = ensure_parallelism(df)
+    # same scan-level empty-doc gate as the expr form (see its inline
+    # note: rlike('\\S') on the RAW column stays a pushdown and is ⟺
+    # tokens(text) non-empty, so every kernel row has ≥1 token)
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
+    ).select(F.col(id_col), normalize_text(F.col(text_col)).alias("_nt"))
+    id_dt = base.schema[id_col].dataType.simpleString()
+
+    def _stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf["_nt"]
+            n_docs = len(texts)
+            if n_docs == 0:
+                continue
+            tok_flat: list[str] = []
+            lens = np.empty(n_docs, dtype=np.int64)
+            for j, t in enumerate(texts):
+                tk = [x for x in t.split(" ") if x]
+                tok_flat.extend(tk)
+                lens[j] = len(tk)
+            codes, uniq = pd.factorize(np.asarray(tok_flat, dtype=object))
+            codes = codes.astype(np.int64, copy=False)
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            # per-(doc, token) multiplicities via one sort: key packs
+            # (doc, code) into int64 — nu ≤ batch tokens and doc_idx ≤
+            # batch rows, so the product is far below 2**63 for any
+            # batch that fits in memory
+            nu = np.int64(max(len(uniq), 1))
+            uk, cnt = np.unique(doc_idx * nu + codes, return_counts=True)
+            doc_of = uk // nu
+            dst = np.bincount(doc_of, minlength=n_docs)
+            top = np.zeros(n_docs, dtype=np.int64)
+            np.maximum.at(top, doc_of, cnt)
+            # bigrams: adjacent token-code pairs within a doc,
+            # re-factorized to keep the (doc, pair) pack small
+            same = doc_idx[:-1] == doc_idx[1:]
+            pair = codes[:-1][same] * nu + codes[1:][same]
+            dpair = doc_idx[:-1][same]
+            btop = np.ones(n_docs, dtype=np.int64)  # 1-token docs: 1/1
+            if len(pair):
+                pcodes, puniq = pd.factorize(pair)
+                npu = np.int64(len(puniq))
+                uk2, cnt2 = np.unique(
+                    dpair * npu + pcodes.astype(np.int64), return_counts=True
+                )
+                np.maximum.at(btop, uk2 // npu, cnt2)
+            btotal = np.maximum(lens - 1, 1)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(
+                        pdf[id_col].to_numpy(), dtype=pdf[id_col].dtype
+                    ),
+                    "n_tokens": lens,
+                    "distinct_token_ratio": dst / lens,
+                    "top_token_frac": top / lens,
+                    "top_bigram_frac": btop / btotal,
+                }
+            )
+
+    return base.mapInPandas(
+        _stats,
+        f"{id_col} {id_dt}, n_tokens bigint, distinct_token_ratio double, "
+        "top_token_frac double, top_bigram_frac double",
     )
 
 

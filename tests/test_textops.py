@@ -948,6 +948,51 @@ def test_dedup_substrings_auto_crossover_decisions(spark, caplog):
     }
 
 
+def test_repetition_stats_arrow_equals_expr(spark):
+    """The round-8 Arrow repetition kernel (JVM-normalized text →
+    split/factorize/np.unique stats) must reproduce the expression
+    form bit-for-bit on the real corpus plus the edge rows: empty /
+    null / ASCII-whitespace-only docs emit nothing (the rlike gate),
+    1-token docs take top_bigram_frac 1.0 (word_ngrams' short-text
+    rule), repeated multi-space/tab runs collapse identically, and
+    astral chars ride through the JVM normalization untouched."""
+    from rehiver_spark.operators.textops import repetition_stats
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (900001, "one"),              # 1 token → bigram frac 1.0
+            (900002, ""),                 # no row
+            (900003, None),               # no row
+            (900004, "\t\n \x0b\f\r"),    # ASCII-ws only: no row
+            (900005, "a a a b"),          # top token 3/4, bigram 2/3
+            (900006, "  A B   a b  "),    # case-fold + collapse
+            (900007, "\U0001F600 \U0001F600 x y x y x y"),
+            (900008, "tab\tsep\ttab\tsep"),
+            (900009, " "),           # NBSP is \S → one token
+        ],
+        "doc_id long, text string",
+    )
+    src = d.unionByName(edge)
+    cols = [
+        "doc_id", "n_tokens", "distinct_token_ratio",
+        "top_token_frac", "top_bigram_frac",
+    ]
+    key = lambda r: tuple(r[c] for c in cols)  # noqa: E731
+    a = sorted(map(key, repetition_stats(src, impl="arrow").collect()))
+    e = sorted(map(key, repetition_stats(src, impl="expr").collect()))
+    assert a == e
+    got = {r[0]: r for r in a}
+    assert not {900002, 900003, 900004} & set(got)
+    assert got[900001] == (900001, 1, 1.0, 1.0, 1.0)
+    assert got[900005] == (900005, 4, 0.5, 0.75, 2 / 3)
+    assert got[900009][1] == 1
+    with pytest.raises(ValueError, match="impl"):
+        repetition_stats(src, impl="bogus")
+
+
 def test_charlm_score_arrow_equals_join(spark):
     """The round-7 Arrow charlm path (vectorized code-point kernel +
     driver-collected charset²-bounded model, zero corpus-row shuffles)
