@@ -347,6 +347,19 @@ def test_x22b_adaptive_semdedup_has_no_cartesian_pair_stage(spark, queries):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_x16_arrow_stats_pass_is_map_only(spark):
+    """The round-8 repetition rewrite exists to keep the per-doc stats
+    map-side at C speed: the arrow DataFrame's plan must contain no
+    aggregate, no window, no join — one Arrow eval over the scan (plus
+    at most the ensure_parallelism round-robin repartition)."""
+    from rehiver_spark.operators.textops import repetition_stats
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    p = plan_of(repetition_stats(d, impl="arrow"))
+    for node in ("HashAggregate", "SortMergeJoin", "Window", "CartesianProduct"):
+        assert node not in p
+
+
 def test_x25_arrow_scoring_pass_is_map_only(spark):
     """The round-7 charlm rewrite exists to remove the per-char
     shuffle: the scoring DataFrame's plan must contain no aggregate,

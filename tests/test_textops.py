@@ -948,6 +948,33 @@ def test_dedup_substrings_auto_crossover_decisions(spark, caplog):
     }
 
 
+def test_x57c_query_matches_dispatched_branch(spark, caplog):
+    """The REGISTERED auto-dial query (x57c, round 8) must emit exactly
+    what the branch it dispatched to emits — the forced-branch
+    equivalence tests above, extended to the query shape the driver
+    actually runs (same L/R constants, same sha16 projection)."""
+    import logging
+
+    from rehiver_spark.queries import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    with caplog.at_level(logging.INFO, "rehiver_spark.operators.textops"):
+        caplog.clear()
+        got = sorted(
+            map(tuple, QUERIES["x57c_substring_dedup_auto"](spark, sf).collect())
+        )
+        assert "dedup_substrings_auto" in caplog.text
+        branch = "exact" if "-> exact branch" in caplog.text else "pruned"
+    ref = (
+        "x57_substring_dedup"
+        if branch == "exact"
+        else "x57b_substring_dedup_pruned"
+    )
+    want = sorted(map(tuple, QUERIES[ref](spark, sf).collect()))
+    assert got == want
+
+
 def test_repetition_stats_arrow_equals_expr(spark):
     """The round-8 Arrow repetition kernel (JVM-normalized text →
     split/factorize/np.unique stats) must reproduce the expression
