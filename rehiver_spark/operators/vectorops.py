@@ -494,6 +494,102 @@ def ivf_topk(
         .select(query_id, corpus_id, "cosine", "rank")
     )
 
+def _assign_cells_arrow(normed: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-only nearest-centroid assignment for :func:`semdedup`
+    (round 8): the centroid table is collected to the driver (bounded
+    by the [16, 65536] k clamp × dim doubles — ≤ 32 MB at the clamp
+    with dim 64, the kmeans `_arrow_assign` pattern) and embedded in
+    ONE vectorized kernel, so the corpus crosses Arrow once (vector in,
+    cell id out) instead of materializing N×k joined rows — each
+    carrying BOTH vectors — through an interpreted fold and a
+    row_number shuffle. At the k clamp the per-row cost is k·d
+    multiply-adds in C; the flat-assignment wall at 100 TB is therefore
+    compute, not the N×k row blowup the expr plan pays.
+
+    Bit parity with the expr form (equivalence test-pinned):
+
+    - scores accumulate SEQUENTIALLY over dimensions (one ``+=`` per
+      dimension over the batch×k block) — the exact left-to-right
+      fold ``aggregate(zip_with(v, c, *), 0.0, +)`` computes, never
+      numpy's pairwise-summed ``dot``/``matmul`` whose different
+      rounding order could flip near-tie argmaxes;
+    - centroids are sorted by cell_id ASC, and ``np.argmax`` takes the
+      FIRST maximum → the window's (score DESC, cell_id ASC) tiebreak;
+      NaN scores (a zero-vector centroid) propagate and ``argmax``
+      returns the first NaN column — the same hijack Spark's
+      NaN-sorts-greatest ordering produces;
+    - structurally invalid rows (NULL vector from l2_normalize's
+      zero-norm guard, wrong length, NULL element) take the SMALLEST
+      cell id, which is what NULLS-LAST scoring degenerates to in the
+      window form.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from rehiver_spark.session import ship_package
+
+    ship_package(normed.sparkSession)
+    crows = sorted(cents.collect(), key=lambda r: r["cell_id"])
+    if not crows:
+        raise ValueError("semdedup: empty centroid table")
+    cell_ids = np.asarray([r["cell_id"] for r in crows], dtype=np.int64)
+    dims = [len(r["_centv"]) for r in crows if r["_centv"] is not None]
+    d = max(dims) if dims else 0
+    # a NULL / wrong-dim centroid scores NULL against every row in the
+    # expr form → NULLS LAST → never chosen: model it as a −inf score
+    # column (zero-filled during accumulation, overridden after)
+    dead = np.asarray(
+        [r["_centv"] is None or len(r["_centv"]) != d
+         or any(x is None for x in r["_centv"]) for r in crows],
+        dtype=bool,
+    )
+    cmat = np.zeros((len(crows), d), dtype=np.float64)
+    for i, r in enumerate(crows):
+        if not dead[i]:
+            cmat[i] = np.asarray(list(r["_centv"]), dtype=np.float64)
+    k = len(crows)
+
+    def _cell(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=np.int64)
+        raw = vs.to_numpy()
+        ok = np.fromiter(
+            (
+                v is not None
+                and len(v) == d
+                and not any(x is None for x in v)
+                for v in raw
+            ),
+            dtype=bool,
+            count=len(raw),
+        )
+        out = np.full(len(raw), cell_ids[0], dtype=np.int64)
+        if ok.any():
+            x = np.vstack([np.asarray(v, dtype=np.float64) for v in raw[ok]])
+            picked = np.empty(len(x), dtype=np.int64)
+            # row-chunked so the rows×k score block stays ~L3-sized
+            # (at the 65536 clamp a full 10k-row batch block would be
+            # 5 GB); per-element order unchanged — bit parity holds
+            blk = max(1, (8 << 20) // (8 * k))
+            for s in range(0, len(x), blk):
+                xb = x[s : s + blk]
+                acc = np.zeros((len(xb), k), dtype=np.float64)
+                for j in range(d):
+                    # sequential per-dimension accumulation == the
+                    # expr fold's left-to-right sum, bit for bit
+                    acc += xb[:, j : j + 1] * cmat[:, j][None, :]
+                if dead.any():
+                    acc[:, dead] = -np.inf
+                picked[s : s + blk] = np.argmax(acc, axis=1)
+            out[ok] = cell_ids[picked]
+        return pd.Series(out)
+
+    _cell.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_cell, "bigint")
+    return normed.select("_id", udf(F.col("_v")).alias("cell_id"), "_v")
+
+
 def _assign_to_cells(rows: DataFrame, cents: DataFrame, n: int = 1) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (tiny) centroid table,
     per-id top-``n`` over centroid dot products (deterministic
@@ -615,6 +711,7 @@ def semdedup(
     max_cell_rows: int | str | None = "auto",
     max_split_rounds: int = 4,
     centroids: DataFrame | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings, then within each cluster
@@ -628,12 +725,32 @@ def semdedup(
     SQL. At scale the centroids would come from k-means on a sample;
     only the seeding changes, not the plan.
 
-    Plan shape (the SemDeDup scaling argument): centroid assignment is
-    one broadcast join over the tiny centroid table + a per-id argmax
-    window; the pair join is keyed on ``cell_id``, so comparisons are
-    N²/k within cells instead of N² overall, and the reduction to a
-    per-item max is a partial-aggregatable groupBy. No all-pairs stage
-    exists anywhere in the plan.
+    Plan shape (the SemDeDup scaling argument), ``impl="arrow"``
+    default since round 8 — both corpus-scale stages are vectorized
+    kernels, with the relational forms kept as the oracle-shaped
+    ``"expr"`` twin (bit-equality test-pinned):
+
+    - centroid assignment is MAP-ONLY (:func:`_assign_cells_arrow`):
+      the clamp-bounded centroid table is collected and embedded in
+      one kernel, so the corpus crosses Arrow once instead of
+      materializing N×k broadcast-join rows through an interpreted
+      fold + row_number window;
+    - the within-cell prior-max is ONE applyInPandas pass keyed on
+      ``cell_id`` (:func:`_prior_max_arrow`): comparisons stay N²/k
+      within cells, computed as a per-cell C matmul instead of pop²/2
+      interpreted pair rows. Measured at sf10 (240k vectors, k=491,
+      ~1.2e8 within-cell pairs): 727 s full-expr → 635 s arrow
+      assignment only → see BASELINE.md round 8 for the full-arrow
+      number. No all-pairs stage exists anywhere in the plan.
+
+    At the k clamp (k = 65536, N ≥ ~4.3e9) per-row assignment is k·d
+    multiply-adds — 4.2M flops/row at d=64, a vectorized-C cost that
+    scales linearly with N across executors; the expr form at that
+    point would materialize 65536 rows per input row, which is why
+    the arrow path is the default. If even k·d/row is too hot, fit
+    external ``centroids`` hierarchically (coarse ~√k cells → probe —
+    the :func:`ivf_topk` machinery) and pass them in; the dial is the
+    ``centroids`` parameter, not a semantics change.
 
     Skew hardening — the within-cell pair join is O(pop²) per cell, so
     a hot cell is the one thing that can go quadratic:
@@ -674,17 +791,42 @@ def semdedup(
         .limit(n_cells)
         .select(F.col(id_col).alias("cell_id"), l2_normalize(vec_col).alias("_centv"))
     )
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     normed = emb.select(F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v"))
-    assigned = _assign_to_cells(normed, cents)
+    if impl == "arrow":
+        assigned = _assign_cells_arrow(normed, cents)
+    else:
+        assigned = _assign_to_cells(normed, cents)
     if max_cell_rows is not None:
         assigned = _split_hot_cells(assigned, int(max_cell_rows), max_split_rounds)
+    prior = (
+        _prior_max_arrow(assigned)
+        if impl == "arrow"
+        else _prior_max_expr(assigned)
+    )
+    out = assigned.join(prior, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("cell_id").cast("bigint").alias("cell_id"),
+        F.coalesce(F.col("_maxprior"), F.lit(-1.0)).alias("max_prior_cosine"),
+        (F.coalesce(F.col("_maxprior"), F.lit(-1.0)) < F.lit(threshold)).alias("keep"),
+    )
+    return out
+
+
+def _prior_max_expr(assigned: DataFrame) -> DataFrame:
+    """Within-cell prior-max via the relational pair join — the
+    oracle-shaped twin of :func:`_prior_max_arrow`. ``assigned`` =
+    (_id, cell_id, _v); returns (_id, _maxprior) for every id that has
+    at least one lower-id cell member (NULL _maxprior when all its
+    pair cosines are NULL)."""
     a = assigned.select(
         F.col("_id").alias("_ida"), F.col("cell_id").alias("cell_id"), F.col("_v").alias("_va")
     )
     b = assigned.select(
         F.col("_id").alias("_idb"), F.col("cell_id").alias("cell_id"), F.col("_v").alias("_vb")
     )
-    prior = (
+    return (
         a.join(b, "cell_id")
         .filter(F.col("_ida") < F.col("_idb"))
         .select(
@@ -698,13 +840,97 @@ def semdedup(
         .groupBy("_id")
         .agg(F.max("_cos").alias("_maxprior"))
     )
-    out = assigned.join(prior, "_id", "left").select(
-        F.col("_id").alias(id_col),
-        F.col("cell_id").cast("bigint").alias("cell_id"),
-        F.coalesce(F.col("_maxprior"), F.lit(-1.0)).alias("max_prior_cosine"),
-        (F.coalesce(F.col("_maxprior"), F.lit(-1.0)) < F.lit(threshold)).alias("keep"),
+
+
+def _prior_max_arrow(assigned: DataFrame) -> DataFrame:
+    """Within-cell prior-max as ONE applyInPandas pass per cell
+    (round 8): the expr pair join materializes pop²/2 rows per cell —
+    each carrying BOTH 64-dim arrays — and evaluates every cosine
+    through Spark's interpreted HOF fold; at sf10 (240k rows, k=491,
+    ~1.2e8 pairs) that stage alone ran for minutes while the numpy
+    form computes the same cell in a few ms. Here the corpus shuffles
+    ONCE on cell_id (N rows — the same exchange the pair join needs
+    anyway, minus the second copy and the pair blowup) and each cell
+    computes its pop×pop cosine matrix in C.
+
+    Bit parity with the expr twin (equivalence test-pinned):
+
+    - cosines accumulate SEQUENTIALLY per dimension (the x25/x16
+      discipline — one ``+=`` per dimension over the pop×pop block),
+      bit-identical to the ``aggregate(zip_with)`` left-to-right fold;
+    - the per-member reduction is a plain max over the same float
+      set (order-independent), taken over strictly-lower ids; ids
+      sort ascending in the kernel — for string ids pandas' code-point
+      ordering equals Spark's UTF8 binary ``<`` (UTF-8 preserves
+      code-point order);
+    - NULL vectors (l2_normalize zero-norm) join every pair with a
+      NULL cosine in the expr form, so the kernel excludes them from
+      both sides and emits NULL _maxprior for them (→ the caller's
+      coalesce(-1.0)), and they never contribute to other members'
+      maxima.
+
+    Memory: pop² doubles per cell — ``max_cell_rows`` ("auto" = 16×
+    the expected cell size) bounds it; with the cap disabled a
+    degenerate all-one-cell input costs pop² memory where the expr
+    twin costs pop² ROWS through the exchange, so the kernel is never
+    the worse regime.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from rehiver_spark.session import ship_package
+
+    ship_package(assigned.sparkSession)
+    id_dt = assigned.schema["_id"].dataType.simpleString()
+
+    def _cell(pdf):
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        ids = pdf["_id"].to_numpy()
+        raw = pdf["_v"].to_numpy()
+        ok = np.fromiter((v is not None for v in raw), dtype=bool, count=len(raw))
+        mp = np.full(len(raw), np.nan, dtype=np.float64)
+        m = int(ok.sum())
+        if m >= 2:
+            v = np.vstack([np.asarray(x, dtype=np.float64) for x in raw[ok]])
+            vt = np.ascontiguousarray(v.T)  # contiguous per-dim rows
+            best = np.full(m, -np.inf, dtype=np.float64)
+            # COLUMN-BLOCKED accumulation: the d sequential += passes
+            # are the bit-parity contract, but they re-touch the whole
+            # score block every pass — an uncapped skewed cell
+            # (pop 12.8k at sf10) makes a pop×pop block 1.3 GB and the
+            # pass DRAM-bound (373 s for the stage). Bounding the
+            # block to ~8 MB keeps it L3-resident, so the same d
+            # passes run at cache speed; per-element arithmetic and
+            # order are IDENTICAL (each acc entry still sums its 64
+            # products left to right)
+            blk = max(1, min(m, (8 << 20) // (8 * m)))
+            for s in range(1, m, blk):
+                e_ = min(s + blk, m)
+                acc = np.zeros((m, e_ - s), dtype=np.float64)
+                for j in range(vt.shape[0]):
+                    acc += v[:, j : j + 1] * vt[j, s:e_][None, :]
+                # member s+c's prior candidates are rows a < s+c
+                valid = np.arange(m)[:, None] < np.arange(s, e_)[None, :]
+                acc[~valid] = -np.inf
+                best[s:e_] = acc.max(axis=0)
+            out = mp[ok]
+            out[~np.isinf(best)] = best[~np.isinf(best)]
+            mp[ok] = out
+        # NaN _maxprior (min id, null vectors, singleton cells) must
+        # come back as SQL NULL, not NaN — NaN survives coalesce and
+        # inverts `keep` (Spark sorts NaN above every double)
+        return pd.DataFrame(
+            {
+                "_id": ids,
+                "_maxprior": pd.Series(mp).astype(object).where(
+                    ~np.isnan(mp), None
+                ),
+            }
+        )
+
+    return assigned.groupBy("cell_id").applyInPandas(
+        _cell, f"_id {id_dt}, _maxprior double"
     )
-    return out
 
 
 def quantize_int8(

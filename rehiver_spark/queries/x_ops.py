@@ -1437,11 +1437,13 @@ def x22b_semdedup_scaled(spark, sf_dir):
     within-cell pair join does N²/k ≈ N·√N̄ work instead of the
     fixed-16-cell N²/16 that x22's oracle shape deliberately measures
     (600 rows → k=25 at sf0.01; 2,400 → k=49 at sf0.1). The hot-cell
-    cap is disabled here (max_cell_rows=None) so the plan is exactly
-    the SQL-expressible assignment + cell-keyed pair join; the cap is
-    the operator's separate skew hardening, test-pinned in
-    tests/test_vectorops.py and never binding on this corpus anyway
-    (it is 16× the expected cell size)."""
+    cap is disabled here (max_cell_rows=None) so the SEMANTICS are
+    exactly the SQL-expressible assignment + within-cell prior-max the
+    oracle re-derives; since round 8 the Spark side computes both
+    stages as bit-equivalent Arrow kernels (map-only assignment, one
+    applyInPandas prior-max per cell — vectorops.py), with the
+    relational twin kept as impl='expr'. The cap is the operator's
+    separate skew hardening, test-pinned in tests/test_vectorops.py."""
     corpus = _perturbed_embeddings(spark, sf_dir)
     out = semdedup(corpus, threshold=0.9, n_cells=None, max_cell_rows=None)
     return out.select(

@@ -336,13 +336,14 @@ def test_x57b_pruned_fingerprint_phase_shape(spark, queries):
 
 def test_x22b_adaptive_semdedup_has_no_cartesian_pair_stage(spark, queries):
     """The k∝N dial must keep the SemDeDup scaling shape: centroid
-    assignment broadcasts the (√N-sized) centroid table, and the pair
-    stage is an equi-join keyed on cell_id — never a cartesian
-    product. (The one crossJoin in the lineage is the broadcast
-    centroid scoring, which is the documented N×k assignment.)"""
+    assignment is the round-8 map-only Arrow kernel (the collected
+    √N-clamped centroid table rides inside one ArrowEvalPython — no
+    N×k join rows, no assignment window), and the pair stage is an
+    equi-join keyed on cell_id — never a cartesian product."""
     p = plan_of(queries["x22b_semdedup_scaled"](spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p or "BuildRight" in p
+    assert "ArrowEvalPython" in p  # the map-only assignment
     # the within-cell pair join is a real equi-join on cell_id
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
 

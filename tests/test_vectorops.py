@@ -298,6 +298,68 @@ def test_semdedup_auto_cap_respects_external_centroids(spark):
     assert sorted(pops.values()) == [50, 50, 50, 50]
 
 
+def test_semdedup_arrow_assignment_equals_expr(spark):
+    """The round-8 Arrow assignment (collected clamp-bounded centroids,
+    sequential per-dimension accumulation, argmax-first tiebreak) must
+    reproduce the broadcast-join + window form bit-for-bit — including
+    the edges: exact-duplicate vectors (score ties → smallest cell_id),
+    a zero vector (l2_normalize yields NULL → smallest cell id), and a
+    NULL centroid (NULLS-LAST: never chosen)."""
+    from rehiver_spark.operators.vectorops import semdedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pert = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    edge = spark.createDataFrame(
+        [
+            (990001, [0.0] * 64),              # zero vec → NULL normalized
+            (990002, [1.0] * 64),
+            (990003, [1.0] * 64),              # exact dup: argmax tie
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(pert).unionByName(edge)
+    key = lambda r: (  # noqa: E731
+        r["vec_id"], r["cell_id"], r["max_prior_cosine"], r["keep"]
+    )
+    kw = dict(n_cells=None, max_cell_rows=None)
+    a = sorted(map(key, semdedup(corpus, impl="arrow", **kw).collect()))
+    x = sorted(map(key, semdedup(corpus, impl="expr", **kw).collect()))
+    assert a == x
+    # the zero vector lands in the smallest cell in both impls
+    zero_cell = dict((r[0], r[1]) for r in a)[990001]
+    assert zero_cell == min(r[1] for r in a)
+    with pytest.raises(ValueError, match="impl"):
+        semdedup(corpus, impl="bogus")
+
+
+def test_semdedup_arrow_ignores_null_centroid(spark):
+    """An externally-fitted centroid table containing a NULL vector
+    must never capture a row (expr: NULL score sorts last) — the arrow
+    kernel models it as a −inf column."""
+    from rehiver_spark.operators.vectorops import semdedup
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0 * (i % 3), 1.0, 0.5 * i]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, None), (2, [0.0, 1.0, 1.0])],
+        "cell_id bigint, _centv array<double>",
+    )
+    key = lambda r: tuple(r)  # noqa: E731
+    a = sorted(
+        map(key, semdedup(corpus, centroids=cents, impl="arrow").collect())
+    )
+    x = sorted(
+        map(key, semdedup(corpus, centroids=cents, impl="expr").collect())
+    )
+    assert a == x
+    assert not any(r[1] == 1 for r in a)  # the NULL centroid owns nothing
+
+
 def test_split_hot_cells_warns_when_cap_unmet(spark):
     """Identical embeddings all tie to one sub-centroid, so the cap can
     never be met — the splitter must say so instead of silently leaving
