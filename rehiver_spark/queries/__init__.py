@@ -73,24 +73,27 @@ def query(name: str, oracle: str | None = None):
 #     driver row is the first to cover the arrow default);
 #   - x57c_substring_dedup_auto, new this round (rule 3) — the
 #     auto-dial's first OWN queries() entry (r7 verdict task 2);
-#   - x16_repetition (Arrow stats kernel rewrite) and
+#   - x16_repetition (Arrow stats kernel rewrite),
 #     x57b_substring_dedup_pruned (stage-1 probe now returns fp_occ
-#     for the auto dial's eager unpersist) — touched this round
+#     for the auto dial's eager unpersist), and
+#     x22_semdedup + x22b_semdedup_scaled (both semdedup corpus
+#     stages rewritten as Arrow kernels) — touched this round
 #     (rule 2);
-#   - 28 of the 47 r6-row holders (rule 4 — all tie at two rounds
-#     stale, so the fill is the x1-x15 and x20-x38 family blocks,
-#     keeping families contiguous for debuggability).
-# OUTSIDE the window and why that is safe: the remaining 19 r6-row
-# holders (the x41-x57 sketch/stream/BPE block + x21f) — code
+#   - 27 of the 47 r6-row holders (rule 4 — all tie at two rounds
+#     stale, so the fill is the x1-x15 and x20-x37 family blocks,
+#     keeping families contiguous for debuggability; x38 yields its
+#     slot to the touched x22b and joins the committed r9 window).
+# OUTSIDE the window and why that is safe: the remaining 20 r6-row
+# holders (the x41-x57 sketch/stream/BPE block + x21f + x38) — code
 # untouched since r6, judge-re-verified on the r7 tree, and they are
 # the committed r9 window under rule 1 (their rows turn 3 rounds old
 # there); everything else has an r7 driver row on unchanged code.
 _R9_COMMITTED = (
-    "x21f_winnow_fast", "x41_count_min", "x42_hll_distinct",
-    "x43_bloom_dedup", "x44_stream_hll", "x45_bpe_pairs",
-    "x46_bpe_learn", "x46b_bpe_apply", "x47_hdr_quantiles",
-    "x48_weighted_sample", "x49_dsir_scores", "x50_jl_project",
-    "x51_kmeans", "x52_stream_cm", "x53_ann_recall",
+    "x21f_winnow_fast", "x38_corpus_drift", "x41_count_min",
+    "x42_hll_distinct", "x43_bloom_dedup", "x44_stream_hll",
+    "x45_bpe_pairs", "x46_bpe_learn", "x46b_bpe_apply",
+    "x47_hdr_quantiles", "x48_weighted_sample", "x49_dsir_scores",
+    "x50_jl_project", "x51_kmeans", "x52_stream_cm", "x53_ann_recall",
     "x54_pipeline_yield", "x55_sketch_filter", "x56_stream_hdr",
     "x57_substring_dedup",
 )
@@ -120,6 +123,7 @@ _DRIVER_WINDOW = (
     "x57c_substring_dedup_auto",
     "x16_repetition",
     "x57b_substring_dedup_pruned",
+    "x22b_semdedup_scaled",
     # r6-row holders, family blocks (rule 4)
     "x1_exact_dedup",
     "x2_jaccard_pairs",
@@ -148,7 +152,6 @@ _DRIVER_WINDOW = (
     "x33_quality_select",
     "x36_vocab_topk",
     "x37_chunk_reassembly",
-    "x38_corpus_drift",
 )
 
 

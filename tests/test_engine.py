@@ -143,7 +143,8 @@ def test_driver_window_round8_rotation():
     # new/touched this round (rules 2-3)
     assert {
         "x57c_substring_dedup_auto", "x16_repetition",
-        "x57b_substring_dedup_pruned",
+        "x57b_substring_dedup_pruned", "x22_semdedup",
+        "x22b_semdedup_scaled",
     } <= set(first50)
     # EXACT outside set: the committed r9 window (r6 rows turning
     # 3 rounds old there) + the r7-row holders on unchanged code
@@ -155,7 +156,6 @@ def test_driver_window_round8_rotation():
         "x35_epoch_shuffle", "c18b_python_udtf", "c17g_sliding_window",
         "x6_approx", "x6b_sampling", "x7_minhash_pairs",
         "x8_simhash_pairs", "x9_lsh_cosine_neardup",
-        "x22b_semdedup_scaled",
         "c17_tumbling_window", "c17_session_window",
         "c17c_streaming_exec", "c17d_stream_join",
         "c17e_stream_static_join", "c17f_stream_dedup",
