@@ -10,6 +10,7 @@ here is stable surface a reference user would reach for):
 from rehiver_spark.engine import Engine
 from rehiver_spark.functions.globs import (
     PathMatcher,
+    match_exact,
     glob_all,
     glob_match,
     glob_to_regex,
@@ -86,6 +87,7 @@ __all__ = [
     "PartitionField",
     "PartitionSchema",
     "PathMatcher",
+    "match_exact",
     "SnapshotStore",
     "TimePartitioner",
     "analytics_schema",

@@ -8,6 +8,7 @@ from rehiver_spark.functions.globs import (
     glob_all,
     glob_match,
     glob_to_regex,
+    match_exact,
     path_capture,
     segment_glob_match,
     segment_glob_to_regex,
@@ -27,6 +28,7 @@ __all__ = [
     "glob_all",
     "glob_match",
     "glob_to_regex",
+    "match_exact",
     "md5_hash60",
     "md5_hash60_py",
     "md5_hash60_sql",

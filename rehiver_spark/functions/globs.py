@@ -233,12 +233,18 @@ def _parse_extglob_alts(pattern: str, i: int) -> tuple[list[str], int] | None:
     return None
 
 
-def _translate_one(pattern: str, dot: bool, nested: bool = False) -> str:
-    """Translate a single brace-free glob into an (unanchored) regex body."""
+def _translate_one(
+    pattern: str, dot: bool, nested: bool = False, seg_start0: bool = True
+) -> str:
+    """Translate a single brace-free glob into an (unanchored) regex
+    body. ``seg_start0`` seeds the segment-start state — the exact
+    driver-side matcher (:func:`_exact_match`) translates pattern
+    SUFFIXES that resume mid-segment, where leading-dot guards and
+    globstar segment-ownership must not re-arm."""
     out: list[str] = []
     i = 0
     n = len(pattern)
-    seg_start = True  # at start of a path segment
+    seg_start = seg_start0  # at start of a path segment
     star_guard = "" if dot else r"(?!\.)"
     while i < n:
         c = pattern[i]
@@ -304,9 +310,13 @@ def _translate_one(pattern: str, dot: bool, nested: bool = False) -> str:
                         # Java+Python-portable regex (variable-width
                         # lookbehind), so the run is matched
                         # PERMISSIVELY — only "p at end of segment"
-                        # is excluded. Documented divergence, pinned
-                        # vs bash in tests/test_globs.py ('!(foo)b*'
-                        # matches 'foob' here, bash rejects).
+                        # is excluded. COLUMN-side-only divergence,
+                        # pinned vs bash in tests/test_globs.py
+                        # ('!(foo)b*' matches 'foob' here, bash
+                        # rejects); the driver-side PathMatcher
+                        # routes '!('-patterns through _exact_match,
+                        # which enumerates the bash splits and is
+                        # exact.
                         out.append(f"(?:(?!(?:{body})(?:/|$))[^/]*)")
                 i = j
                 seg_start = False
@@ -568,10 +578,154 @@ def segment_glob_to_regex(pattern: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Exact driver-side matching for hard '!()' negation (round 8)
+#
+# The single-regex compilation stays deliberately permissive for TWO
+# classes (wildcard-bearing trailing context '!(foo)b*', and '!()'
+# nested inside another extglob with following context): bash's
+# ∃-split rule "some decomposition run·tail has run≁p and tail~rest"
+# needs variable-width lookbehind that neither Python `re` nor Java
+# regex has. Driver-side we are not limited to one regex: decompose
+# the pattern at the first hard '!()' occurrence, enumerate the
+# run·tail splits directly (paths are short strings), and verify the
+# simple chunks with the SAME translator — so every non-negation
+# feature behaves identically to the Column path by construction.
+# The Column-side `rlike` keeps the pinned-permissive form (documented
+# divergence, now Column-only; tests pin both behaviors vs real bash).
+# ---------------------------------------------------------------------------
+
+
+def _scan_first_hard_extglob(pattern: str):
+    """Locate the first top-level extglob that needs split enumeration:
+    a '!(...)' itself, or any extglob whose alternates contain one
+    (the nested case). Returns (start, type_char, alts, end) or None —
+    None means the single-regex translation is already exact."""
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "[":
+            j = i + 1
+            if j < n and pattern[j] in "!^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            j = _scan_class_end(pattern, j)
+            i = i + 1 if j >= n else j + 1
+            continue
+        if c in "@!+*?" and i + 1 < n and pattern[i + 1] == "(":
+            parsed = _parse_extglob_alts(pattern, i)
+            if parsed is not None:
+                alts, j = parsed
+                if c == "!" or any("!(" in a for a in alts):
+                    return i, c, alts, j
+                i = j
+                continue
+        i += 1
+    return None
+
+
+@lru_cache(maxsize=4096)
+def _anchored_suffix_re(
+    pattern: str, dot: bool, nocase: bool, seg_start: bool
+) -> re.Pattern:
+    body = _translate_one(pattern, dot, seg_start0=seg_start)
+    return re.compile(("(?i)" if nocase else "") + "^" + body + "$")
+
+
+def _run_matches(typ: str, alts: tuple, run: str, nocase: bool) -> bool:
+    """Does ``run`` satisfy one extglob occurrence? Alternates are
+    matched with dot=True (the translator's rule: the leading-dot
+    guard belongs to the segment, not the nested alternates)."""
+
+    def full(a: str, r: str) -> bool:
+        return _exact_match(a, r, True, nocase, seg_start=False)
+
+    if typ == "@":
+        return any(full(a, run) for a in alts)
+    if typ == "!":
+        return not any(full(a, run) for a in alts)
+    if typ == "?":
+        return run == "" or any(full(a, run) for a in alts)
+    # '*' (zero or more) / '+' (one or more): concatenation DP
+    if run == "":
+        return typ == "*" or any(full(a, "") for a in alts)
+    n = len(run)
+    reach = [False] * (n + 1)
+    reach[0] = True
+    for p in range(n + 1):
+        if reach[p]:
+            for q in range(p + 1, n + 1):
+                if not reach[q] and any(full(a, run[p:q]) for a in alts):
+                    reach[q] = True
+    return reach[n]
+
+
+def _exact_match(
+    pattern: str,
+    path: str,
+    dot: bool,
+    nocase: bool,
+    seg_start: bool = True,
+) -> bool:
+    """Bash-exact match of one brace-free glob against one path.
+
+    Everything up to the first hard '!()' occurrence is matched with
+    the shared regex translator (so classes, posix names, globstar,
+    simple extglobs behave exactly as the Column path); at the hard
+    occurrence every split of the current segment is enumerated per
+    the bash rule, recursing into the pattern remainder (which may
+    itself hold further hard negations). O(|path|²) splits per hard
+    occurrence — driver-side path strings are short, and this runs
+    only for patterns containing '!('."""
+    hard = _scan_first_hard_extglob(pattern)
+    if hard is None:
+        return (
+            _anchored_suffix_re(pattern, dot, nocase, seg_start).fullmatch(path)
+            is not None
+        )
+    i, typ, alts, j = hard
+    prefix, rest = pattern[:i], pattern[j:]
+    pre_seg_start = seg_start if not prefix else prefix.endswith("/")
+    pre_re = _anchored_suffix_re(prefix, dot, nocase, seg_start)
+    alts_t = tuple(alts)
+    for k in range(len(path) + 1):
+        if pre_re.fullmatch(path, 0, k) is None:
+            continue
+        # leading-dot guard before an extglob at segment start: the
+        # translator emits (?!\.) here, which fails the position as a
+        # whole — every split at this k is rejected alike
+        if pre_seg_start and not dot and k < len(path) and path[k] == ".":
+            continue
+        seg_end = path.find("/", k)
+        seg_end = len(path) if seg_end < 0 else seg_end
+        for jj in range(k, seg_end + 1):
+            if _run_matches(typ, alts_t, path[k:jj], nocase) and _exact_match(
+                rest, path[jj:], dot, nocase, seg_start=False
+            ):
+                return True
+    return False
+
+
+def match_exact(
+    path: str, pattern: str, *, dot: bool = False, nocase: bool = False
+) -> bool:
+    """Public driver-side exact matcher: brace-expands, then matches
+    each expansion bash-exactly (hard '!()' negation included)."""
+    return any(
+        _exact_match(p, path, dot, nocase) for p in expand_braces(pattern)
+    )
+
+
 class PathMatcher:
     """Driver-side matcher mirroring the reference PathMatcher
     (src/index.ts:613-765). Used to resolve concrete paths before
-    ``spark.read.load(paths)`` so Spark only opens matching files."""
+    ``spark.read.load(paths)`` so Spark only opens matching files.
+
+    Since round 8, patterns containing ``!(`` route through the exact
+    split-enumerating matcher (:func:`match_exact`) — bash-exact for
+    the two classes the single-regex compilation leaves permissive;
+    all other patterns keep the shared compiled-regex path."""
 
     def __init__(self, dot: bool = False, nocase: bool = False):
         self.dot = dot
@@ -580,10 +734,15 @@ class PathMatcher:
     def _re(self, pattern: str) -> re.Pattern:
         return re.compile(glob_to_regex(pattern, dot=self.dot, nocase=self.nocase))
 
+    def _hit(self, path: str, pattern: str) -> bool:
+        if "!(" in pattern:  # hard negation possible → exact path
+            return match_exact(path, pattern, dot=self.dot, nocase=self.nocase)
+        return self._re(pattern).match(path) is not None
+
     def is_match(self, path: str, patterns: str | list[str]) -> bool:
         pos, neg = split_patterns(patterns)
-        ok = any(self._re(p).match(path) for p in pos) if pos else bool(neg)
-        return ok and not any(self._re(p).match(path) for p in neg)
+        ok = any(self._hit(path, p) for p in pos) if pos else bool(neg)
+        return ok and not any(self._hit(path, p) for p in neg)
 
     def match(self, paths: list[str], patterns: str | list[str]) -> list[str]:
         return [p for p in paths if self.is_match(p, patterns)]
@@ -596,7 +755,7 @@ class PathMatcher:
         return [p for p in paths if not self.is_match(p, patterns)]
 
     def all(self, path: str, patterns: list[str]) -> bool:
-        return all(self._re(p).match(path) for p in patterns)
+        return all(self._hit(path, p) for p in patterns)
 
     def capture(self, pattern: str, path: str) -> list[str] | None:
         regex, _ = capture_to_regex(pattern)

@@ -237,16 +237,20 @@ def test_extglob_respects_dot_option():
 
 def test_negated_extglob_embedded_context_bash_parity():
     """r6 verdict task: the last documented micromatch divergence was
-    '!(p)' with embedded trailing context. Two classes are now EXACT
-    (fixed-literal context — unique split; lone trailing '*' with a
-    non-empty-matching body); only wildcard-bearing context remains
-    permissive. The whole matrix is pinned against REAL bash extglob
-    (the published semantics micromatch tests itself against), run
-    live when bash is available."""
+    '!(p)' with embedded trailing context. Two classes are EXACT in
+    the single regex (fixed-literal context — unique split; lone
+    trailing '*' with a non-empty-matching body); wildcard-bearing
+    context remains permissive THERE — but since round 8 the
+    DRIVER-SIDE matcher (match_exact / PathMatcher) enumerates the
+    bash ∃-splits directly and is exact on the ENTIRE table,
+    including the two regex-permissive rows. The whole matrix is
+    pinned against REAL bash extglob (the published semantics
+    micromatch tests itself against), run live when bash is
+    available."""
     import shutil
     import subprocess
 
-    from rehiver_spark.functions.globs import glob_to_regex
+    from rehiver_spark.functions.globs import glob_to_regex, match_exact
     import re as _re
 
     # (key, pattern, expected-per-bash, exact_parity)
@@ -280,14 +284,21 @@ def test_negated_extglob_embedded_context_bash_parity():
         ("fooa,b", "!(foo)a,b", False, True),
         ("xa,b", "!(foo)a,b", True, True),
         ("xbarbaz", "@(!(foo)bar)baz", True, True),
-        # the pinned PERMISSIVE remainder: wildcard trailing context —
-        # bash rejects 'foob' ('foo' is the only split), we accept —
-        # and '!()' nested inside another extglob with following
-        # context, where the segment-end anchor cannot apply
-        ("foob", "!(foo)b*", None, False),
-        ("foobarbaz", "@(!(foo)bar)baz", None, False),
+        # the pinned Column-PERMISSIVE remainder: wildcard trailing
+        # context — bash rejects 'foob' ('foo' is the only split), the
+        # REGEX accepts — and '!()' nested inside another extglob with
+        # following context, where the segment-end anchor cannot
+        # apply. want=False is the bash verdict the driver-side exact
+        # matcher must reproduce.
+        ("foob", "!(foo)b*", False, False),
+        ("foobarbaz", "@(!(foo)bar)baz", False, False),
+        ("x/foob/y", "x/!(foo)b*/y", False, False),
         ("foobb", "!(foo)b*", True, True),
         ("fb", "!(foo)b*", True, True),
+        ("x/foobb/y", "x/!(foo)b*/y", True, True),
+        # two hard negations in one segment (exact matcher recursion)
+        ("ab", "!(a)!(b)", True, True),
+        ("b", "!(a)!(b)", True, True),
     ]
     for key, pat, want, exact in cases:
         got = _re.fullmatch(glob_to_regex(pat), key) is not None
@@ -295,6 +306,10 @@ def test_negated_extglob_embedded_context_bash_parity():
             assert got is want, f"{key!r} ~ {pat!r}: got {got}, bash says {want}"
         else:
             assert got is True, f"permissive pin changed: {key!r} ~ {pat!r}"
+        # the driver-side matcher is bash-exact on EVERY row
+        assert match_exact(key, pat) is want, (
+            f"match_exact({key!r}, {pat!r}) disagrees with bash ({want})"
+        )
     if shutil.which("bash"):
         # the pattern must be UNQUOTED inside [[ ]] — quoting makes
         # bash compare it as a literal string, not an extglob
