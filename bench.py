@@ -12,6 +12,16 @@ Local iteration extras (driver passes neither, so its contract holds):
 positional args restrict to the named queries; BENCH_RUNS=N overrides
 the best-of-2 default (the repo noise rule wants min over n>=4 before
 believing any regression).
+
+Resumable mode (round 8, the sf1 protocol fix): BENCH_CHECKPOINT=path
+appends one JSONL row per finished query and skips already-recorded
+names on the next invocation; BENCH_TIME_BUDGET=sec stops cleanly
+after the budget so each invocation fits a session command timeout.
+BENCH_FULL.json is written only when the FULL suite is present in the
+merged record — partial invocations can never clobber the artifact.
+One protocol at any scale: rerun the same command until it reports
+complete (single process per invocation, per-query min semantics
+unchanged — a resumed name keeps its recorded best).
 """
 
 from __future__ import annotations
@@ -79,9 +89,30 @@ def main() -> int:
     # contract — full suite, best of 2 — is unchanged)
     only = set(sys.argv[1:])
     n_runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
+    ckpt = os.environ.get("BENCH_CHECKPOINT")
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "0") or 0)
+    t_start = time.monotonic()
+    if ckpt and os.path.exists(ckpt):
+        with open(ckpt) as f:
+            for line in f:
+                row = json.loads(line)
+                if row.get("sf") != sf:  # a stale file from another scale
+                    raise SystemExit(
+                        f"BENCH_CHECKPOINT {ckpt} holds sf={row.get('sf')} "
+                        f"rows but this run is sf={sf}; delete it first"
+                    )
+                timings[row["name"]] = row["sec"]
+                if row.get("flaky"):
+                    flaky.append(row["name"])
+    out_of_budget = False
     for name, fn in E.queries().items():
         if only and name not in only:
             continue
+        if name in timings:  # recorded by a previous resumable pass
+            continue
+        if budget and time.monotonic() - t_start > budget:
+            out_of_budget = True
+            break
         best = None
         try:
             for _ in range(n_runs):
@@ -103,14 +134,44 @@ def main() -> int:
             if best is not None:
                 flaky.append(name)
             timings[name] = round(best, 3) if best is not None else -1.0
+            _append_ckpt(ckpt, name, timings[name], name in flaky, sf)
             continue
         timings[name] = round(best, 3)
+        _append_ckpt(ckpt, name, timings[name], False, sf)
 
-    # partial runs (positional args) must not clobber the full-suite
-    # artifact — a single-query sanity run once overwrote the 115-query
-    # record the judge reads
-    emit_artifacts(timings, flaky, sf, write_file=not only)
+    # partial runs (positional args or an exhausted time budget) must
+    # not clobber the full-suite artifact — a single-query sanity run
+    # once overwrote the 115-query record the judge reads
+    complete = not only and set(E.queries()) <= set(timings)
+    if out_of_budget and not complete:
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_partial",
+                    "done": len(timings),
+                    "total": len(E.queries()),
+                    "checkpoint": ckpt,
+                    "sf": sf,
+                },
+                separators=(",", ":"),
+            )
+        )
+        return 0
+    emit_artifacts(timings, flaky, sf, write_file=complete)
     return 0
+
+
+def _append_ckpt(ckpt: str | None, name: str, sec: float, flaky: bool, sf: float) -> None:
+    if not ckpt:
+        return
+    with open(ckpt, "a") as f:
+        f.write(
+            json.dumps(
+                {"name": name, "sec": sec, "flaky": flaky, "sf": sf},
+                separators=(",", ":"),
+            )
+            + "\n"
+        )
 
 
 def emit_artifacts(

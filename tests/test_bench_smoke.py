@@ -47,6 +47,31 @@ def test_bench_survives_custom_dir_name_and_zero_runs(tmp_path):
     assert res["queries"]["c1_projection"] > 0
 
 
+def test_bench_checkpoint_resume_skips_recorded_queries(tmp_path):
+    """Resumable mode (round 8): a recorded name must be skipped on
+    the next invocation (its row reused verbatim), and partial runs
+    must never write BENCH_FULL.json. Two subprocess passes over a
+    shared checkpoint: the second adds one query and reuses the
+    first's row bit-identically."""
+    ckpt = str(tmp_path / "bench.ckpt.jsonl")
+    env = {
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "BENCH_RUNS": "1",
+        "BENCH_CHECKPOINT": ckpt,
+    }
+    r1 = _run_bench(env, ["x35_epoch_shuffle"])
+    assert r1["queries"]["x35_epoch_shuffle"] > 0
+    rows = [json.loads(x) for x in open(ckpt)]
+    assert [r["name"] for r in rows] == ["x35_epoch_shuffle"]
+    r2 = _run_bench(env, ["x35_epoch_shuffle", "c1_projection"])
+    # the recorded row is reused, not re-measured (bit-identical), and
+    # the checkpoint gained exactly the new name
+    assert r2["queries"]["x35_epoch_shuffle"] == r1["queries"]["x35_epoch_shuffle"]
+    assert r2["queries"]["c1_projection"] > 0
+    rows = [json.loads(x) for x in open(ckpt)]
+    assert [r["name"] for r in rows] == ["x35_epoch_shuffle", "c1_projection"]
+
+
 def test_bench_final_line_fits_driver_capture_window(capsys, monkeypatch, tmp_path):
     """The driver records only the last 2000 chars of bench stdout and
     parses the final JSON line. For the REAL registry size (every
