@@ -889,6 +889,12 @@ def _prior_max_arrow(assigned: DataFrame) -> DataFrame:
         raw = pdf["_v"].to_numpy()
         ok = np.fromiter((v is not None for v in raw), dtype=bool, count=len(raw))
         mp = np.full(len(raw), np.nan, dtype=np.float64)
+        # no-prior is POSITIONAL (the cell's min-id valid member, null
+        # vectors, singleton cells) — never inferred from the value: a
+        # NaN cosine (inf-element input riding through l2_normalize)
+        # must stay NaN, exactly as Spark's max sorts NaN greatest and
+        # coalesce passes it through (keep=false), not become NULL
+        no_prior = ~ok.copy()
         m = int(ok.sum())
         if m >= 2:
             v = np.vstack([np.asarray(x, dtype=np.float64) for x in raw[ok]])
@@ -914,17 +920,22 @@ def _prior_max_arrow(assigned: DataFrame) -> DataFrame:
                 acc[~valid] = -np.inf
                 best[s:e_] = acc.max(axis=0)
             out = mp[ok]
-            out[~np.isinf(best)] = best[~np.isinf(best)]
+            out[1:] = best[1:]  # position 0 = the min-id valid member
             mp[ok] = out
-        # NaN _maxprior (min id, null vectors, singleton cells) must
-        # come back as SQL NULL, not NaN — NaN survives coalesce and
-        # inverts `keep` (Spark sorts NaN above every double)
+            npr = no_prior[ok]
+            npr[0] = True
+            no_prior[ok] = npr
+        else:
+            no_prior[:] = True  # singleton / all-null cell
+        # no-prior rows come back as SQL NULL (→ the caller's
+        # coalesce(-1.0)); everything else keeps its double VERBATIM,
+        # NaN included. Spark's pandas→Arrow conversion turns plain
+        # float64 NaN into NULL, so nullability must ride an explicit
+        # FloatingArray mask — the only way to send a true NaN
         return pd.DataFrame(
             {
                 "_id": ids,
-                "_maxprior": pd.Series(mp).astype(object).where(
-                    ~np.isnan(mp), None
-                ),
+                "_maxprior": pd.arrays.FloatingArray(mp, no_prior.copy()),
             }
         )
 

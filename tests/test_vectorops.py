@@ -335,6 +335,40 @@ def test_semdedup_arrow_assignment_equals_expr(spark):
         semdedup(corpus, impl="bogus")
 
 
+def test_semdedup_arrow_keeps_nan_cosines_nan(spark):
+    """An inf input element rides through l2_normalize as a NaN vector
+    position, so its pair cosines are NaN — Spark's max sorts NaN
+    greatest and coalesce passes NaN through (keep=false). The kernel
+    must keep NaN as NaN (no-prior is positional, never inferred from
+    the value) and agree with the expr twin bit-for-bit."""
+    import math
+
+    from rehiver_spark.operators.vectorops import semdedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [float("inf"), 1.0, 0.0]),  # NaN after normalization
+            (3, [1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    key = lambda r: tuple(r)  # noqa: E731
+    kw = dict(threshold=0.9, n_cells=1, max_cell_rows=None)
+    a = sorted(map(key, semdedup(corpus, impl="arrow", **kw).collect()))
+    x = sorted(map(key, semdedup(corpus, impl="expr", **kw).collect()))
+    assert [
+        (r[0], r[1], "nan" if math.isnan(r[2]) else r[2], r[3]) for r in a
+    ] == [
+        (r[0], r[1], "nan" if math.isnan(r[2]) else r[2], r[3]) for r in x
+    ]
+    by = {r[0]: r for r in a}
+    # id 3's best prior is the NaN cosine vs id 2 per Spark max
+    # semantics (NaN sorts greatest) → keep must be False
+    assert math.isnan(by[3][2]) and by[3][3] is False
+    assert by[1][2] == -1.0 and by[1][3] is True
+
+
 def test_semdedup_arrow_ignores_null_centroid(spark):
     """An externally-fitted centroid table containing a NULL vector
     must never capture a row (expr: NULL score sorts last) — the arrow
