@@ -77,19 +77,22 @@ def query(name: str, oracle: str | None = None):
 #     x57b_substring_dedup_pruned (stage-1 probe now returns fp_occ
 #     for the auto dial's eager unpersist), and
 #     x22_semdedup + x22b_semdedup_scaled (both semdedup corpus
-#     stages rewritten as Arrow kernels) — touched this round
-#     (rule 2);
-#   - 27 of the 47 r6-row holders (rule 4 — all tie at two rounds
-#     stale, so the fill is the x1-x15 and x20-x37 family blocks,
-#     keeping families contiguous for debuggability; x38 yields its
-#     slot to the touched x22b and joins the committed r9 window).
-# OUTSIDE the window and why that is safe: the remaining 20 r6-row
-# holders (the x41-x57 sketch/stream/BPE block + x21f + x38) — code
+#     stages rewritten as Arrow kernels), and x19_pipeline (it
+#     composes repetition_stats, so the x16 rewrite is its code
+#     too) — touched this round (rule 2);
+#   - 26 of the 47 r6-row holders (rule 4 — all tie at two rounds
+#     stale, so the fill is the x1-x15 and x20-x36 family blocks,
+#     keeping families contiguous for debuggability; x37/x38 yield
+#     their slots to the touched x19/x22b and join the committed r9
+#     window).
+# OUTSIDE the window and why that is safe: the remaining 21 r6-row
+# holders (the x41-x57 sketch/stream/BPE block + x21f + x37 + x38) — code
 # untouched since r6, judge-re-verified on the r7 tree, and they are
 # the committed r9 window under rule 1 (their rows turn 3 rounds old
 # there); everything else has an r7 driver row on unchanged code.
 _R9_COMMITTED = (
-    "x21f_winnow_fast", "x38_corpus_drift", "x41_count_min",
+    "x21f_winnow_fast", "x37_chunk_reassembly", "x38_corpus_drift",
+    "x41_count_min",
     "x42_hll_distinct", "x43_bloom_dedup", "x44_stream_hll",
     "x45_bpe_pairs", "x46_bpe_learn", "x46b_bpe_apply",
     "x47_hdr_quantiles", "x48_weighted_sample", "x49_dsir_scores",
@@ -124,6 +127,7 @@ _DRIVER_WINDOW = (
     "x16_repetition",
     "x57b_substring_dedup_pruned",
     "x22b_semdedup_scaled",
+    "x19_pipeline",
     # r6-row holders, family blocks (rule 4)
     "x1_exact_dedup",
     "x2_jaccard_pairs",
@@ -151,7 +155,6 @@ _DRIVER_WINDOW = (
     "x32_corpus_report",
     "x33_quality_select",
     "x36_vocab_topk",
-    "x37_chunk_reassembly",
 )
 
 

@@ -144,14 +144,14 @@ def test_driver_window_round8_rotation():
     assert {
         "x57c_substring_dedup_auto", "x16_repetition",
         "x57b_substring_dedup_pruned", "x22_semdedup",
-        "x22b_semdedup_scaled",
+        "x22b_semdedup_scaled", "x19_pipeline",
     } <= set(first50)
     # EXACT outside set: the committed r9 window (r6 rows turning
     # 3 rounds old there) + the r7-row holders on unchanged code
     outside = set(QUERIES) - set(first50)
     has_r7_row = {
         "x14_winnow_fingerprints", "x17_dedup_clusters",
-        "x18_sequence_packing", "x19_pipeline", "x29_fuzzy_dedup",
+        "x18_sequence_packing", "x29_fuzzy_dedup",
         "x30_zorder_layout", "x34_incremental_neardup",
         "x35_epoch_shuffle", "c18b_python_udtf", "c17g_sliding_window",
         "x6_approx", "x6b_sampling", "x7_minhash_pairs",
