@@ -624,19 +624,34 @@ def _split_hot_cells(
     rows by nearest sub-centroid, repeat. Deterministic end to end.
 
     Driver work per round is one scalar-sized collect (one row per hot
-    cell); only hot-cell rows are reshuffled. Rounds stop when no cell
-    exceeds the cap or after ``max_rounds`` — splitting s-ways cuts the
-    worst cell by ~s× per round unless the embeddings are literally
-    identical, so the residual worst case after r rounds is
-    pop_max / prod(splits) and in practice the cap holds in 1-2 rounds.
+    cell) plus the sub-centroid rows (split-ways × dim doubles — the
+    kmeans seed-collect class); only hot-cell rows are reshuffled.
+    Rounds stop when no SPLITTABLE cell exceeds the cap or after
+    ``max_rounds`` — splitting s-ways cuts the worst cell by ~s× per
+    round unless the embeddings are (near-)identical. A cell whose
+    split shrank its largest inheritor by LESS THAN 10% (near-identical
+    members tie to one sub-centroid and peel off one at a time) is
+    FROZEN: re-splitting it every remaining round would re-rank and
+    re-shuffle essentially the same rows for nothing (round 8;
+    previously the degenerate cell busy-looped until max_rounds).
     """
+    frozen: dict = {}  # cell_id -> stuck population
+    parent_pop: dict = {}  # sub-cell id -> its parent's population
     for _ in range(max_rounds):
         pops = assigned.groupBy("cell_id").agg(F.count("*").alias("_pop"))
         hot = pops.filter(F.col("_pop") > max_cell_rows)
         hot_rows = hot.collect()  # ≤ one row per cell; scalar-bounded
-        if not hot_rows:
+        hot_ids = {}
+        for r in hot_rows:
+            cid, pop = r["cell_id"], r["_pop"]
+            if cid in frozen:
+                continue
+            if cid in parent_pop and pop > 0.9 * parent_pop[cid]:
+                frozen[cid] = pop  # <10% shrink: degenerate cell
+                continue
+            hot_ids[cid] = pop
+        if not hot_ids:
             break
-        hot_ids = {r["cell_id"]: r["_pop"] for r in hot_rows}
         hot_df = assigned.filter(F.col("cell_id").isin(list(hot_ids)))
         cold_df = assigned.filter(~F.col("cell_id").isin(list(hot_ids)))
         # n_sub per hot cell as a broadcast literal map
@@ -651,11 +666,21 @@ def _split_hot_cells(
         ranked = hot_df.withColumn("_r", F.row_number().over(wr))
         # sub-cell label = -(seed member id + 1): member ids are unique
         # corpus-wide, and the negative range can never collide with
-        # either id-seeded or externally-fitted (0..k-1) cell labels
-        subcents = ranked.filter(F.col("_r") <= n_sub[F.col("cell_id")]).select(
+        # either id-seeded or externally-fitted (0..k-1) cell labels.
+        # COLLECTED (split-ways × dim — tiny): the rows are needed
+        # driver-side anyway for the no-progress lineage, and turning
+        # them into a literal relation means the reassignment join does
+        # not recompute the ranking window a second time
+        sub_rows = ranked.filter(F.col("_r") <= n_sub[F.col("cell_id")]).select(
             F.col("cell_id").alias("_oldcell"),
             (-F.col("_id") - 1).cast("bigint").alias("_newcell"),
             F.col("_v").alias("_centv"),
+        ).collect()
+        for sr in sub_rows:
+            parent_pop[sr["_newcell"]] = hot_ids[sr["_oldcell"]]
+        subcents = assigned.sparkSession.createDataFrame(
+            [(sr["_oldcell"], sr["_newcell"], list(sr["_centv"])) for sr in sub_rows],
+            "_oldcell bigint, _newcell bigint, _centv array<double>",
         )
         rescored = hot_df.join(
             F.broadcast(subcents), F.col("cell_id") == F.col("_oldcell")
@@ -678,17 +703,16 @@ def _split_hot_cells(
         assigned = cold_df.unionByName(reassigned).localCheckpoint(eager=False)
     else:
         # rounds exhausted without a clean exit: the cap may still be
-        # exceeded (e.g. near-identical embeddings that all tie to one
-        # sub-centroid). semdedup's O(pop²/k) pair-join guard depends on
-        # this cap, so failing silently would hide a quadratic blowup —
-        # one scalar aggregate to check, and a loud warning if breached.
+        # exceeded by cells that were still making progress. One scalar
+        # aggregate to check; the frozen set below covers the
+        # degenerate no-progress cells on EITHER exit path.
         worst = (
             assigned.groupBy("cell_id")
             .agg(F.count("*").alias("_pop"))
             .agg(F.max("_pop").alias("_m"))
             .first()["_m"]
         )
-        if worst is not None and worst > max_cell_rows:
+        if worst is not None and worst > max_cell_rows and not frozen:
             import warnings
 
             warnings.warn(
@@ -699,6 +723,24 @@ def _split_hot_cells(
                 RuntimeWarning,
                 stacklevel=2,
             )
+    if frozen:
+        # semdedup's O(pop²/k) pair-join guard depends on the cap, so
+        # failing silently would hide a quadratic blowup — name the
+        # stuck population loudly (the cell is degenerate: identical
+        # or near-identical vectors that all tie to one sub-centroid;
+        # more rounds cannot help, which is why it was frozen)
+        import warnings
+
+        warnings.warn(
+            f"_split_hot_cells: a degenerate cell still holds "
+            f"{max(frozen.values())} rows (cap {max_cell_rows}) — its "
+            "members tie to one sub-centroid, so further split rounds "
+            "were skipped; the semdedup pair join over that cell is "
+            "quadratic in its size. Raise max_cell_rows or dedup exact "
+            "duplicates first.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return assigned
 
 
