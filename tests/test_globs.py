@@ -327,3 +327,55 @@ def test_negated_extglob_embedded_context_bash_parity():
                 )
             else:
                 assert bit == "0", f"permissive-pin rationale stale: {k!r} ~ {p!r}"
+
+
+def test_hard_negation_exhaustive_vs_live_bash():
+    """Exhaustive mini-matrix for the round-8 exact matcher: every key
+    over {a,b} up to length 5 × a hard-negation pattern zoo (wildcard
+    trailing context, nested, doubled, extglob-typed contexts),
+    cross-checked against REAL bash extglob in one subprocess run.
+    Single-segment, dot-free keys only — bash ``[[ == ]]`` has neither
+    path-separator nor hidden-file semantics, so that is the shared
+    ground where the two matchers must agree perfectly."""
+    import itertools
+    import shutil
+    import subprocess
+
+    from rehiver_spark.functions.globs import match_exact
+
+    if not shutil.which("bash"):
+        import pytest
+
+        pytest.skip("bash unavailable — live extglob ground truth only")
+    keys = [
+        "".join(t)
+        for n in range(0, 6)
+        for t in itertools.product("ab", repeat=n)
+    ]
+    patterns = [
+        "!(a)", "!(ab)", "!(a|ab)", "!(a*)", "!(*b)",
+        "!(a)b*", "!(ab)a*", "!(a)?", "!(a)[ab]*", "!(a|b)b*",
+        "a!(b)*", "!(a)!(b)", "!(ab)!(ba)",
+        "@(!(a)b)a*", "@(!(ab)|b)a", "+(!(a))", "*(!(ab))b",
+        "?(!(a))b", "!(!(a))", "!(@(a|ab))b*",
+    ]
+    got = {
+        (k, p): match_exact(k, p) for k in keys for p in patterns
+    }
+    script = "shopt -s extglob\n" + "\n".join(
+        f"[[ {k!r} == {p} ]] && echo 1 || echo 0"
+        for k in keys
+        for p in patterns
+    )
+    out = subprocess.run(
+        ["bash", "-c", script], capture_output=True, text=True, timeout=120
+    ).stdout.split()
+    assert len(out) == len(keys) * len(patterns)
+    bad = [
+        (k, p, got[(k, p)], bit == "1")
+        for (k, p), bit in zip(
+            ((k, p) for k in keys for p in patterns), out
+        )
+        if got[(k, p)] is not (bit == "1")
+    ]
+    assert not bad, f"{len(bad)} disagreements with bash, first 10: {bad[:10]}"
