@@ -248,6 +248,41 @@ TEXTS = st.lists(
     max_size=20,
 )
 
+# adversarial alphabet for cross-boundary text kernels: ASCII ws (the
+# Java \s class), NBSP (\S on Java!), repeated tokens, an astral char,
+# a combining mark, and uppercase for the lower() path
+HARD_TEXTS = st.lists(
+    st.text(
+        alphabet=list("ab A\t\n\x0b\f\r") + [" ", "\U0001f600", "́"],
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(HARD_TEXTS)
+def test_repetition_arrow_equals_expr_property(spark, texts):
+    """The round-8 Arrow repetition kernel must be bit-identical to the
+    expression form on ADVERSARIAL text: mixed ASCII whitespace runs
+    (Java \\s), NBSP (which Java counts as \\S), astral code points,
+    combining marks, case folding, and heavy token repetition."""
+    from rehiver_spark.operators.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    cols = [
+        "doc_id", "n_tokens", "distinct_token_ratio",
+        "top_token_frac", "top_bigram_frac",
+    ]
+    key = lambda r: tuple(r[c] for c in cols)  # noqa: E731
+    a = sorted(map(key, repetition_stats(df, impl="arrow").collect()))
+    e = sorted(map(key, repetition_stats(df, impl="expr").collect()))
+    assert a == e
+
 
 @settings(max_examples=10, deadline=None)
 @given(TEXTS)
