@@ -1721,7 +1721,7 @@ def dedup_substrings_pruned(
     text_col: str = "text",
     window_tokens: int = 20,
     min_run: int = 40,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """X57's cost knob for 100 TB: :func:`dedup_substrings` shuffles
     one row per corpus token TWICE. This variant guarantees the
@@ -1754,20 +1754,25 @@ def dedup_substrings_pruned(
     rule; docs outside the candidate set cannot claim "first
     occurrence", which is exactly the restriction stated above.
 
-    ``impl="expr"`` (default) keeps the per-window argmin selection as
-    pure Columns — zero Python, whole plan JVM-side. ``impl="arrow"``
-    runs it as one vectorized numpy kernel (``sliding_window_view``
-    min/argmin, the x50/x51 Arrow-kernel pattern); at sf0.1 the two
-    are within 10% of each other (2.76 vs 2.99 s) once the REAL
-    bottleneck was fixed — a ``filter(size(_h) > 0)`` that predicate
-    pushdown folded into the hash projection, evaluating the md5
-    window transform twice (an 8× cliff; see the inline note). The
-    arrow path is kept because its selection cost is O(n·w) in C
-    rather than interpreted HOF evaluation — the margin grows with
-    document length. Bit-identical results (exact int64 mins;
-    np.argmin's first-minimum rule == ``array_position``'s first
-    occurrence; equivalence test-pinned), so the oracle twin
-    certifies both.
+    ``impl="arrow"`` (default since round 8) runs the per-window
+    argmin selection as one vectorized numpy kernel
+    (``sliding_window_view`` min/argmin, the x50/x51 Arrow-kernel
+    pattern); ``impl="expr"`` keeps it as pure Columns — zero Python,
+    whole plan JVM-side, the oracle-shaped twin. At sf0.1 the two are
+    within 10% of each other (2.76 expr vs 2.99 s arrow) once the
+    REAL bottleneck was fixed — a ``filter(size(_h) > 0)`` that
+    predicate pushdown folded into the hash projection, evaluating
+    the md5 window transform twice (an 8× cliff; see the inline
+    note). At sf10 the margin flips decisively: the w = 15
+    interpreted slice/min HOF costs 33.9 s for the candidate stage vs
+    12.1 s arrow (round-8 measurement, identical candidate sets) —
+    selection is O(n·w) in C vs 15 interpreted lambda evaluations per
+    position, and the Arrow boundary ships only the token-window hash
+    array (small, unlike the per-CHARACTER arrays that made the x14
+    kernel a net loss — see BASELINE round 8). Bit-identical results
+    (exact int64 mins; np.argmin's first-minimum rule ==
+    ``array_position``'s first occurrence; equivalence test-pinned),
+    so the oracle twin certifies both.
     """
     src, base, cand_docs, _fp_occ = _winnow_candidates(
         df, id_col, text_col, window_tokens, min_run, impl
@@ -1954,7 +1959,7 @@ def dedup_substrings_auto(
     window_tokens: int = 20,
     min_run: int = 40,
     density_cutoff: float = 0.2,
-    impl: str = "expr",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Auto-dial between :func:`dedup_substrings` (exact) and
     :func:`dedup_substrings_pruned` (r6 verdict task 3): the pruned
