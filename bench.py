@@ -101,6 +101,11 @@ def main() -> int:
                         f"BENCH_CHECKPOINT {ckpt} holds sf={row.get('sf')} "
                         f"rows but this run is sf={sf}; delete it first"
                     )
+                if row["sec"] < 0:
+                    # a failed query's -1 row must not be frozen into the
+                    # final artifact: drop it so the query is re-attempted
+                    # on resume (succeeded rows replay verbatim)
+                    continue
                 timings[row["name"]] = row["sec"]
                 if row.get("flaky"):
                     flaky.append(row["name"])

@@ -515,13 +515,19 @@ def _assign_cells_arrow(normed: DataFrame, cents: DataFrame) -> DataFrame:
       rounding order could flip near-tie argmaxes;
     - centroids are sorted by cell_id ASC, and ``np.argmax`` takes the
       FIRST maximum → the window's (score DESC, cell_id ASC) tiebreak;
-      NaN scores (a zero-vector centroid) propagate and ``argmax``
+      NaN scores (an inf-element centroid) propagate and ``argmax``
       returns the first NaN column — the same hijack Spark's
       NaN-sorts-greatest ordering produces;
-    - structurally invalid rows (NULL vector from l2_normalize's
-      zero-norm guard, wrong length, NULL element) take the SMALLEST
-      cell id, which is what NULLS-LAST scoring degenerates to in the
-      window form.
+    - mixed dimensions follow the expr twin EXACTLY (round-9 advisor
+      fix — the old single-``d`` kernel collapsed every off-``d`` row
+      into the smallest cell, and one oversized malformed centroid
+      flipped ``d`` for the whole corpus): ``zip_with`` pads the
+      shorter array with NULL, so a (row, centroid) score is non-NULL
+      only when BOTH are valid (non-NULL, no NULL element) AND equal
+      length. Centroids are therefore grouped BY DIMENSION; each row
+      argmaxes over its own length's group, and a row with no
+      same-length live centroid (or an invalid row) has all-NULL
+      scores → NULLS-LAST ties → the globally smallest cell id.
     """
     import numpy as np
     import pandas as pd
@@ -533,40 +539,42 @@ def _assign_cells_arrow(normed: DataFrame, cents: DataFrame) -> DataFrame:
     crows = sorted(cents.collect(), key=lambda r: r["cell_id"])
     if not crows:
         raise ValueError("semdedup: empty centroid table")
-    cell_ids = np.asarray([r["cell_id"] for r in crows], dtype=np.int64)
-    dims = [len(r["_centv"]) for r in crows if r["_centv"] is not None]
-    d = max(dims) if dims else 0
-    # a NULL / wrong-dim centroid scores NULL against every row in the
-    # expr form → NULLS LAST → never chosen: model it as a −inf score
-    # column (zero-filled during accumulation, overridden after)
-    dead = np.asarray(
-        [r["_centv"] is None or len(r["_centv"]) != d
-         or any(x is None for x in r["_centv"]) for r in crows],
-        dtype=bool,
-    )
-    cmat = np.zeros((len(crows), d), dtype=np.float64)
-    for i, r in enumerate(crows):
-        if not dead[i]:
-            cmat[i] = np.asarray(list(r["_centv"]), dtype=np.float64)
-    k = len(crows)
+    fallback = int(crows[0]["cell_id"])  # all-NULL scores: global min id
+    by_dim: dict = {}  # dim -> [(cell_id, vec)] in cell_id ASC order
+    for r in crows:
+        cv = r["_centv"]
+        if cv is None or any(x is None for x in cv):
+            continue  # NULL / null-element centroid: NULL vs every row
+        by_dim.setdefault(len(cv), []).append((r["cell_id"], list(cv)))
+    cgroups = {
+        dim: (
+            np.asarray([cid for cid, _ in grp], dtype=np.int64),
+            np.asarray([v for _, v in grp], dtype=np.float64),
+        )
+        for dim, grp in by_dim.items()
+    }
 
     def _cell(vs):
         if len(vs) == 0:
             return pd.Series([], dtype=np.int64)
         raw = vs.to_numpy()
-        ok = np.fromiter(
+        lens = np.fromiter(
             (
-                v is not None
-                and len(v) == d
-                and not any(x is None for x in v)
+                len(v)
+                if v is not None and not any(x is None for x in v)
+                else -1
                 for v in raw
             ),
-            dtype=bool,
+            dtype=np.int64,
             count=len(raw),
         )
-        out = np.full(len(raw), cell_ids[0], dtype=np.int64)
-        if ok.any():
-            x = np.vstack([np.asarray(v, dtype=np.float64) for v in raw[ok]])
+        out = np.full(len(raw), fallback, dtype=np.int64)
+        for dim, (gids, cmat) in cgroups.items():
+            sel = np.flatnonzero(lens == dim)
+            if len(sel) == 0:
+                continue
+            k = len(gids)
+            x = np.vstack([np.asarray(raw[i], dtype=np.float64) for i in sel])
             picked = np.empty(len(x), dtype=np.int64)
             # row-chunked so the rows×k score block stays ~L3-sized
             # (at the 65536 clamp a full 10k-row batch block would be
@@ -575,14 +583,12 @@ def _assign_cells_arrow(normed: DataFrame, cents: DataFrame) -> DataFrame:
             for s in range(0, len(x), blk):
                 xb = x[s : s + blk]
                 acc = np.zeros((len(xb), k), dtype=np.float64)
-                for j in range(d):
+                for j in range(dim):
                     # sequential per-dimension accumulation == the
                     # expr fold's left-to-right sum, bit for bit
                     acc += xb[:, j : j + 1] * cmat[:, j][None, :]
-                if dead.any():
-                    acc[:, dead] = -np.inf
                 picked[s : s + blk] = np.argmax(acc, axis=1)
-            out[ok] = cell_ids[picked]
+            out[sel] = gids[picked]
         return pd.Series(out)
 
     _cell.__annotations__ = {"vs": pd.Series, "return": pd.Series}
@@ -712,7 +718,13 @@ def _split_hot_cells(
             .agg(F.max("_pop").alias("_m"))
             .first()["_m"]
         )
-        if worst is not None and worst > max_cell_rows and not frozen:
+        if worst is not None and worst > max_cell_rows:
+            # warn INDEPENDENTLY of the frozen set: when rounds run out
+            # with both a frozen degenerate cell and a still-progressing
+            # over-cap cell, the measured `worst` is the population that
+            # actually drives the quadratic pair join — gating this on
+            # `not frozen` suppressed it, and the frozen warning below
+            # (max of the frozen pops) could understate it
             import warnings
 
             warnings.warn(
@@ -909,7 +921,16 @@ def _prior_max_arrow(assigned: DataFrame) -> DataFrame:
       NULL cosine in the expr form, so the kernel excludes them from
       both sides and emits NULL _maxprior for them (→ the caller's
       coalesce(-1.0)), and they never contribute to other members'
-      maxima.
+      maxima;
+    - mixed dimensions follow the expr twin exactly (round-9 advisor
+      fix — the old kernel's ok-mask only checked ``is not None``, so
+      one malformed-length embedding made ``np.vstack`` raise on the
+      whole cell): ``zip_with`` pads the shorter array with NULL →
+      NULL product → NULL cosine, so a pair scores non-NULL only when
+      both sides are valid AND equal length. The prior-max therefore
+      runs independently per LENGTH GROUP (lower-id same-length
+      members only); each group's min-id member, every off-group and
+      invalid member, gets NULL _maxprior.
 
     Memory: pop² doubles per cell — ``max_cell_rows`` ("auto" = 16×
     the expected cell size) bounds it; with the cap disabled a
@@ -929,17 +950,32 @@ def _prior_max_arrow(assigned: DataFrame) -> DataFrame:
         pdf = pdf.sort_values("_id", kind="mergesort")
         ids = pdf["_id"].to_numpy()
         raw = pdf["_v"].to_numpy()
-        ok = np.fromiter((v is not None for v in raw), dtype=bool, count=len(raw))
         mp = np.full(len(raw), np.nan, dtype=np.float64)
-        # no-prior is POSITIONAL (the cell's min-id valid member, null
-        # vectors, singleton cells) — never inferred from the value: a
-        # NaN cosine (inf-element input riding through l2_normalize)
-        # must stay NaN, exactly as Spark's max sorts NaN greatest and
-        # coalesce passes it through (keep=false), not become NULL
-        no_prior = ~ok.copy()
-        m = int(ok.sum())
-        if m >= 2:
-            v = np.vstack([np.asarray(x, dtype=np.float64) for x in raw[ok]])
+        # no-prior is POSITIONAL (each length group's min-id member,
+        # null / malformed vectors, singleton groups) — never inferred
+        # from the value: a NaN cosine (inf-element input riding
+        # through l2_normalize) must stay NaN, exactly as Spark's max
+        # sorts NaN greatest and coalesce passes it through
+        # (keep=false), not become NULL
+        no_prior = np.ones(len(raw), dtype=bool)
+        lens = np.fromiter(
+            (
+                len(v)
+                if v is not None and not any(x is None for x in v)
+                else -1
+                for v in raw
+            ),
+            dtype=np.int64,
+            count=len(raw),
+        )
+        for dim in np.unique(lens):
+            if dim < 0:
+                continue  # NULL / null-element vectors: NULL everywhere
+            sel = np.flatnonzero(lens == dim)
+            m = len(sel)
+            if m < 2:
+                continue  # no same-length lower-id member exists
+            v = np.vstack([np.asarray(raw[i], dtype=np.float64) for i in sel])
             vt = np.ascontiguousarray(v.T)  # contiguous per-dim rows
             best = np.full(m, -np.inf, dtype=np.float64)
             # COLUMN-BLOCKED accumulation: the d sequential += passes
@@ -961,14 +997,8 @@ def _prior_max_arrow(assigned: DataFrame) -> DataFrame:
                 valid = np.arange(m)[:, None] < np.arange(s, e_)[None, :]
                 acc[~valid] = -np.inf
                 best[s:e_] = acc.max(axis=0)
-            out = mp[ok]
-            out[1:] = best[1:]  # position 0 = the min-id valid member
-            mp[ok] = out
-            npr = no_prior[ok]
-            npr[0] = True
-            no_prior[ok] = npr
-        else:
-            no_prior[:] = True  # singleton / all-null cell
+            mp[sel[1:]] = best[1:]  # sel[0] = the group's min-id member
+            no_prior[sel[1:]] = False
         # no-prior rows come back as SQL NULL (→ the caller's
         # coalesce(-1.0)); everything else keeps its double VERBATIM,
         # NaN included. Spark's pandas→Arrow conversion turns plain

@@ -72,6 +72,31 @@ def test_bench_checkpoint_resume_skips_recorded_queries(tmp_path):
     assert [r["name"] for r in rows] == ["x35_epoch_shuffle", "c1_projection"]
 
 
+def test_bench_checkpoint_retries_failed_rows(tmp_path):
+    """Round-9 advisor fix: a failure row (sec=-1.0) in the checkpoint
+    must NOT be replayed verbatim — it is dropped on load so the query
+    is re-attempted on resume (a transient failure was previously
+    frozen into BENCH_FULL.json with no retry path)."""
+    ckpt = tmp_path / "bench.ckpt.jsonl"
+    ckpt.write_text(
+        json.dumps(
+            {"name": "x35_epoch_shuffle", "sec": -1.0, "flaky": False, "sf": 0.001}
+        )
+        + "\n"
+    )
+    env = {
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "BENCH_RUNS": "1",
+        "BENCH_CHECKPOINT": str(ckpt),
+    }
+    res = _run_bench(env, ["x35_epoch_shuffle"])
+    # the query re-ran (and succeeded), replacing the frozen failure
+    assert res["n_failed"] == 0
+    assert res["queries"]["x35_epoch_shuffle"] > 0
+    rows = [json.loads(x) for x in open(ckpt)]
+    assert [r["sec"] > 0 for r in rows] == [False, True]
+
+
 def test_bench_final_line_fits_driver_capture_window(capsys, monkeypatch, tmp_path):
     """The driver records only the last 2000 chars of bench stdout and
     parses the final JSON line. For the REAL registry size (every

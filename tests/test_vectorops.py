@@ -394,6 +394,105 @@ def test_semdedup_arrow_ignores_null_centroid(spark):
     assert not any(r[1] == 1 for r in a)  # the NULL centroid owns nothing
 
 
+def test_semdedup_arrow_mixed_dims_equals_expr(spark):
+    """Round-9 advisor fix: one malformed-length embedding used to
+    raise PythonException in _prior_max_arrow (np.vstack on a ragged
+    list) while the expr twin degraded gracefully (zip_with pads →
+    NULL cosine). Both kernels must now follow the expr semantics for
+    mixed dimensions: a pair / (row, centroid) scores non-NULL only
+    when both sides are valid AND equal length."""
+    from rehiver_spark.operators.vectorops import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0]),          # dim-2 seed → mixed-dim centroid set
+        (3, [0.9, 0.1, 0.0]),
+        (4, [0.1, 0.9]),
+        (5, None),                # NULL vector
+        (6, [1.0, None, 0.0]),    # NULL element (→ NULL via normalize)
+        (7, [0.0, 0.9, 0.1]),
+        (8, [1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    key = lambda r: tuple(r)  # noqa: E731
+    for n_cells in (1, 2):
+        kw = dict(threshold=0.9, n_cells=n_cells, max_cell_rows=None)
+        a = sorted(map(key, semdedup(corpus, impl="arrow", **kw).collect()))
+        x = sorted(map(key, semdedup(corpus, impl="expr", **kw).collect()))
+        assert a == x, f"n_cells={n_cells}"
+    # n_cells=1: every row shares one cell, so the prior-max must run
+    # per LENGTH GROUP: dim-2 rows only see lower-id dim-2 members
+    by = {r[0]: r for r in a}
+    assert by[2][2] == -1.0       # dim-2 group's min id: no prior
+    assert by[5][2] == -1.0 and by[6][2] == -1.0  # invalid: no prior
+
+
+def test_semdedup_arrow_mixed_dim_centroids_equals_expr(spark):
+    """Round-9 advisor fix for _assign_cells_arrow: the old kernel set
+    d = max centroid dim, so one oversized centroid in an external
+    table collapsed every normal-dim row into the smallest cell. The
+    expr twin scores rows against matching-dim centroids only — the
+    kernel now groups centroids by dimension and matches it."""
+    from rehiver_spark.operators.vectorops import semdedup
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0 * (i % 3), 1.0, 0.5 * i]) for i in range(24)]
+        + [(100, [0.0, 1.0]), (101, [1.0, 0.0])],  # dim-2 rows
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 1.0]),
+            (2, [0.0, 1.0]),            # the only dim-2 centroid
+            (3, [1.0, 0.0, 0.0, 0.0]),  # oversized (old kernel's d=max trap)
+        ],
+        "cell_id bigint, _centv array<double>",
+    )
+    key = lambda r: tuple(r)  # noqa: E731
+    a = sorted(
+        map(key, semdedup(corpus, centroids=cents, impl="arrow").collect())
+    )
+    x = sorted(
+        map(key, semdedup(corpus, centroids=cents, impl="expr").collect())
+    )
+    assert a == x
+    by = {r[0]: r for r in a}
+    # dim-2 rows score only against the dim-2 centroid — NOT the
+    # smallest-cell fallback the max-d kernel produced
+    assert by[100][1] == 2 and by[101][1] == 2
+    # dim-3 rows keep their proper dim-3 assignment (the oversized
+    # centroid must not have flipped d for the whole corpus)
+    assert all(by[i][1] in (0, 1) for i in range(24))
+
+
+def test_split_hot_cells_exhausted_warning_names_true_worst(spark):
+    """Round-9 advisor fix: rounds exhausting with BOTH a frozen
+    degenerate cell and a still-progressing over-cap cell used to
+    suppress the rounds-exhausted warning (`and not frozen`), leaving
+    only the frozen warning whose max(frozen pops) understates the
+    real worst population. Both warnings now fire independently."""
+    import warnings
+
+    from rehiver_spark.operators.vectorops import _split_hot_cells
+
+    rows = [(i, 100, [1.0, 0.0, 0.0]) for i in range(6)]  # degenerate: 6 identical
+    vals = [[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [0.6, 0.8, 0.0]]
+    rows += [  # 39 rows, 3 identical groups of 13: splits progress
+        (10 + i, 200, vals[i % 3]) for i in range(39)
+    ]
+    df = spark.createDataFrame(rows, "_id bigint, cell_id bigint, _v array<double>")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = _split_hot_cells(df, max_cell_rows=2, max_rounds=2)
+        out.count()
+        msgs = [str(x.message) for x in w if issubclass(x.category, RuntimeWarning)]
+    # the measured worst (a 13-row value-group subcell) must be named
+    # even though the 6-row cell froze; the frozen warning also fires
+    assert any("13 rows" in m for m in msgs), msgs
+    assert any("degenerate" in m for m in msgs), msgs
+
+
 def test_split_hot_cells_warns_when_cap_unmet(spark):
     """Identical embeddings all tie to one sub-centroid, so the cap can
     never be met — the splitter must say so instead of silently leaving
