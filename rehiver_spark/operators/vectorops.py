@@ -629,9 +629,23 @@ def _split_hot_cells(
     convention as the seed centroids), re-assign only the hot cells'
     rows by nearest sub-centroid, repeat. Deterministic end to end.
 
-    Driver work per round is one scalar-sized collect (one row per hot
-    cell) plus the sub-centroid rows (split-ways × dim doubles — the
-    kmeans seed-collect class); only hot-cell rows are reshuffled.
+    Cost model (round 9 — the cap used to cost more than it saved at
+    moderate skew because every probe recomputed the corpus-scale
+    assignment kernel): the round-0 assignment is cached ONCE via a
+    lazy ``localCheckpoint`` and the cell populations are collected in
+    ONE scalar-bounded probe (≤ one row per cell). From there the
+    population map is maintained incrementally on the driver — a
+    round's re-assignment only changes the hot cells it split, so the
+    follow-up probe runs over the (small, checkpointed) reassigned
+    subset alone, and the rounds-exhausted worst-population check
+    reads the map with no job at all. Net: the assignment kernel runs
+    exactly once whether or not the cap binds, and the engaged path
+    adds only the one pops shuffle plus per-round work proportional to
+    the HOT rows. Storage: one cached copy of (id, cell, vec) —
+    strictly less than the old per-round full-corpus checkpoints
+    (MEMORY_AND_DISK via localCheckpoint, same class as the CC
+    operator's lineage truncation).
+
     Rounds stop when no SPLITTABLE cell exceeds the cap or after
     ``max_rounds`` — splitting s-ways cuts the worst cell by ~s× per
     round unless the embeddings are (near-)identical. A cell whose
@@ -641,16 +655,19 @@ def _split_hot_cells(
     re-shuffle essentially the same rows for nothing (round 8;
     previously the degenerate cell busy-looped until max_rounds).
     """
+    assigned = assigned.localCheckpoint(eager=False)
+    pops = {
+        r["cell_id"]: r["_pop"]
+        for r in assigned.groupBy("cell_id")
+        .agg(F.count("*").alias("_pop"))
+        .collect()  # ≤ one row per cell; scalar-bounded
+    }
     frozen: dict = {}  # cell_id -> stuck population
     parent_pop: dict = {}  # sub-cell id -> its parent's population
     for _ in range(max_rounds):
-        pops = assigned.groupBy("cell_id").agg(F.count("*").alias("_pop"))
-        hot = pops.filter(F.col("_pop") > max_cell_rows)
-        hot_rows = hot.collect()  # ≤ one row per cell; scalar-bounded
         hot_ids = {}
-        for r in hot_rows:
-            cid, pop = r["cell_id"], r["_pop"]
-            if cid in frozen:
+        for cid, pop in pops.items():
+            if pop <= max_cell_rows or cid in frozen:
                 continue
             if cid in parent_pop and pop > 0.9 * parent_pop[cid]:
                 frozen[cid] = pop  # <10% shrink: degenerate cell
@@ -705,19 +722,25 @@ def _split_hot_cells(
             rescored.withColumn("_rn", F.row_number().over(wa))
             .filter(F.col("_rn") == 1)
             .select("_id", F.col("_newcell").alias("cell_id"), "_v")
+        ).localCheckpoint(eager=False)  # hot rows only — small
+        # one small job over the reassigned subset both materializes
+        # its checkpoint and yields the sub-cell populations; the
+        # driver-side map replaces the old per-round corpus-wide probe
+        # (which recomputed the assignment kernel each round)
+        newpops = (
+            reassigned.groupBy("cell_id").agg(F.count("*").alias("_pop")).collect()
         )
-        assigned = cold_df.unionByName(reassigned).localCheckpoint(eager=False)
+        for cid in hot_ids:
+            del pops[cid]
+        pops.update({r["cell_id"]: r["_pop"] for r in newpops})
+        assigned = cold_df.unionByName(reassigned)
     else:
         # rounds exhausted without a clean exit: the cap may still be
-        # exceeded by cells that were still making progress. One scalar
-        # aggregate to check; the frozen set below covers the
+        # exceeded by cells that were still making progress. The
+        # incrementally-maintained map already holds every final
+        # population — no job; the frozen set below covers the
         # degenerate no-progress cells on EITHER exit path.
-        worst = (
-            assigned.groupBy("cell_id")
-            .agg(F.count("*").alias("_pop"))
-            .agg(F.max("_pop").alias("_m"))
-            .first()["_m"]
-        )
+        worst = max(pops.values()) if pops else None
         if worst is not None and worst > max_cell_rows:
             # warn INDEPENDENTLY of the frozen set: when rounds run out
             # with both a frozen degenerate cell and a still-progressing
@@ -852,8 +875,18 @@ def semdedup(
         assigned = _assign_cells_arrow(normed, cents)
     else:
         assigned = _assign_to_cells(normed, cents)
+    # the assignment feeds BOTH the prior-max stage and the final join,
+    # so without a cache the corpus-scale kernel runs twice; one lazy
+    # localCheckpoint (materialized by whichever action comes first,
+    # MEMORY_AND_DISK) makes it run exactly once on every path. On the
+    # capped path _split_hot_cells checkpoints its round-0 input itself
+    # (its probes need the cache anyway) and both downstream consumers
+    # then re-read that cache through cheap filter/union plans, so a
+    # second copy here would only duplicate storage.
     if max_cell_rows is not None:
         assigned = _split_hot_cells(assigned, int(max_cell_rows), max_split_rounds)
+    else:
+        assigned = assigned.localCheckpoint(eager=False)
     prior = (
         _prior_max_arrow(assigned)
         if impl == "arrow"
