@@ -149,73 +149,224 @@ def pair_counts(
     )
 
 
+def _accept_batch(
+    rows: list,
+    already: int,
+    num_merges: int,
+    min_freq: int,
+    probe: int,
+    multi_syms: set,
+) -> list:
+    """Select the maximal prefix of a sorted pair-count snapshot that
+    provably reproduces the classical SEQUENTIAL merge order when
+    applied together (the round-9 multi-merge batching — see
+    :func:`learn_bpe` for the argument). ``rows`` is the snapshot
+    sorted (freq desc, left, right); ``already`` merges exist, so at
+    most ``num_merges - already`` may be accepted. Pure driver-side
+    arithmetic on the collected rows — no jobs. ``multi_syms`` is the
+    set of multi-character symbol spellings alive in the vocabulary
+    (``</w>`` plus every prior merge's spelling — initial symbols are
+    single code points, so nothing else can collide with a merged
+    spelling)."""
+    if not rows or rows[0]["pair_freq"] < min_freq:
+        return []
+    # uncollected pairs sort after the probe window: freq ≤ t
+    t = rows[-1]["pair_freq"] if len(rows) >= probe else 0
+    first = rows[0]
+    accepted = [first]
+    # merging (a, b) rewrites exactly the pairs adjacent to its own
+    # occurrences: it destroys occurrences of (x, a) and (b, y) and
+    # creates (x, ab) / (ab, y). A pair (c, d) with d ∉ lefts and
+    # c ∉ rights of every accepted merge is therefore COUNT-STABLE —
+    # sharing a left symbol ((e,</w>) then (e,r)) or a right symbol
+    # ((g,</w>) after (e,</w>)) is harmless, because one token has one
+    # neighbor on each side and so belongs to at most one occurrence.
+    lefts = {first["left_sym"]}
+    rights = {first["right_sym"]}
+    created = {first["left_sym"] + first["right_sym"]}
+    # pass 1 — maximal COUNT-STABLE prefix: a candidate stops the
+    # batch (never skipped — a skipped pair could still outrank later
+    # candidates) when an accepted merge may have changed its count,
+    # when its merged spelling collides with a live multi-char symbol
+    # or a batch-created one, or when its count no longer strictly
+    # beats every pair the probe window did not collect.
+    if first["left_sym"] + first["right_sym"] not in multi_syms:
+        for q in rows[1:]:
+            if already + len(accepted) >= num_merges:
+                break
+            f, l, r = q["pair_freq"], q["left_sym"], q["right_sym"]
+            if f < min_freq or f <= t:
+                break
+            if r in lefts or l in rights:
+                break
+            cs = l + r
+            if cs in multi_syms or cs in created:
+                break
+            accepted.append(q)
+            lefts.add(l)
+            rights.add(r)
+            created.add(cs)
+    # pass 2 — new-pair outrank guard: every pair created by the
+    # accepted merges has count ≤ the OLD count of one of its SOURCE
+    # pairs — (x, ab) ≤ (x, a), (ab, y) ≤ (b, y), cross-batch
+    # (ab, cd) ≤ (b, c) — i.e. a snapshot pair with right ∈ accepted
+    # lefts or left ∈ accepted rights (or ≤ t if uncollected; source
+    # counts cannot have grown earlier in the batch, because batch-
+    # created pairs only involve NEW spellings). Trim the prefix so
+    # each kept merge strictly beats that bound; using the FULL
+    # batch's symbol sets makes the bound conservative, which only
+    # shortens the prefix (never admits an unsound merge). Strictness
+    # matters: at equality the classical tie-break would compare
+    # against a pair whose identity the driver cannot know without
+    # another round.
+    akeys = {(q["left_sym"], q["right_sym"]) for q in accepted}
+    max_touch = t
+    for q in rows:
+        if (q["left_sym"], q["right_sym"]) in akeys:
+            continue  # an accepted pair's residual count is 0
+        if q["right_sym"] in lefts or q["left_sym"] in rights:
+            max_touch = max(max_touch, q["pair_freq"])
+    keep = [accepted[0]]
+    for q in accepted[1:]:
+        if q["pair_freq"] <= max_touch:
+            break
+        keep.append(q)
+    return keep
+
+
 def learn_bpe(
     docs: DataFrame,
     num_merges: int,
     text_col: str = "text",
     min_freq: int = 2,
     checkpoint_every: int = 6,
+    probe_pairs: int = 256,
 ) -> list[dict]:
-    """Learn ``num_merges`` BPE merges from the corpus.
+    """Learn ``num_merges`` BPE merges from the corpus — EXACTLY the
+    classical sequential algorithm's merge table, in fewer rounds.
 
     Returns the merge table as a list of dicts
     ``{rank, left_sym, right_sym, merged, pair_freq}`` (rank 0 first).
-    Driver traffic per round is exactly ONE row (the arg-max pair,
-    deterministic tie-break: freq desc, then lexicographic); the
-    vocabulary relation stays distributed throughout and its lineage is
-    truncated every ``checkpoint_every`` rounds. Stops early when the
-    best remaining pair's frequency drops below ``min_freq``.
+    Stops early when the best remaining pair's frequency drops below
+    ``min_freq``. The vocabulary relation stays distributed throughout
+    and its lineage is truncated every ``checkpoint_every`` rounds.
+
+    Multi-merge rounds (round 9): each round collects the TOP
+    ``probe_pairs`` rows of the pair-count snapshot (still
+    scalar-bounded driver traffic) and applies the longest prefix that
+    provably equals the classical sequential order, cutting the
+    dominant cost — sequential job rounds — without changing one byte
+    of the result. ``probe_pairs=1`` restores the strict one-merge
+    rounds. The acceptance argument, each clause test-pinned in
+    tests/test_bpe.py:
+
+    - the snapshot's first row IS the classical argmax (same data,
+      same (freq desc, left, right) order) — always applied;
+    - a later row (l, r, f) is the NEXT classical argmax if nothing
+      the earlier accepted merges did could have promoted another
+      pair above it or changed its own count:
+
+      * count-stability wrt every accepted merge (a, b): the
+        candidate's right symbol is no accepted LEFT and its left
+        symbol is no accepted RIGHT. Merging (a, b) rewrites exactly
+        the pairs adjacent to its own occurrences — (x, a) and
+        (b, y) — so a count-stable pair's occurrences are position-
+        disjoint from every merged occurrence (one token has one
+        neighbor per side), its count and the relative order of all
+        stable snapshot pairs are unchanged, and the literal replaces
+        in the space-doubled form touch disjoint character ranges
+        (each match consumes only its own half of each boundary), so
+        the batched application commutes with the sequential one.
+        Sharing a LEFT symbol — (e, </w>) then (e, r) — or a RIGHT
+        symbol — (g, </w>) after (e, </w>) — is harmless;
+      * the merged spelling l+r must be a NEW symbol. Initial symbols
+        are single code points, so only ``</w>`` and prior merge
+        spellings can collide (``multi_syms``); on collision the
+        merged pair's occurrences would pool with an existing
+        symbol's and the count bookkeeping below breaks — the batch
+        stops (the colliding merge applies alone, which is always
+        exact);
+      * every pair an accepted merge creates — (x, ab), (ab, y),
+        (ab, ab), or cross-batch (ab, cd) — holds at most the OLD
+        count of its source pair ((x,a), (b,y), (b,a), (b,c)
+        respectively), and every source pair has right symbol ∈
+        accepted lefts or left symbol ∈ accepted rights. So f must
+        STRICTLY exceed both the largest snapshot count among source
+        pairs and the probe tail bound t (uncollected pairs all have
+        count ≤ t). Strictness matters: at equality the classical
+        tie-break would compare against a pair whose identity the
+        driver cannot know without another round — the batch stops
+        instead.
+
+    A candidate that fails any clause ENDS the batch rather than being
+    skipped: its true current count is somewhere in [0, f], so any
+    later candidate might classically rank after it. Interaction-heavy
+    corpora therefore degrade gracefully to the sequential one-merge
+    rounds, never to a wrong table.
     """
     # the vocabulary's symbol strings live in DOUBLED-delimiter form
     # for the whole loop (closed under merges — see merge_once): each
-    # round's merge is then ONE literal replace instead of
-    # merge_once's three, and pair_counts' symbol split filters the
-    # empty strings the doubled spaces produce
+    # merge is then ONE literal replace instead of merge_once's three,
+    # and pair_counts' symbol split filters the empty strings the
+    # doubled spaces produce
     vocab = word_freqs(docs, text_col).withColumn(
         "spaced", F.replace(spaced(F.col("word")), F.lit(" "), F.lit("  "))
     )
     vocab = vocab.persist()
     merges: list[dict] = []
+    multi_syms = {END_OF_WORD}
+    probe = max(1, probe_pairs)
+    rounds = 0
+    prev: DataFrame | None = None
     try:
-        for rank in range(num_merges):
-            top = (
+        while len(merges) < num_merges:
+            rows = (
                 pair_counts(vocab)
                 .orderBy(
                     F.col("pair_freq").desc(),
                     F.col("left_sym"),
                     F.col("right_sym"),
                 )
-                .limit(1)
+                .limit(probe)
                 .collect()
             )
-            if not top or top[0]["pair_freq"] < min_freq:
+            # the collect has just MATERIALIZED vocab's cache, so the
+            # parent it derives from is now safe to release. Releasing
+            # it any earlier (the pre-round-9 order) meant each round's
+            # cache fill replayed the whole lineage back to the last
+            # checkpoint — including the corpus-sized word_freqs pass.
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            batch = _accept_batch(
+                rows, len(merges), num_merges, min_freq, probe, multi_syms
+            )
+            if not batch:
                 break
-            l, r, pf = (
-                top[0]["left_sym"],
-                top[0]["right_sym"],
-                top[0]["pair_freq"],
-            )
-            merges.append(
-                {
-                    "rank": rank,
-                    "left_sym": l,
-                    "right_sym": r,
-                    "merged": l + r,
-                    "pair_freq": pf,
-                }
-            )
-            nxt = vocab.withColumn(
-                "spaced",
-                F.replace(
-                    F.col("spaced"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
-                ),
-            )
-            if (rank + 1) % checkpoint_every == 0:
+            rounds += 1
+            col = F.col("spaced")
+            for q in batch:
+                l, r, pf = q["left_sym"], q["right_sym"], q["pair_freq"]
+                merges.append(
+                    {
+                        "rank": len(merges),
+                        "left_sym": l,
+                        "right_sym": r,
+                        "merged": l + r,
+                        "pair_freq": pf,
+                    }
+                )
+                multi_syms.add(l + r)
+                col = F.replace(col, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+            nxt = vocab.withColumn("spaced", col)
+            if rounds % checkpoint_every == 0:
                 nxt = nxt.localCheckpoint()
             nxt = nxt.persist()
-            vocab.unpersist()
+            prev = vocab
             vocab = nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         vocab.unpersist()
     return merges
 

@@ -214,3 +214,202 @@ def test_learn_on_astral_corpus_matches_reference(spark):
     seg = {r["doc_id"]: r["bpe_symbols"] for r in apply_merges(d, merges).collect()}
     for i, t in enumerate(texts):
         assert seg[i] == [s for w in t.split() for s in ref_segment(w, merges)]
+
+
+# ---------------------------------------------------------------------------
+# Round-9 multi-merge batching: exactness under interaction (verdict task 5)
+# ---------------------------------------------------------------------------
+
+
+def ref_learn_batched(texts, num_merges, min_freq=2, probe=256):
+    """Driver-side simulation of the batched learner: classical
+    machinery (ref_pair_counts / ref_merge_word) with merge selection
+    routed through ``_accept_batch`` and each batch applied
+    SEQUENTIALLY — so equality with ref_learn isolates exactly the
+    acceptance logic's claim that the batch prefix equals the
+    classical order."""
+    from rehiver_spark.operators.bpe import END_OF_WORD, _accept_batch
+
+    words = collections.Counter()
+    for t in texts:
+        words.update((t or "").lower().split())
+    vocab = [(ref_word_symbols(w), f) for w, f in words.items()]
+    merges = []
+    multi = {END_OF_WORD}
+    rounds = 0
+    while len(merges) < num_merges:
+        counts = ref_pair_counts(vocab)
+        rows = [
+            {"left_sym": l, "right_sym": r, "pair_freq": f}
+            for (l, r), f in sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+        ][:probe]
+        batch = _accept_batch(rows, len(merges), num_merges, min_freq, probe, multi)
+        if not batch:
+            break
+        rounds += 1
+        for q in batch:
+            pair = (q["left_sym"], q["right_sym"])
+            merges.append((pair[0], pair[1], q["pair_freq"]))
+            multi.add(pair[0] + pair[1])
+            vocab = [(ref_merge_word(s, pair), f) for s, f in vocab]
+    return merges, rounds
+
+
+def test_accept_batch_unit_cases():
+    from rehiver_spark.operators.bpe import _accept_batch
+
+    def rows(*triples):
+        return [
+            {"left_sym": l, "right_sym": r, "pair_freq": f}
+            for l, r, f in triples
+        ]
+
+    P, M = 256, {"</w>"}
+    key = lambda q: (q["left_sym"], q["right_sym"])  # noqa: E731
+
+    # fully disjoint, well-separated: all accepted in one round
+    got = _accept_batch(
+        rows(("a", "b", 10), ("c", "d", 9), ("e", "f", 8)), 0, 16, 2, P, M
+    )
+    assert [key(q) for q in got] == [("a", "b"), ("c", "d"), ("e", "f")]
+
+    # a DESTABILIZED candidate stops the batch: left == accepted right
+    # ((a,b) consumes b, so (b,c) occurrences may be destroyed)
+    got = _accept_batch(
+        rows(("a", "b", 10), ("b", "c", 9), ("e", "f", 8)), 0, 16, 2, P, M
+    )
+    assert [key(q) for q in got] == [("a", "b")]
+    # ...and right == accepted left ((x,a) occurrences may be destroyed)
+    got = _accept_batch(
+        rows(("a", "b", 10), ("x", "a", 9), ("e", "f", 8)), 0, 16, 2, P, M
+    )
+    assert [key(q) for q in got] == [("a", "b")]
+
+    # sharing a LEFT symbol is count-stable: merging (e, w) only
+    # consumes e's followed by w, so (e, r) keeps its exact count —
+    # both accepted in one round (the English '</w>'-heavy regime)
+    got = _accept_batch(
+        rows(("e", "w", 10), ("e", "r", 9), ("i", "n", 8)), 0, 16, 2, P, M
+    )
+    assert [key(q) for q in got] == [("e", "w"), ("e", "r"), ("i", "n")]
+    # sharing a RIGHT symbol is count-stable too
+    got = _accept_batch(
+        rows(("e", "w", 10), ("g", "w", 9)), 0, 16, 2, P, M
+    )
+    assert [key(q) for q in got] == [("e", "w"), ("g", "w")]
+    # self-pair interactions: (e,e) is destabilized by (e,w) (an e
+    # followed by w is consumed, destroying a preceding (e,e) pair)
+    got = _accept_batch(
+        rows(("e", "w", 10), ("e", "e", 9)), 0, 16, 2, P, M
+    )
+    assert [key(q) for q in got] == [("e", "w")]
+
+    # new-pair outrank TIE: (x, a) touches the accepted (a, b) at the
+    # same count as candidate (c, d) — after merging, (x, ab) could
+    # hold count 8 and win the classical tie-break, so (c, d) must be
+    # trimmed even though it is symbol-disjoint
+    got = _accept_batch(
+        rows(("a", "b", 10), ("c", "d", 8), ("x", "a", 8)), 0, 16, 2, P, M
+    )
+    assert [key(q) for q in got] == [("a", "b")]
+    # ...but a STRICTLY larger disjoint candidate survives the bound
+    got = _accept_batch(
+        rows(("a", "b", 10), ("c", "d", 9), ("x", "a", 8)), 0, 16, 2, P, M
+    )
+    assert [key(q) for q in got] == [("a", "b"), ("c", "d")]
+
+    # spelling collision with a live multi-char symbol: batch closes
+    # after the argmax (which always applies — classical does too)
+    got = _accept_batch(
+        rows(("a", "b", 10), ("c", "d", 9)), 0, 16, 2, P, {"</w>", "ab"}
+    )
+    assert [key(q) for q in got] == [("a", "b")]
+    # collision of a LATER candidate's spelling stops before it
+    got = _accept_batch(
+        rows(("a", "b", 10), ("c", "d", 9)), 0, 16, 2, P, {"</w>", "cd"}
+    )
+    assert [key(q) for q in got] == [("a", "b")]
+
+    # probe-tail bound: with the window full, candidates at the tail
+    # count are not provably ahead of uncollected pairs
+    got = _accept_batch(
+        rows(("a", "b", 10), ("c", "d", 9), ("e", "f", 9)), 0, 16, 2, 3, M
+    )
+    assert [key(q) for q in got] == [("a", "b")]
+
+    # num_merges budget truncates the batch
+    got = _accept_batch(
+        rows(("a", "b", 10), ("c", "d", 9), ("e", "f", 8)), 15, 16, 2, P, M
+    )
+    assert [key(q) for q in got] == [("a", "b")]
+
+    # min_freq ends the batch but never the argmax
+    got = _accept_batch(
+        rows(("a", "b", 10), ("c", "d", 1)), 0, 16, 2, P, M
+    )
+    assert [key(q) for q in got] == [("a", "b")]
+    assert _accept_batch(rows(("a", "b", 1)), 0, 16, 2, P, M) == []
+
+
+def test_batched_selection_matches_classical_on_random_corpora():
+    """Property test: on hundreds of adversarial corpora (tiny
+    alphabets force heavy merge interaction — self-pair runs, chained
+    merges, spelling collisions), the batched selection must produce
+    the byte-identical classical merge table. Pure driver-side, so
+    the search is wide."""
+    import random
+
+    for seed in range(300):
+        rng = random.Random(seed)
+        alpha = "ab" if seed % 3 == 0 else ("abc" if seed % 3 == 1 else "abcd")
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(2, 10))
+        ]
+        text = " ".join(
+            w for w in words for _ in range(rng.randint(1, 5))
+        )
+        expect = ref_learn([text], 12, min_freq=2)
+        got, rounds = ref_learn_batched([text], 12, min_freq=2)
+        assert got == expect, f"seed {seed}: {got} != {expect}"
+        assert rounds <= max(1, len(got)), seed
+
+
+def test_learn_bpe_batched_equals_sequential_probe(spark, docs):
+    """End-to-end on Spark: the batched default and the probe_pairs=1
+    sequential fallback must emit the identical merge table (both
+    equal the classical reference)."""
+    batched = learn_bpe(docs, num_merges=12, min_freq=2)
+    seq = learn_bpe(docs, num_merges=12, min_freq=2, probe_pairs=1)
+    assert batched == seq
+    expect = ref_learn(TEXTS, 12, min_freq=2)
+    assert [
+        (m["left_sym"], m["right_sym"], m["pair_freq"]) for m in batched
+    ] == expect
+
+
+def test_learn_bpe_batched_on_interaction_heavy_corpus(spark):
+    """Spark end-to-end on a deliberately interaction-heavy corpus
+    (binary alphabet, long self-pair runs, colliding spellings like
+    (a,aa)/(aa,a) -> 'aaa'): the batch must degrade to whatever prefix
+    stays provable and still reproduce the classical table exactly."""
+    import random
+
+    rng = random.Random(7)
+    texts = [
+        " ".join(
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 7)))
+            for _ in range(12)
+        )
+        for _ in range(5)
+    ] + ["aaaa aaa aa aaaa aaaaa", "abab abab ab abab"]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = learn_bpe(d, num_merges=10)
+    expect = ref_learn(texts, 10)
+    assert [
+        (m["left_sym"], m["right_sym"], m["pair_freq"]) for m in got
+    ] == expect
