@@ -61,100 +61,93 @@ def query(name: str, oracle: str | None = None):
 #   3. brand-new queries enter the window of the round that adds them;
 #   4. remaining slots fill with the oldest-evidence names first.
 #
-# Round-8 window under that policy (history: r2-r3 recorded r/c; r4
+# Round-9 window under that policy (history: r2-r3 recorded r/c; r4
 # rotated x/e in; r5 rotated the 44 displaced r/c back + x40 + 5
 # touched; r6 recorded the 19 never-recorded r5 additions + x57b + 30
 # r4-stale; r7 recorded the 15 r4-stale + x22b + 2 touched + 6
-# streaming + 4 mm_* + 18 r + c1-c4):
-#   - the committed 19 (pre-declared in round 7 as _R8_COMMITTED):
-#     the 18 r5-row holders whose rows turn 3 rounds old here
-#     (rule 1) + x25, whose Arrow rewrite landed after the r7 window
-#     shipped (rule 2, one round late by necessity — this round's
-#     driver row is the first to cover the arrow default);
-#   - x57c_substring_dedup_auto, new this round (rule 3) — the
-#     auto-dial's first OWN queries() entry (r7 verdict task 2);
-#   - x16_repetition (Arrow stats kernel rewrite),
-#     x57b_substring_dedup_pruned (stage-1 probe now returns fp_occ
-#     for the auto dial's eager unpersist), and
-#     x22_semdedup + x22b_semdedup_scaled (both semdedup corpus
-#     stages rewritten as Arrow kernels), and x19_pipeline (it
-#     composes repetition_stats, so the x16 rewrite is its code
-#     too) — touched this round (rule 2);
-#   - 26 of the 47 r6-row holders (rule 4 — all tie at two rounds
-#     stale, so the fill is the x1-x15 and x20-x36 family blocks,
-#     keeping families contiguous for debuggability; x37/x38 yield
-#     their slots to the touched x19/x22b and join the committed r9
-#     window).
-# OUTSIDE the window and why that is safe: the remaining 21 r6-row
-# holders (the x41-x57 sketch/stream/BPE block + x21f + x37 + x38) — code
-# untouched since r6, judge-re-verified on the r7 tree, and they are
-# the committed r9 window under rule 1 (their rows turn 3 rounds old
-# there); everything else has an r7 driver row on unchanged code.
-_R9_COMMITTED = (
-    "x21f_winnow_fast", "x37_chunk_reassembly", "x38_corpus_drift",
-    "x41_count_min",
-    "x42_hll_distinct", "x43_bloom_dedup", "x44_stream_hll",
-    "x45_bpe_pairs", "x46_bpe_learn", "x46b_bpe_apply",
-    "x47_hdr_quantiles", "x48_weighted_sample", "x49_dsir_scores",
-    "x50_jl_project", "x51_kmeans", "x52_stream_cm", "x53_ann_recall",
-    "x54_pipeline_yield", "x55_sketch_filter", "x56_stream_hdr",
-    "x57_substring_dedup",
+# streaming + 4 mm_* + 18 r + c1-c4; r8 recorded the 19 committed
+# r5-stale + x25 + x57c + 5 touched + 26 r6-row holders):
+#   - the committed 21 (pre-declared in round 8 as _R9_COMMITTED):
+#     the x41-x57 sketch/stream/BPE block + x21f + x37 + x38, whose
+#     r6 rows turn 3 rounds old here (rule 1). x46_bpe_learn is also
+#     rule 2 this round (multi-merge batching rewrite of learn_bpe);
+#   - x22_semdedup + x22b_semdedup_scaled — touched this round
+#     (rule 2): the semdedup kernels got the mixed-dimension advisor
+#     fixes and the single-assignment-pass cap rework;
+#   - 27 of the 46 r7-row holders (rule 4 — all tie at two rounds
+#     stale; the fill keeps families contiguous: x14 — this round's
+#     declined-kernel experiment subject, freshly re-certified on the
+#     unchanged expression path — the 4 mm_*, the full r-surface
+#     r1-r17+r8b, and c1-c4).
+# OUTSIDE the window and why that is safe: the remaining 19 r7-row
+# holders (x6/x6b/x7/x8/x9, x17, x18, x29, x30, x34, x35, c18b, c17g
+# and the 6 c17 streaming forms) — code untouched since r7, and they
+# are the committed r10 window under rule 1 (their rows turn 3 rounds
+# old there); everything else has an r8 driver row on unchanged code.
+_R10_COMMITTED = (
+    "x6_approx", "x6b_sampling", "x7_minhash_pairs",
+    "x8_simhash_pairs", "x9_lsh_cosine_neardup",
+    "x17_dedup_clusters", "x18_sequence_packing", "x29_fuzzy_dedup",
+    "x30_zorder_layout", "x34_incremental_neardup", "x35_epoch_shuffle",
+    "c18b_python_udtf", "c17g_sliding_window",
+    "c17_tumbling_window", "c17_session_window", "c17c_streaming_exec",
+    "c17d_stream_join", "c17e_stream_static_join", "c17f_stream_dedup",
 )
 _DRIVER_WINDOW = (
-    # the committed r8 window (rule 1: r5 rows turning 3 rounds old;
-    # x25 per rule 2) — FIRST
-    "c5_asof_join",
-    "c6_agg",
-    "c6b_percentile",
-    "c7_rollup",
-    "c7b_cube",
-    "c8_window",
-    "c9_topk",
-    "c10_setops",
-    "c10b_except_all",
-    "c11_string",
-    "c12_datetime",
-    "c13_math",
-    "c14_array",
-    "c15_json",
-    "c16_dedup",
-    "c18_pandas_udf",
-    "x39_hybrid_search",
-    "x40_source_overlap",
-    "x25_charlm_quality",
-    # new + touched this round (rules 2-3)
-    "x57c_substring_dedup_auto",
-    "x16_repetition",
-    "x57b_substring_dedup_pruned",
-    "x22b_semdedup_scaled",
-    "x19_pipeline",
-    # r6-row holders, family blocks (rule 4)
-    "x1_exact_dedup",
-    "x2_jaccard_pairs",
-    "x3_cosine_topk",
-    "x4_text_stats",
-    "x5_tf_idf",
-    "x6c_portable_sample",
-    "x7p_minhash_lsh",
-    "x8p_simhash",
-    "x9p_lsh_cosine",
-    "x10_ivf_topk",
-    "x11_chunking",
-    "x12_redact_pii",
-    "x13_stratified_sample",
-    "x15_contamination",
-    "x20_training_mix",
-    "x21_winnow_contamination",
+    # the committed r9 window (rule 1: r6 rows turning 3 rounds old;
+    # x46 also rule 2 — learn_bpe multi-merge rewrite) — FIRST
+    "x21f_winnow_fast",
+    "x37_chunk_reassembly",
+    "x38_corpus_drift",
+    "x41_count_min",
+    "x42_hll_distinct",
+    "x43_bloom_dedup",
+    "x44_stream_hll",
+    "x45_bpe_pairs",
+    "x46_bpe_learn",
+    "x46b_bpe_apply",
+    "x47_hdr_quantiles",
+    "x48_weighted_sample",
+    "x49_dsir_scores",
+    "x50_jl_project",
+    "x51_kmeans",
+    "x52_stream_cm",
+    "x53_ann_recall",
+    "x54_pipeline_yield",
+    "x55_sketch_filter",
+    "x56_stream_hdr",
+    "x57_substring_dedup",
+    # touched this round (rule 2): semdedup kernel fixes + cap rework
     "x22_semdedup",
-    "x23_span_dedup",
-    "x24_url_dedup",
-    "x26_quantize_int8",
-    "x27_line_dedup",
-    "x28_incremental_dedup",
-    "x31_semantic_decontamination",
-    "x32_corpus_report",
-    "x33_quality_select",
-    "x36_vocab_topk",
+    "x22b_semdedup_scaled",
+    # r7-row holders, family blocks (rule 4)
+    "x14_winnow_fingerprints",
+    "mm_decode",
+    "mm_resize",
+    "mm_features",
+    "mm_frame_plan",
+    "r1_glob_match",
+    "r2_glob_filter",
+    "r3_path_capture",
+    "r4_partition_parse",
+    "r5_partition_format",
+    "r6_partition_prune",
+    "r7_missing_keys",
+    "r8_time_partition_path",
+    "r8b_time_path_tz",
+    "r9_time_range_paths",
+    "r10_detect_changes",
+    "r11_changes_filter",
+    "r12_snapshot_commit",
+    "r13_s3key_codec",
+    "r14_valid_bucket_name",
+    "r15_content_type",
+    "r16_object_catalog",
+    "r17_stream_process",
+    "c1_projection",
+    "c2_filter",
+    "c3_join",
+    "c4_range_join",
 )
 
 
@@ -163,10 +156,10 @@ def load_all() -> None:
 
     Import order alone does not control the driver window: after the
     imports, the registry is reordered to the explicit 50-name
-    ``_DRIVER_WINDOW`` (round-8 rotation under the standing policy —
+    ``_DRIVER_WINDOW`` (round-9 rotation under the standing policy —
     see the note above), with everything else after in import order.
-    Every query outside the window keeps its r6/r7 driver row on
-    untouched code (the leftover r6-row holders are the committed r9
+    Every query outside the window keeps its r7/r8 driver row on
+    untouched code (the leftover r7-row holders are the committed r10
     window), and all are re-verified locally by tools/check_oracle.py
     (the identical gate). Do not change ``_DRIVER_WINDOW`` without
     checking driver-window coverage (tests/test_engine.py pins it).
