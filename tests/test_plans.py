@@ -339,13 +339,41 @@ def test_x22b_adaptive_semdedup_has_no_cartesian_pair_stage(spark, queries):
     assignment is the round-8 map-only Arrow kernel (the collected
     √N-clamped centroid table rides inside one ArrowEvalPython — no
     N×k join rows, no assignment window), and the pair stage is an
-    equi-join keyed on cell_id — never a cartesian product."""
+    equi-join keyed on cell_id — never a cartesian product. Since the
+    round-9 cap rework the assignment output is localCheckpoint-cached
+    (ONE kernel pass feeds both the prior-max stage and the final
+    join), so the final plan reads the checkpoint boundary instead of
+    inlining the kernel — the kernel's own shape is asserted on the
+    assignment stage's plan."""
     p = plan_of(queries["x22b_semdedup_scaled"](spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p or "BuildRight" in p
-    assert "ArrowEvalPython" in p  # the map-only assignment
+    # the cached assignment boundary that makes the kernel run once
+    assert "Scan ExistingRDD" in p
+    assert "ArrowEvalPython" not in p  # nothing re-runs the kernel
     # the within-cell pair join is a real equi-join on cell_id
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+    # the assignment stage itself: map-only Arrow kernel — no window,
+    # no join, no N×k row materialization
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.vectorops import (
+        _assign_cells_arrow,
+        l2_normalize,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    normed = emb.select(
+        F.col("vec_id").alias("_id"), l2_normalize("embedding").alias("_v")
+    )
+    cents = emb.orderBy(F.col("vec_id").asc()).limit(25).select(
+        F.col("vec_id").alias("cell_id"), l2_normalize("embedding").alias("_centv")
+    )
+    ap = plan_of(_assign_cells_arrow(normed, cents))
+    assert "ArrowEvalPython" in ap  # the map-only assignment
+    for node in ("Window", "SortMergeJoin", "CartesianProduct", "HashAggregate"):
+        assert node not in ap, node
 
 
 def test_x16_arrow_stats_pass_is_map_only(spark):
