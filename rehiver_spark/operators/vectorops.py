@@ -242,6 +242,125 @@ def _plane_buckets_udf(planes, input_dtype: str):
     return pandas_udf(_buckets, "array<bigint>")
 
 
+def _lsh_verify_arrow(
+    bucketed: DataFrame, threshold: float, id_type
+) -> DataFrame:
+    """Within-bucket exact-cosine verification as ONE cell-keyed
+    ``applyInPandas`` pass — the round-9 scale fix for the LSH
+    near-dup family (same shape as semdedup's prior-max kernel).
+
+    ``bucketed`` = (t, bkt, _id, _v). The relational verify
+    materialized pop² candidate rows × two dim-sized vectors through a
+    join; this kernel ships each bucket's vectors ONCE (Σpop × dim
+    doubles per table), computes the pop² cosine block in tiled C
+    (~8 MB score tiles, cache-resident at any skew), and emits only
+    the surviving pairs — so memory is bounded by the tile, not the
+    bucket. A pair colliding in several tables is verified in each
+    (≤ n_tables× redundant compute, all map-side) and collapsed by the
+    caller's ``distinct()``; identical folds give identical doubles,
+    so the duplicates are exact.
+
+    Bit-parity contract with the expr fold (the established kernel
+    playbook):
+    - per-dimension SEQUENTIAL accumulation over id-sorted rows == the
+      ``aggregate(zip_with(...))`` left-to-right fold;
+    - pairs are formed per LENGTH GROUP: ``zip_with`` pads mismatched
+      dims with NULL → NULL cosine → fails ``>= threshold`` → dropped,
+      so cross-dim pairs simply never form; vectors with a NULL
+      element score NULL against everything → excluded;
+    - a NaN cosine (an inf element riding through l2_normalize)
+      SURVIVES the filter: Spark's comparison semantics treat NaN as
+      greater than any numeric, so ``NaN >= t`` is true — the kernel
+      keeps ``isnan`` rows and emits the NaN through a
+      ``FloatingArray`` (an unmasked NaN is the one way a true NaN
+      crosses pandas→Arrow without becoming SQL NULL).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type, True),
+            StructField("id_b", id_type, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+    def _pairs(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        ids = pdf["_id"].to_numpy()
+        raw = pdf["_v"].to_numpy()
+        lens = np.fromiter(
+            (
+                len(v) if v is not None and not any(x is None for x in v) else -1
+                for v in raw
+            ),
+            dtype=np.int64,
+            count=len(raw),
+        )
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        blk = 1024  # 1024² float64 tile ≈ 8 MB — L3-resident
+        for dim in np.unique(lens):
+            if dim < 0:
+                continue
+            sel = np.flatnonzero(lens == dim)
+            m = len(sel)
+            if m < 2:
+                continue
+            v = np.vstack([np.asarray(raw[i], dtype=np.float64) for i in sel])
+            gids = ids[sel]
+            for s in range(0, m, blk):
+                a = v[s : s + blk]
+                for u in range(s, m, blk):
+                    b = v[u : u + blk]
+                    acc = np.zeros((len(a), len(b)), dtype=np.float64)
+                    for j in range(dim):
+                        # sequential per-dim accumulation == the fold
+                        acc += a[:, j : j + 1] * b[:, j][None, :]
+                    ii, jj = np.nonzero(
+                        ((acc >= threshold) | np.isnan(acc))
+                        # strict upper triangle in GLOBAL row order
+                        & (
+                            (s + np.arange(len(a)))[:, None]
+                            < (u + np.arange(len(b)))[None, :]
+                        )
+                    )
+                    if len(ii):
+                        out_a.append(gids[s + ii])
+                        out_b.append(gids[u + jj])
+                        out_c.append(acc[ii, jj])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=pdf["_id"].dtype),
+                    "id_b": pd.Series([], dtype=pdf["_id"].dtype),
+                    "cosine": pd.Series([], dtype=np.float64),
+                }
+            )
+        cos = np.concatenate(out_c)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                # unmasked NaN survives pandas→Arrow as a true NaN
+                # (a plain float64 NaN column would turn into NULL)
+                "cosine": pd.arrays.FloatingArray(
+                    cos, np.zeros(len(cos), dtype=bool)
+                ),
+            }
+        )
+
+    return bucketed.groupBy("t", "bkt").applyInPandas(_pairs, out_schema)
+
+
 def lsh_cosine_neardup_portable(
     df: DataFrame,
     dim: int,
@@ -252,12 +371,14 @@ def lsh_cosine_neardup_portable(
     n_tables: int = 4,
     seed: int = 42,
     scale: int = 10000,
+    impl: str = "arrow",
 ) -> DataFrame:
     """``lsh_cosine_neardup`` with quantized Rademacher bucketing — the
     oracle-checkable form. Candidates = per-table bucket collisions;
-    verification = exact cosine. All tables' buckets are computed in
-    ONE projection and candidates come from ONE self-join on
-    (table, bucket) — not n_tables joins + union."""
+    verification = exact cosine (within-bucket Arrow kernel by
+    default since round 9 — see :func:`_lsh_verify_arrow`; the
+    relational ``impl="expr"`` twin is the oracle shape). All tables'
+    buckets are computed in ONE projection."""
     # quantization stays a Spark expression (F.round == oracle round,
     # proven parity); only the plane dots move to the batched matmul
     quant = F.transform(
@@ -274,10 +395,31 @@ def lsh_cosine_neardup_portable(
         # near-dup to anything, and a None reaching the Arrow batch
         # would crash np.vstack for the whole job — drop it here
         .filter(F.col("_v").isNotNull())
-    )  # read by the bucketing pass plus both verify sides
+    )  # read by the bucketing pass plus the verify stage
     planes = [rademacher_planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     bkts = _plane_buckets_udf(planes, input_dtype="int64")
-    bucketed = base.select("_id", F.posexplode(bkts("_q"))).withColumnsRenamed(
+    return _lsh_neardup_from_base(base, bkts("_q"), threshold, impl)
+
+
+def _lsh_neardup_from_base(
+    base: DataFrame, bkts_col: Column, threshold: float, impl: str
+) -> DataFrame:
+    """Shared candidate/verify tail of both LSH near-dup forms.
+    ``base`` = (_id, _v, ...), ``bkts_col`` = array<bigint> of one
+    packed bucket per table."""
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be arrow|expr, got {impl!r}")
+    if impl == "arrow":
+        bucketed = base.select(
+            "_id", "_v", F.posexplode(bkts_col)
+        ).withColumnsRenamed({"pos": "t", "col": "bkt"})
+        pairs = _lsh_verify_arrow(
+            bucketed, threshold, base.schema["_id"].dataType
+        )
+        # a pair colliding in several tables is verified in each with
+        # an identical fold → identical doubles → distinct collapses
+        return pairs.distinct()
+    bucketed = base.select("_id", F.posexplode(bkts_col)).withColumnsRenamed(
         {"pos": "t", "col": "bkt"}
     )
     a = bucketed.select(F.col("_id").alias("id_a"), "t", "bkt")
@@ -315,48 +457,27 @@ def lsh_cosine_neardup(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 42,
+    impl: str = "arrow",
 ) -> DataFrame:
-    """ANN near-dup: per-table sign-LSH bucket collisions → distinct
-    candidates → exact cosine verification. Approximate (recall < 1
+    """ANN near-dup: per-table sign-LSH bucket collisions → exact
+    cosine verification → distinct survivors. Approximate (recall < 1
     possible); returned pairs ⊆ exact answer. All tables' buckets come
-    from ONE projection + ONE self-join on (table, bucket) — not
-    n_tables joins + union."""
+    from ONE projection; verification is the within-bucket Arrow
+    kernel by default since round 9 (:func:`_lsh_verify_arrow` — the
+    relational ``impl="expr"`` twin materialized pop² candidate rows
+    × two dim-sized vectors through a join, which ran the executor
+    out of allocation headroom on sf10's clustered corpus where one
+    hot bucket held a quadratic share)."""
     base = track_persist(
         ensure_parallelism(df)
         .select(F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v"))
         # NULL/zero-norm embeddings have no direction; a None in the
         # Arrow batch would crash np.vstack for the whole job
         .filter(F.col("_v").isNotNull())
-    )  # read by the bucketing pass plus both verify sides
+    )  # read by the bucketing pass plus the verify stage
     planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     bkts = _plane_buckets_udf(planes, input_dtype="float64")
-    bucketed = base.select("_id", F.posexplode(bkts("_v"))).withColumnsRenamed(
-        {"pos": "t", "col": "bkt"}
-    )
-    ca = bucketed.select(F.col("_id").alias("id_a"), "t", "bkt")
-    cb = bucketed.select(F.col("_id").alias("id_b"), "t", "bkt")
-    cands = (
-        ca.join(cb, ["t", "bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    a = base.withColumnsRenamed({"_id": "id_a", "_v": "_va"})
-    b = base.withColumnsRenamed({"_id": "id_b", "_v": "_vb"})
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "cosine",
-            F.aggregate(
-                F.zip_with("_va", "_vb", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    return _lsh_neardup_from_base(base, bkts("_v"), threshold, impl)
 
 
 def kmeans_sample_centroids(

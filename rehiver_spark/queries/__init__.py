@@ -74,19 +74,24 @@ def query(name: str, oracle: str | None = None):
 #   - x22_semdedup + x22b_semdedup_scaled — touched this round
 #     (rule 2): the semdedup kernels got the mixed-dimension advisor
 #     fixes and the single-assignment-pass cap rework;
-#   - 27 of the 46 r7-row holders (rule 4 — all tie at two rounds
+#   - x9 + x9p — touched this round (rule 2): the LSH near-dup
+#     family's verify stage moved to the within-bucket Arrow kernel
+#     after the sf10 hot-bucket failure;
+#   - 25 of the 46 r7-row holders (rule 4 — all tie at two rounds
 #     stale; the fill keeps families contiguous: x14 — this round's
 #     declined-kernel experiment subject, freshly re-certified on the
 #     unchanged expression path — the 4 mm_*, the full r-surface
-#     r1-r17+r8b, and c1-c4).
-# OUTSIDE the window and why that is safe: the remaining 19 r7-row
-# holders (x6/x6b/x7/x8/x9, x17, x18, x29, x30, x34, x35, c18b, c17g
-# and the 6 c17 streaming forms) — code untouched since r7, and they
-# are the committed r10 window under rule 1 (their rows turn 3 rounds
-# old there); everything else has an r8 driver row on unchanged code.
+#     r1-r17+r8b, and c3-c4; c1/c2 yielded their slots to the
+#     rule-2 LSH pair).
+# OUTSIDE the window and why that is safe: the remaining r7-row
+# holders (x6/x6b/x7/x8, x17, x18, x29, x30, x34, x35, c18b, c17g,
+# the 6 c17 streaming forms, plus the displaced c1/c2) — code
+# untouched since their last row, and they are the committed r10
+# window under rule 1; everything else has an r8 driver row on
+# unchanged code.
 _R10_COMMITTED = (
     "x6_approx", "x6b_sampling", "x7_minhash_pairs",
-    "x8_simhash_pairs", "x9_lsh_cosine_neardup",
+    "x8_simhash_pairs", "c1_projection", "c2_filter",
     "x17_dedup_clusters", "x18_sequence_packing", "x29_fuzzy_dedup",
     "x30_zorder_layout", "x34_incremental_neardup", "x35_epoch_shuffle",
     "c18b_python_udtf", "c17g_sliding_window",
@@ -117,9 +122,15 @@ _DRIVER_WINDOW = (
     "x55_sketch_filter",
     "x56_stream_hdr",
     "x57_substring_dedup",
-    # touched this round (rule 2): semdedup kernel fixes + cap rework
+    # touched this round (rule 2): semdedup kernel fixes + cap
+    # rework; the LSH near-dup family's within-bucket verify kernel
+    # (the sf10 hot-bucket fix) pulls x9 out of the committed r10 set
+    # and x9p out of the r8-row holders — two rule-4 fills (c1, c2)
+    # yield their slots and join _R10_COMMITTED
     "x22_semdedup",
     "x22b_semdedup_scaled",
+    "x9_lsh_cosine_neardup",
+    "x9p_lsh_cosine",
     # r7-row holders, family blocks (rule 4)
     "x14_winnow_fingerprints",
     "mm_decode",
@@ -144,8 +155,6 @@ _DRIVER_WINDOW = (
     "r15_content_type",
     "r16_object_catalog",
     "r17_stream_process",
-    "c1_projection",
-    "c2_filter",
     "c3_join",
     "c4_range_join",
 )

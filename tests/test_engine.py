@@ -144,8 +144,12 @@ def test_driver_window_round9_rotation():
     }
     assert not r9_committed - set(first50)
     # touched this round (rule 2): the semdedup mixed-dim advisor
-    # fixes + the single-assignment-pass cap rework
-    assert {"x22_semdedup", "x22b_semdedup_scaled"} <= set(first50)
+    # fixes + the single-assignment-pass cap rework, and the LSH
+    # near-dup within-bucket verify kernel (the sf10 hot-bucket fix)
+    assert {
+        "x22_semdedup", "x22b_semdedup_scaled",
+        "x9_lsh_cosine_neardup", "x9p_lsh_cosine",
+    } <= set(first50)
     # EXACT outside set: the committed r10 window (r7 rows turning
     # 3 rounds old there) + the r8-row holders on unchanged code
     outside = set(QUERIES) - set(first50)
@@ -159,7 +163,7 @@ def test_driver_window_round9_rotation():
         "x57b_substring_dedup_pruned", "x19_pipeline",
         "x1_exact_dedup", "x2_jaccard_pairs", "x3_cosine_topk",
         "x4_text_stats", "x5_tf_idf", "x6c_portable_sample",
-        "x7p_minhash_lsh", "x8p_simhash", "x9p_lsh_cosine",
+        "x7p_minhash_lsh", "x8p_simhash",
         "x10_ivf_topk", "x11_chunking", "x12_redact_pii",
         "x13_stratified_sample", "x15_contamination", "x20_training_mix",
         "x21_winnow_contamination", "x23_span_dedup", "x24_url_dedup",

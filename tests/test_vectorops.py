@@ -565,6 +565,66 @@ def test_lsh_paths_tolerate_null_and_zero_vectors(spark):
     assert gotp == {(1, 2)}
 
 
+def test_lsh_verify_arrow_equals_expr(spark, sf_dir):
+    """Round-9 scale fix: the within-bucket Arrow verification (the
+    default — the relational verify materialized pop² candidate rows
+    × two dim-sized vectors and died on sf10's hot bucket) must equal
+    the expr twin bit for bit on the real corpus, for both LSH forms."""
+    import math
+
+    from rehiver_spark.operators.vectorops import (
+        lsh_cosine_neardup,
+        lsh_cosine_neardup_portable,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    def canon(rows):
+        return sorted(
+            (r["id_a"], r["id_b"], repr(r["cosine"])) for r in rows
+        )
+
+    for fn in (lsh_cosine_neardup, lsh_cosine_neardup_portable):
+        a = canon(fn(emb, dim=64, threshold=0.4, impl="arrow").collect())
+        x = canon(fn(emb, dim=64, threshold=0.4, impl="expr").collect())
+        assert a == x and len(a) > 0, fn.__name__
+
+
+def test_lsh_verify_arrow_nan_cosine_survives_like_expr(spark):
+    """Spark's comparison semantics treat NaN as greater than any
+    numeric, so a NaN cosine (an inf element riding through
+    l2_normalize) passes ``>= threshold`` in the expr form and must
+    survive the kernel too — as a true NaN, not a NULL (the
+    FloatingArray channel)."""
+    import math
+
+    from rehiver_spark.operators.vectorops import lsh_cosine_neardup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),
+        (3, [float("inf"), 1.0, 0.0]),  # normalizes to [NaN, 0, 0]
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    def tag(c):
+        if c is None:
+            return "null"
+        if math.isnan(c):
+            return "nan"
+        return round(c, 9)
+
+    out = {}
+    for impl in ("arrow", "expr"):
+        got = lsh_cosine_neardup(df, dim=3, threshold=0.9, impl=impl).collect()
+        out[impl] = sorted((r["id_a"], r["id_b"], tag(r["cosine"])) for r in got)
+    assert out["arrow"] == out["expr"]
+    # the near-dup pair survives, and NaN rows (if the buckets collide)
+    # are NaN on both paths — never NULL
+    assert any(p[:2] == (1, 2) for p in out["arrow"])
+
+
 # ---------------------------------------------------------------------------
 # X50 — Johnson–Lindenstrauss projection
 # ---------------------------------------------------------------------------
