@@ -371,14 +371,16 @@ def lsh_cosine_neardup_portable(
     n_tables: int = 4,
     seed: int = 42,
     scale: int = 10000,
-    impl: str = "arrow",
+    impl: str = "auto",
 ) -> DataFrame:
     """``lsh_cosine_neardup`` with quantized Rademacher bucketing — the
     oracle-checkable form. Candidates = per-table bucket collisions;
-    verification = exact cosine (within-bucket Arrow kernel by
-    default since round 9 — see :func:`_lsh_verify_arrow`; the
-    relational ``impl="expr"`` twin is the oracle shape). All tables'
-    buckets are computed in ONE projection."""
+    verification = exact cosine, dispatched by the measured Σpop²
+    probe since round 9 (``impl="auto"`` — see
+    :func:`_lsh_neardup_from_base`; ``"expr"`` is the oracle-shaped
+    relational join, ``"arrow"`` the within-bucket kernel, bit-equal
+    and test-pinned). All tables' buckets are computed in ONE
+    projection."""
     # quantization stays a Spark expression (F.round == oracle round,
     # proven parity); only the plane dots move to the batched matmul
     quant = F.transform(
@@ -398,17 +400,46 @@ def lsh_cosine_neardup_portable(
     )  # read by the bucketing pass plus the verify stage
     planes = [rademacher_planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     bkts = _plane_buckets_udf(planes, input_dtype="int64")
-    return _lsh_neardup_from_base(base, bkts("_q"), threshold, impl)
+    return _lsh_neardup_from_base(base, bkts("_q"), threshold, impl, dim)
+
+
+# expr verify materializes ~ Σpop² candidate rows × two dim-sized
+# vectors; below this byte estimate that join is cheaper than the
+# kernel's per-(table, bucket) applyInPandas group overhead (measured
+# at sf0.1: ~10k near-singleton groups cost 5.9 s arrow vs 1.9 s
+# expr), above it the join spills toward executor death (sf10:
+# Σpop² ≈ 2.3e8/table → ~450 GB of join rows → OOM).
+_LSH_EXPR_VERIFY_MAX_BYTES = 1 << 30
 
 
 def _lsh_neardup_from_base(
-    base: DataFrame, bkts_col: Column, threshold: float, impl: str
+    base: DataFrame, bkts_col: Column, threshold: float, impl: str, dim: int
 ) -> DataFrame:
     """Shared candidate/verify tail of both LSH near-dup forms.
     ``base`` = (_id, _v, ...), ``bkts_col`` = array<bigint> of one
-    packed bucket per table."""
-    if impl not in ("arrow", "expr"):
-        raise ValueError(f"impl must be arrow|expr, got {impl!r}")
+    packed bucket per table.
+
+    ``impl="auto"`` (the operator default) dispatches on a measured
+    Σpop² probe: one scalar aggregation over the bucket histogram (the
+    ONE eager job this operator runs — base is persisted, so the probe
+    costs the bucket UDF once plus a tiny shuffle) estimates the expr
+    verify's join bytes (Σpop² × 2·dim doubles) and picks the
+    relational join below ``_LSH_EXPR_VERIFY_MAX_BYTES``, the
+    within-bucket kernel above it. Deterministic given the data; both
+    branches are bit-equal (test-pinned), so the dial is a cost
+    decision, not a semantics change."""
+    if impl not in ("auto", "arrow", "expr"):
+        raise ValueError(f"impl must be auto|arrow|expr, got {impl!r}")
+    if impl == "auto":
+        sum_pop2 = (
+            base.select(F.posexplode(bkts_col))
+            .groupBy("pos", "col")
+            .agg(F.count(F.lit(1)).alias("_p"))
+            .agg(F.sum(F.col("_p") * F.col("_p")).alias("_s"))
+            .first()["_s"]
+        ) or 0
+        est_bytes = sum_pop2 * (2 * dim * 8 + 48)
+        impl = "expr" if est_bytes <= _LSH_EXPR_VERIFY_MAX_BYTES else "arrow"
     if impl == "arrow":
         bucketed = base.select(
             "_id", "_v", F.posexplode(bkts_col)
@@ -457,17 +488,19 @@ def lsh_cosine_neardup(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 42,
-    impl: str = "arrow",
+    impl: str = "auto",
 ) -> DataFrame:
     """ANN near-dup: per-table sign-LSH bucket collisions → exact
     cosine verification → distinct survivors. Approximate (recall < 1
     possible); returned pairs ⊆ exact answer. All tables' buckets come
-    from ONE projection; verification is the within-bucket Arrow
-    kernel by default since round 9 (:func:`_lsh_verify_arrow` — the
-    relational ``impl="expr"`` twin materialized pop² candidate rows
-    × two dim-sized vectors through a join, which ran the executor
-    out of allocation headroom on sf10's clustered corpus where one
-    hot bucket held a quadratic share)."""
+    from ONE projection; verification dispatches on the measured
+    Σpop² probe since round 9 (``impl="auto"``, see
+    :func:`_lsh_neardup_from_base`): small bucket histograms keep the
+    relational join (``"expr"``), while skewed ones take the
+    within-bucket Arrow kernel (``"arrow"``,
+    :func:`_lsh_verify_arrow`) — the join materialized pop² candidate
+    rows × two dim-sized vectors, which ran the executor out of
+    allocation headroom at sf10 where Σpop² ≈ 2.3e8 per table."""
     base = track_persist(
         ensure_parallelism(df)
         .select(F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v"))
@@ -477,7 +510,7 @@ def lsh_cosine_neardup(
     )  # read by the bucketing pass plus the verify stage
     planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     bkts = _plane_buckets_udf(planes, input_dtype="float64")
-    return _lsh_neardup_from_base(base, bkts("_v"), threshold, impl)
+    return _lsh_neardup_from_base(base, bkts("_v"), threshold, impl, dim)
 
 
 def kmeans_sample_centroids(

@@ -592,6 +592,33 @@ def test_lsh_verify_arrow_equals_expr(spark, sf_dir):
         assert a == x and len(a) > 0, fn.__name__
 
 
+def test_lsh_auto_dispatch_probes_sum_pop2(spark, sf_dir, monkeypatch):
+    """impl='auto' (the default) must take the cheap relational join on
+    a small bucket histogram and the within-bucket kernel above the
+    byte threshold — and both branches must return identical rows."""
+    import rehiver_spark.operators.vectorops as vo
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    calls = []
+    real = vo._lsh_verify_arrow
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(vo, "_lsh_verify_arrow", spy)
+    key = lambda rows: sorted((r[0], r[1], round(r[2], 9)) for r in rows)  # noqa: E731
+    # small histogram → expr branch, kernel never invoked
+    auto = key(vo.lsh_cosine_neardup(emb, dim=64, threshold=0.4).collect())
+    assert not calls
+    # forced-low threshold → auto must dispatch to the kernel, same rows
+    monkeypatch.setattr(vo, "_LSH_EXPR_VERIFY_MAX_BYTES", 0)
+    auto_arrow = key(vo.lsh_cosine_neardup(emb, dim=64, threshold=0.4).collect())
+    assert calls and auto_arrow == auto and len(auto) > 0
+
+
 def test_lsh_verify_arrow_nan_cosine_survives_like_expr(spark):
     """Spark's comparison semantics treat NaN as greater than any
     numeric, so a NaN cosine (an inf element riding through
