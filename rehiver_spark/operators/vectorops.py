@@ -307,7 +307,12 @@ def _lsh_verify_arrow(
         out_a: list = []
         out_b: list = []
         out_c: list = []
-        blk = 1024  # 1024² float64 tile ≈ 8 MB — L3-resident
+        # 256² tiles (~0.5 MB acc + temp) stay L2-resident through all
+        # d accumulation passes — the same finding as the prior-max
+        # kernel's round-9 re-tiling: an 8 MB tile re-touched d times
+        # plus a same-sized broadcast temp per pass is DRAM-bound once
+        # a few tasks share L3
+        blk = 256
         for dim in np.unique(lens):
             if dim < 0:
                 continue
@@ -730,18 +735,36 @@ def _assign_cells_arrow(normed: DataFrame, cents: DataFrame) -> DataFrame:
             k = len(gids)
             x = np.vstack([np.asarray(raw[i], dtype=np.float64) for i in sel])
             picked = np.empty(len(x), dtype=np.int64)
-            # row-chunked so the rows×k score block stays ~L3-sized
-            # (at the 65536 clamp a full 10k-row batch block would be
-            # 5 GB); per-element order unchanged — bit parity holds
-            blk = max(1, (8 << 20) // (8 * k))
-            for s in range(0, len(x), blk):
-                xb = x[s : s + blk]
-                acc = np.zeros((len(xb), k), dtype=np.float64)
-                for j in range(dim):
-                    # sequential per-dimension accumulation == the
-                    # expr fold's left-to-right sum, bit for bit
-                    acc += xb[:, j : j + 1] * cmat[:, j][None, :]
-                picked[s : s + blk] = np.argmax(acc, axis=1)
+            # 2D-TILED (round 9, same finding as the prior-max
+            # kernel): the d sequential += passes re-touch the score
+            # tile plus a same-sized broadcast temp, so the tile must
+            # stay L2-resident through all d passes — the old 8 MB
+            # row-chunk was DRAM-bound once a few tasks shared L3.
+            # 256×256 tiles keep per-element accumulation order
+            # IDENTICAL (bit parity); the argmax combines across
+            # centroid tiles with a strictly-greater update, so the
+            # FIRST maximum still wins ties (== np.argmax == the
+            # window's cell_id ASC tiebreak on the cell-sorted
+            # table), and a NaN score hijacks at its first occurrence
+            # exactly like the single-block argmax did.
+            T = 256
+            for s in range(0, len(x), T):
+                xb = x[s : s + T]
+                bestv = np.full(len(xb), -np.inf, dtype=np.float64)
+                besti = np.zeros(len(xb), dtype=np.int64)
+                for c0 in range(0, k, T):
+                    cm = cmat[c0 : min(c0 + T, k)]
+                    acc = np.zeros((len(xb), len(cm)), dtype=np.float64)
+                    for j in range(dim):
+                        # sequential per-dimension accumulation == the
+                        # expr fold's left-to-right sum, bit for bit
+                        acc += xb[:, j : j + 1] * cm[:, j][None, :]
+                    loc = np.argmax(acc, axis=1)
+                    val = acc[np.arange(len(xb)), loc]
+                    upd = (val > bestv) | (np.isnan(val) & ~np.isnan(bestv))
+                    besti[upd] = c0 + loc[upd]
+                    bestv[upd] = val[upd]
+                picked[s : s + T] = besti
             out[sel] = gids[picked]
         return pd.Series(out)
 
@@ -1165,25 +1188,42 @@ def _prior_max_arrow(assigned: DataFrame) -> DataFrame:
             v = np.vstack([np.asarray(raw[i], dtype=np.float64) for i in sel])
             vt = np.ascontiguousarray(v.T)  # contiguous per-dim rows
             best = np.full(m, -np.inf, dtype=np.float64)
-            # COLUMN-BLOCKED accumulation: the d sequential += passes
-            # are the bit-parity contract, but they re-touch the whole
-            # score block every pass — an uncapped skewed cell
-            # (pop 12.8k at sf10) makes a pop×pop block 1.3 GB and the
-            # pass DRAM-bound (373 s for the stage). Bounding the
-            # block to ~8 MB keeps it L3-resident, so the same d
-            # passes run at cache speed; per-element arithmetic and
-            # order are IDENTICAL (each acc entry still sums its 64
-            # products left to right)
-            blk = max(1, min(m, (8 << 20) // (8 * m)))
-            for s in range(1, m, blk):
-                e_ = min(s + blk, m)
-                acc = np.zeros((m, e_ - s), dtype=np.float64)
-                for j in range(vt.shape[0]):
-                    acc += v[:, j : j + 1] * vt[j, s:e_][None, :]
-                # member s+c's prior candidates are rows a < s+c
-                valid = np.arange(m)[:, None] < np.arange(s, e_)[None, :]
-                acc[~valid] = -np.inf
-                best[s:e_] = acc.max(axis=0)
+            # 2D-TILED accumulation (round 9): the d sequential +=
+            # passes are the bit-parity contract, but each pass
+            # re-touches the whole score tile plus a same-sized
+            # broadcast temp — so the tile must stay CACHE-resident
+            # through all d passes or the kernel is DRAM-bound. The
+            # r8 single-axis blocking sized tiles to 8 MB of L3, which
+            # 16 concurrent tasks × (acc + temp + re-reads) turned
+            # into ~3.5 TB of DRAM traffic on a 47.9k-row cell
+            # (x22's fixed-k sf10 shape) — measured 573 s. 256×256
+            # tiles (~0.5 MB acc + temp, L2-per-core) run the same
+            # passes at cache speed, and row-tiling also skips the
+            # upper triangle the old full-height columns computed and
+            # masked away. Parity: each acc entry still sums its d
+            # products left to right (tile shape cannot reorder a
+            # per-element sum); the per-column max combines exactly
+            # over row tiles (float max is associative, np.maximum
+            # propagates NaN like Spark's NaN-sorts-greatest max).
+            T = 256
+            for s in range(1, m, T):
+                e_ = min(s + T, m)
+                w = e_ - s
+                bb = np.full(w, -np.inf, dtype=np.float64)
+                for r0 in range(0, e_, T):  # only rows < e_ can be priors
+                    r1 = min(r0 + T, e_)
+                    a = v[r0:r1]
+                    acc = np.zeros((r1 - r0, w), dtype=np.float64)
+                    for j in range(vt.shape[0]):
+                        acc += a[:, j : j + 1] * vt[j, s:e_][None, :]
+                    if r1 > s:  # tile crosses the diagonal: mask i >= j
+                        valid = (
+                            np.arange(r0, r1)[:, None]
+                            < np.arange(s, e_)[None, :]
+                        )
+                        acc[~valid] = -np.inf
+                    bb = np.maximum(bb, acc.max(axis=0))
+                best[s:e_] = bb
             mp[sel[1:]] = best[1:]  # sel[0] = the group's min-id member
             no_prior[sel[1:]] = False
         # no-prior rows come back as SQL NULL (→ the caller's
