@@ -533,7 +533,15 @@ def connected_components(
     fail the job, swap in reliable ``checkpoint()`` with a checkpoint
     dir; the algorithm is unchanged.
     """
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # e is referenced TWICE below (forward + swapped); without a cache
+    # the union's branches EACH replay the whole upstream pair
+    # pipeline (banding join + verification — measured 2× the x29
+    # pairs cost at sf10, 106 s vs 45 s for the CC stage). The lazy
+    # checkpoint is materialized once by the union job and the swap
+    # side reads the cache.
+    e = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint(eager=False)
     raw = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()

@@ -77,23 +77,24 @@ def query(name: str, oracle: str | None = None):
 #   - x9 + x9p — touched this round (rule 2): the LSH near-dup
 #     family's verify stage moved to the within-bucket Arrow kernel
 #     after the sf10 hot-bucket failure;
-#   - 25 of the 46 r7-row holders (rule 4 — all tie at two rounds
-#     stale; the fill keeps families contiguous: x14 — this round's
-#     declined-kernel experiment subject, freshly re-certified on the
-#     unchanged expression path — the 4 mm_*, the full r-surface
-#     r1-r17+r8b, and c3-c4; c1/c2 yielded their slots to the
-#     rule-2 LSH pair).
+#   - x17 + x29 + x34 — touched this round (rule 2): the
+#     connected-components edge relation gets a lazy checkpoint (its
+#     union-swap double-computed the whole upstream pair pipeline);
+#   - 22 of the 46 r7-row holders (rule 4 — all tie at two rounds
+#     stale; the fill keeps families contiguous: the 4 mm_* and the
+#     full r-surface r1-r17+r8b; c1-c4 and x14 yielded their slots to
+#     the rule-2 entries and join _R10_COMMITTED).
 # OUTSIDE the window and why that is safe: the remaining r7-row
-# holders (x6/x6b/x7/x8, x17, x18, x29, x30, x34, x35, c18b, c17g,
-# the 6 c17 streaming forms, plus the displaced c1/c2) — code
-# untouched since their last row, and they are the committed r10
-# window under rule 1; everything else has an r8 driver row on
-# unchanged code.
+# holders (x6/x6b/x7/x8, x18, x30, x35, c18b, c17g, the 6 c17
+# streaming forms, plus the displaced c1-c4 and x14) — code untouched
+# since their last row, and they are the committed r10 window under
+# rule 1; everything else has an r8 driver row on unchanged code.
 _R10_COMMITTED = (
     "x6_approx", "x6b_sampling", "x7_minhash_pairs",
     "x8_simhash_pairs", "c1_projection", "c2_filter",
-    "x17_dedup_clusters", "x18_sequence_packing", "x29_fuzzy_dedup",
-    "x30_zorder_layout", "x34_incremental_neardup", "x35_epoch_shuffle",
+    "c3_join", "c4_range_join", "x14_winnow_fingerprints",
+    "x18_sequence_packing",
+    "x30_zorder_layout", "x35_epoch_shuffle",
     "c18b_python_udtf", "c17g_sliding_window",
     "c17_tumbling_window", "c17_session_window", "c17c_streaming_exec",
     "c17d_stream_join", "c17e_stream_static_join", "c17f_stream_dedup",
@@ -123,16 +124,18 @@ _DRIVER_WINDOW = (
     "x56_stream_hdr",
     "x57_substring_dedup",
     # touched this round (rule 2): semdedup kernel fixes + cap
-    # rework; the LSH near-dup family's within-bucket verify kernel
-    # (the sf10 hot-bucket fix) pulls x9 out of the committed r10 set
-    # and x9p out of the r8-row holders — two rule-4 fills (c1, c2)
-    # yield their slots and join _R10_COMMITTED
+    # rework; the LSH within-bucket verify kernel (the sf10
+    # hot-bucket fix) pulls in x9/x9p; the connected-components lazy
+    # checkpoint pulls in its consumers x17/x29/x34 — the displaced
+    # rule-4 fills (c1-c4, x14) join _R10_COMMITTED
     "x22_semdedup",
     "x22b_semdedup_scaled",
     "x9_lsh_cosine_neardup",
     "x9p_lsh_cosine",
+    "x17_dedup_clusters",
+    "x29_fuzzy_dedup",
+    "x34_incremental_neardup",
     # r7-row holders, family blocks (rule 4)
-    "x14_winnow_fingerprints",
     "mm_decode",
     "mm_resize",
     "mm_features",
@@ -155,8 +158,6 @@ _DRIVER_WINDOW = (
     "r15_content_type",
     "r16_object_catalog",
     "r17_stream_process",
-    "c3_join",
-    "c4_range_join",
 )
 
 

@@ -146,9 +146,11 @@ def test_driver_window_round9_rotation():
     # touched this round (rule 2): the semdedup mixed-dim advisor
     # fixes + the single-assignment-pass cap rework, and the LSH
     # near-dup within-bucket verify kernel (the sf10 hot-bucket fix)
+    # ...and the connected-components lazy-checkpoint fix (x17/x29/x34)
     assert {
         "x22_semdedup", "x22b_semdedup_scaled",
         "x9_lsh_cosine_neardup", "x9p_lsh_cosine",
+        "x17_dedup_clusters", "x29_fuzzy_dedup", "x34_incremental_neardup",
     } <= set(first50)
     # EXACT outside set: the committed r10 window (r7 rows turning
     # 3 rounds old there) + the r8-row holders on unchanged code
