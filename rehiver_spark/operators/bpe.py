@@ -189,8 +189,18 @@ def _accept_batch(
     # candidates) when an accepted merge may have changed its count,
     # when its merged spelling collides with a live multi-char symbol
     # or a batch-created one, or when its count no longer strictly
-    # beats every pair the probe window did not collect.
-    if first["left_sym"] + first["right_sym"] not in multi_syms:
+    # beats every pair the probe window did not collect. A SELF-pair
+    # merge (l == r) also CLOSES the batch after itself: it creates
+    # (ll, ll) whose only source pair is the accepted pair ITSELF
+    # (old count = its snapshot count, the round's maximum), so the
+    # pass-2 outrank bound — which skips accepted pairs — cannot see
+    # it, and (ll, ll) may classically outrank every later candidate
+    # (r10 advisor repro: 20×'aaaaaa' corpus, (aa,aa)=40 beats
+    # (c,d)=30 after (a,a) merges).
+    if (
+        first["left_sym"] + first["right_sym"] not in multi_syms
+        and first["left_sym"] != first["right_sym"]
+    ):
         for q in rows[1:]:
             if already + len(accepted) >= num_merges:
                 break
@@ -206,6 +216,8 @@ def _accept_batch(
             lefts.add(l)
             rights.add(r)
             created.add(cs)
+            if l == r:
+                break
     # pass 2 — new-pair outrank guard: every pair created by the
     # accepted merges has count ≤ the OLD count of one of its SOURCE
     # pairs — (x, ab) ≤ (x, a), (ab, y) ≤ (b, y), cross-batch
@@ -249,7 +261,9 @@ def learn_bpe(
     ``{rank, left_sym, right_sym, merged, pair_freq}`` (rank 0 first).
     Stops early when the best remaining pair's frequency drops below
     ``min_freq``. The vocabulary relation stays distributed throughout
-    and its lineage is truncated every ``checkpoint_every`` rounds.
+    and its lineage is truncated every ``checkpoint_every`` accepted
+    MERGES (crossing-based, so the un-checkpointed expression depth is
+    bounded regardless of how many merges one round batches).
 
     Multi-merge rounds (round 9): each round collects the TOP
     ``probe_pairs`` rows of the pair-count snapshot (still
@@ -316,7 +330,14 @@ def learn_bpe(
     merges: list[dict] = []
     multi_syms = {END_OF_WORD}
     probe = max(1, probe_pairs)
-    rounds = 0
+    # lineage is truncated on accumulated MERGES, not rounds: one
+    # multi-merge round chains one F.replace per accepted merge, so a
+    # rounds-based counter would let the per-column expression tree
+    # grow to ~checkpoint_every * probe_pairs nested calls between
+    # checkpoints (r10 advisor finding). Crossing-based accounting
+    # bounds the un-checkpointed depth at checkpoint_every plus one
+    # batch, independent of probe_pairs.
+    next_ckpt = max(1, checkpoint_every)
     prev: DataFrame | None = None
     try:
         while len(merges) < num_merges:
@@ -343,7 +364,6 @@ def learn_bpe(
             )
             if not batch:
                 break
-            rounds += 1
             col = F.col("spaced")
             for q in batch:
                 l, r, pf = q["left_sym"], q["right_sym"], q["pair_freq"]
@@ -359,8 +379,10 @@ def learn_bpe(
                 multi_syms.add(l + r)
                 col = F.replace(col, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
             nxt = vocab.withColumn("spaced", col)
-            if rounds % checkpoint_every == 0:
+            if len(merges) >= next_ckpt:
                 nxt = nxt.localCheckpoint()
+                while next_ckpt <= len(merges):
+                    next_ckpt += max(1, checkpoint_every)
             nxt = nxt.persist()
             prev = vocab
             vocab = nxt

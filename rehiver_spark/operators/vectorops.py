@@ -264,6 +264,12 @@ def _lsh_verify_arrow(
     playbook):
     - per-dimension SEQUENTIAL accumulation over id-sorted rows == the
       ``aggregate(zip_with(...))`` left-to-right fold;
+    - the pair condition is ``id_a < id_b`` (strict id inequality via
+      the sorted-bucket group rank), not positional order, so
+      duplicate ``_id`` values never yield an (id, id) pair — same as
+      the expr twin's filter. (With duplicate ids carrying DIFFERENT
+      vectors both paths fan out distinct-id pairs per occurrence;
+      unique ids are the precondition for full bit-parity.)
     - pairs are formed per LENGTH GROUP: ``zip_with`` pads mismatched
       dims with NULL → NULL cosine → fails ``>= threshold`` → dropped,
       so cross-dim pairs simply never form; vectors with a NULL
@@ -322,6 +328,16 @@ def _lsh_verify_arrow(
                 continue
             v = np.vstack([np.asarray(raw[i], dtype=np.float64) for i in sel])
             gids = ids[sel]
+            # pair condition is id_a < id_b like the expr twin, NOT
+            # positional order: if the input carries duplicate _id
+            # values the positional upper triangle would emit (id, id)
+            # pairs the expr form drops (r10 advisor). Rows are
+            # id-sorted, so equal ids are contiguous — a cumsum group
+            # rank turns strict id inequality into a vectorized int
+            # compare for any id dtype (incl. object/string ids).
+            grp = np.zeros(m, dtype=np.int64)
+            if m > 1:
+                grp[1:] = np.cumsum(gids[1:] != gids[:-1])
             for s in range(0, m, blk):
                 a = v[s : s + blk]
                 for u in range(s, m, blk):
@@ -332,10 +348,10 @@ def _lsh_verify_arrow(
                         acc += a[:, j : j + 1] * b[:, j][None, :]
                     ii, jj = np.nonzero(
                         ((acc >= threshold) | np.isnan(acc))
-                        # strict upper triangle in GLOBAL row order
+                        # strict id inequality via the sorted group rank
                         & (
-                            (s + np.arange(len(a)))[:, None]
-                            < (u + np.arange(len(b)))[None, :]
+                            grp[s : s + len(a)][:, None]
+                            < grp[u : u + len(b)][None, :]
                         )
                     )
                     if len(ii):

@@ -352,6 +352,21 @@ def test_accept_batch_unit_cases():
     assert [key(q) for q in got] == [("a", "b")]
     assert _accept_batch(rows(("a", "b", 1)), 0, 16, 2, P, M) == []
 
+    # SELF-pair closes the batch after itself (r10 advisor, high):
+    # merging (a,a) creates (aa,aa) whose source pair is the accepted
+    # pair ITSELF, so its count is invisible to the pass-2 bound —
+    # (aa,aa) can classically outrank any later candidate. Argmax
+    # self-pair applies alone...
+    got = _accept_batch(
+        rows(("a", "a", 100), ("c", "d", 30), ("e", "f", 20)), 0, 16, 2, P, M
+    )
+    assert [key(q) for q in got] == [("a", "a")]
+    # ...and a mid-batch self-pair is the batch's LAST member
+    got = _accept_batch(
+        rows(("a", "b", 10), ("e", "e", 9), ("g", "h", 8)), 0, 16, 2, P, M
+    )
+    assert [key(q) for q in got] == [("a", "b"), ("e", "e")]
+
 
 def test_batched_selection_matches_classical_on_random_corpora():
     """Property test: on hundreds of adversarial corpora (tiny
@@ -375,6 +390,36 @@ def test_batched_selection_matches_classical_on_random_corpora():
         got, rounds = ref_learn_batched([text], 12, min_freq=2)
         assert got == expect, f"seed {seed}: {got} != {expect}"
         assert rounds <= max(1, len(got)), seed
+
+
+def test_batched_selection_on_self_pair_run_corpora():
+    """The r10 advisor's repro class: a dominant single-symbol RUN
+    plus disjoint mid-frequency pairs. Merging the run's self-pair
+    (a,a) creates (aa,aa) whose source pair is the accepted pair
+    itself, so batching anything after it is unsound — the old pass-2
+    bound skipped accepted pairs and lost exactly this case. The 300-
+    seed sweep above never hits it (words ≤ 6 chars); pin the repro
+    and a directed sweep of run-length × pair-frequency layouts."""
+    import random
+
+    repro = ["aaaaaa"] * 20 + ["cd"] * 10 + ["cdx"] * 10 + ["cdy"] * 10
+    expect = ref_learn(repro, 12, min_freq=2)
+    got, _ = ref_learn_batched(repro, 12, min_freq=2)
+    assert got == expect, f"advisor repro: {got[:4]} != {expect[:4]}"
+
+    for seed in range(60):
+        rng = random.Random(1000 + seed)
+        run = "a" * rng.randint(4, 12)
+        texts = (
+            [run] * rng.randint(5, 30)
+            + ["cd"] * rng.randint(2, 25)
+            + ["ef" * rng.randint(1, 3)] * rng.randint(2, 25)
+            + ["bbb"] * rng.randint(0, 15)
+        )
+        rng.shuffle(texts)
+        expect = ref_learn(texts, 12, min_freq=2)
+        got, _ = ref_learn_batched(texts, 12, min_freq=2)
+        assert got == expect, f"seed {seed}: {got} != {expect}"
 
 
 def test_learn_bpe_batched_equals_sequential_probe(spark, docs):

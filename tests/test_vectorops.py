@@ -652,6 +652,34 @@ def test_lsh_verify_arrow_nan_cosine_survives_like_expr(spark):
     assert any(p[:2] == (1, 2) for p in out["arrow"])
 
 
+def test_lsh_verify_arrow_duplicate_ids_drop_self_pairs_like_expr(spark):
+    """r10 advisor (low): the kernel used POSITIONAL upper-triangle
+    pairing, so duplicate _id values emitted (id, id) pairs the expr
+    twin's id_a < id_b filter drops. The kernel now compares ids (via
+    the sorted-bucket group rank) — a duplicated id must yield no
+    self-pair on either path, and identical-vector duplicates must
+    leave the two paths SET-equal (the expr path's vector join fans
+    out duplicate identical rows where the kernel's distinct()
+    collapses them — multiplicity under duplicate ids is out of the
+    parity contract, self-pairs are in)."""
+    from rehiver_spark.operators.vectorops import lsh_cosine_neardup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),  # exact duplicate id + vector
+        (2, [1.0, 0.001, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {}
+    for impl in ("arrow", "expr"):
+        got = lsh_cosine_neardup(df, dim=3, threshold=0.9, impl=impl).collect()
+        out[impl] = {(r["id_a"], r["id_b"], repr(r["cosine"])) for r in got}
+    assert out["arrow"] == out["expr"]
+    assert all(p[0] != p[1] for p in out["arrow"])
+    assert any(p[:2] == (1, 2) for p in out["arrow"])
+
+
 # ---------------------------------------------------------------------------
 # X50 — Johnson–Lindenstrauss projection
 # ---------------------------------------------------------------------------
