@@ -582,7 +582,11 @@ def _perturbed_embeddings(spark, sf_dir):
 def x9_lsh_cosine_neardup(spark, sf_dir):
     """Testdata embeddings are near-orthogonal (max pairwise cosine
     ≈ 0.51), so near-dups are synthesized: perturbed copies
-    (vec_id+100000) with cosine ≈ 0.998 to their originals."""
+    (vec_id+100000) with cosine ≈ 0.998 to their originals. Since
+    round 10 the plane count is ADAPTIVE (n_planes=None →
+    adaptive_plane_count from a count probe), so bucket population —
+    and with it per-bucket verify work — stays ~constant as the
+    corpus grows."""
     corpus = _perturbed_embeddings(spark, sf_dir)
     out = lsh_cosine_neardup(corpus, dim=64, threshold=0.9)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
@@ -714,26 +718,38 @@ def x8p_simhash(spark, sf_dir):
 
 
 def _x9p_oracle() -> str:
-    """Oracle for the quantized sign-LSH: the Rademacher ±1 planes are
-    md5-derived literals, embedded verbatim; buckets use exact integer
-    arithmetic (doubles holding integers), so signs match Spark's
-    BIGINT fold bit-for-bit."""
-    tables_sql = []
-    for t in range(4):
-        planes = rademacher_planes(64, 12, 42 + 1000 * t)
-        bits = " + ".join(
-            f"(CASE WHEN list_dot_product(qv, "
-            f"[{', '.join(f'{x}.0' for x in p)}]) > 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
+    """Oracle for the quantized sign-LSH with the ADAPTIVE plane count
+    (round-10 scale posture, the x22b playbook): ``np`` is computed in
+    SQL from ``count(*)`` with the same pure-integer rule as
+    ``adaptive_plane_count`` (smallest p with 2^p·64 ≥ N, clamped to
+    [4, 30]); the Rademacher ±1 planes are md5-derived literals
+    embedded as the FULL 30-plane prefix tables, masked to the first
+    ``np`` by the ``range(0, np)`` transform (``rademacher_planes`` is
+    per-(seed, plane, dim), so the adaptive table is a prefix of the
+    max table). Buckets use exact integer arithmetic (doubles holding
+    integers), so signs match Spark's batched int64 matmul
+    bit-for-bit."""
+    n_tables, hi, dim = 4, 30, 64
+    plane_lits = ", ".join(
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"{x}.0" for x in p) + "]"
+            for p in rademacher_planes(dim, hi, 42 + 1000 * t)
         )
-        tables_sql.append(
-            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM "
-            f"(SELECT vec_id, {bits} AS bkt FROM q) a JOIN "
-            f"(SELECT vec_id, {bits} AS bkt FROM q) b "
-            f"ON a.bkt = b.bkt AND a.vec_id < b.vec_id"
-        )
-    union = " UNION ALL ".join(tables_sql)
+        + f"] AS p{t}"
+        for t in range(n_tables)
+    )
+    bk_cols = ", ".join(
+        f"list_sum(list_transform(range(0, np), "
+        f"i -> CASE WHEN list_dot_product(qv, p{t}[i+1]) > 0 "
+        f"THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b{t}"
+        for t in range(n_tables)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b "
+        f"ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
+        for t in range(n_tables)
+    )
     return f"""
     WITH corpus AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -742,7 +758,11 @@ def _x9p_oracle() -> str:
         list_transform(embedding::DOUBLE[], x -> x + 0.02) AS v
       FROM embeddings WHERE vec_id % 5 = 0
     ),
+    npsz AS (SELECT greatest(4, coalesce((SELECT min(i) FROM range(0, 31) t(i)
+      WHERE (1::BIGINT << i) * 64 >= (SELECT count(*) FROM corpus)), 30)) AS np),
+    pl AS (SELECT {plane_lits}),
     q AS (SELECT vec_id, list_transform(v, x -> round(x * 10000)) AS qv FROM corpus),
+    bk AS (SELECT vec_id, {bk_cols} FROM q CROSS JOIN npsz CROSS JOIN pl),
     cand AS (SELECT DISTINCT id_a, id_b FROM ({union})),
     ver AS (
       SELECT id_a, id_b, list_cosine_similarity(a.v, b.v) AS c
@@ -757,12 +777,14 @@ def _x9p_oracle() -> str:
 @query("x9p_lsh_cosine", _x9p_oracle())
 def x9p_lsh_cosine(spark, sf_dir):
     """Sign-LSH ANN near-dup, oracle-verified end-to-end: quantized
-    Rademacher bucketing (4 tables × 12 planes) → exact cosine verify.
-    Same synthesized near-dup corpus as x9 (embeddings are naturally
-    near-orthogonal, max pairwise cosine ≈ 0.51)."""
+    Rademacher bucketing (4 tables × ADAPTIVE planes — n_planes=None
+    picks the count-probe plane count, and the oracle recomputes it
+    from count(*) in SQL) → exact cosine verify. Same synthesized
+    near-dup corpus as x9 (embeddings are naturally near-orthogonal,
+    max pairwise cosine ≈ 0.51)."""
     corpus = _perturbed_embeddings(spark, sf_dir)
     out = lsh_cosine_neardup_portable(
-        corpus, dim=64, threshold=0.9, n_planes=12, n_tables=4
+        corpus, dim=64, threshold=0.9, n_tables=4
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 

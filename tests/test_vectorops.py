@@ -652,6 +652,111 @@ def test_lsh_verify_arrow_nan_cosine_survives_like_expr(spark):
     assert any(p[:2] == (1, 2) for p in out["arrow"])
 
 
+def test_adaptive_plane_count_pinned_two_scales():
+    """r10 verdict task 1: the adaptive plane count (smallest p with
+    2^p·64 ≥ N, clamped [4, 30]) pinned at the scales the driver and
+    the sf fixtures actually hit, plus the population invariant —
+    E[pop] = N/2^p stays in (32, 64] wherever the clamp isn't active,
+    so verify work per bucket is scale-INVARIANT and total verify work
+    is linear in N (the fixed-p posture was quadratic)."""
+    from rehiver_spark.operators.vectorops import adaptive_plane_count
+
+    assert adaptive_plane_count(600) == 4  # sf0.01 corpus → lo clamp edge
+    assert adaptive_plane_count(6000) == 7  # sf0.1 corpus
+    assert adaptive_plane_count(600_000) == 14  # sf10: 100× data → +7 planes
+    assert adaptive_plane_count(10**11) == 30  # 100 TB-class → hi clamp
+    assert adaptive_plane_count(0) == 4
+    for n in [5000, 81_234, 10**6, 7 * 10**8]:
+        p = adaptive_plane_count(n)
+        pop = n / (1 << p)
+        assert pop <= 64, (n, p)
+        assert p == 4 or pop > 32, (n, p)
+    # doubling the corpus adds exactly one plane in the unclamped band
+    for n in [10_000, 10**6, 10**8]:
+        assert adaptive_plane_count(2 * n) == adaptive_plane_count(n) + 1
+
+
+def test_lsh_adaptive_population_bounded_two_scales(spark):
+    """Measured bucket-population bounds at two corpus scales (8×
+    apart): the computed plane count grows by exactly log2(8) = 3, the
+    MEAN population stays in the (target/2, target] band at both
+    scales, and the top bucket stays within a constant skew factor of
+    the mean — i.e. the histogram is scale-invariant, which is the
+    whole point of the adaptive posture."""
+    import numpy as np
+
+    from rehiver_spark.operators.vectorops import (
+        adaptive_plane_count,
+        lsh_cosine_neardup,
+    )
+    import rehiver_spark.operators.vectorops as vo
+
+    rng = np.random.default_rng(7)
+    hists = {}
+    for n in (2000, 16000):
+        vecs = rng.standard_normal((n, 64))
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<double>",
+        )
+        p = adaptive_plane_count(n)
+        planes = [
+            vo._hyperplanes(64, p, 42 + 1000 * t) for t in range(4)
+        ]
+        bkts = vo._plane_buckets_udf(planes, input_dtype="float64")
+        pops = (
+            df.select(F.posexplode(bkts(vo.l2_normalize("embedding"))))
+            .groupBy("pos", "col")
+            .count()
+            .collect()
+        )
+        per_table = {}
+        for r in pops:
+            per_table.setdefault(r["pos"], []).append(r["count"])
+        hists[n] = (p, per_table)
+    p_small, hist_small = hists[2000]
+    p_big, hist_big = hists[16000]
+    assert p_big == p_small + 3  # 8× data → exactly 3 more planes
+    for n, (p, per_table) in hists.items():
+        for t, counts in per_table.items():
+            mean = n / (1 << p)  # over ALL 2^p buckets, empty included
+            assert 32 < mean <= 64, (n, t, mean)
+            # near-isotropic data: top bucket within a constant factor
+            # of the mean at BOTH scales (scale-invariant histogram)
+            assert max(counts) <= 16 * mean, (n, t, max(counts))
+
+
+def test_lsh_bucket_split_and_coalesce_equal_unsplit(spark, sf_dir, monkeypatch):
+    """The block-pair split of over-cap buckets and the small-bucket
+    coalescing are COST dials, not semantics: forcing every bucket to
+    split (cap=7, odd block sizes) and squeezing all buckets into 3
+    hash groups must both reproduce the unsplit kernel's rows
+    bit-for-bit."""
+    import rehiver_spark.operators.vectorops as vo
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    def canon(rows):
+        return sorted((r["id_a"], r["id_b"], repr(r["cosine"])) for r in rows)
+
+    base = canon(
+        vo.lsh_cosine_neardup(emb, dim=64, threshold=0.4, impl="arrow").collect()
+    )
+    assert len(base) > 0
+    monkeypatch.setattr(vo, "_LSH_BUCKET_SPLIT_CAP", 7)
+    split = canon(
+        vo.lsh_cosine_neardup(emb, dim=64, threshold=0.4, impl="arrow").collect()
+    )
+    assert split == base
+    monkeypatch.setattr(vo, "_LSH_VERIFY_COALESCE_GROUPS", 3)
+    coalesced = canon(
+        vo.lsh_cosine_neardup(emb, dim=64, threshold=0.4, impl="arrow").collect()
+    )
+    assert coalesced == base
+
+
 def test_lsh_verify_arrow_duplicate_ids_drop_self_pairs_like_expr(spark):
     """r10 advisor (low): the kernel used POSITIONAL upper-triangle
     pairing, so duplicate _id values emitted (id, id) pairs the expr
