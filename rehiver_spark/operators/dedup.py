@@ -1084,8 +1084,15 @@ def minhash_index(
     — the persistent state for INCREMENTAL near-dup detection, the
     fuzzy analog of :func:`dedup_index`. ~8·num_hashes bytes per doc
     (vs the full text), written once at ingest; corpus text is never
-    needed again for near-dup checks."""
-    sh = corpus.select(
+    needed again for near-dup checks.
+
+    ``ensure_parallelism`` guards the signature UDF the same way
+    :func:`lsh_candidates` does: a small single-file corpus scans as
+    ONE partition and the per-doc md5 sketch would run on 1 of 32
+    cores (the r10 profile of the x34 drift: a 2.5 s single-task
+    signature stage inside a 3.4 s job). No-op on a real multi-file
+    corpus."""
+    sh = ensure_parallelism(corpus).select(
         F.col(id_col), shingles(F.col(text_col), k).alias("_sh")
     )
     return sh.select(
