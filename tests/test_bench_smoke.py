@@ -97,6 +97,43 @@ def test_bench_checkpoint_retries_failed_rows(tmp_path):
     assert [r["sec"] > 0 for r in rows] == [False, True]
 
 
+def test_bench_adjudicates_envelope_regressions(tmp_path):
+    """r10 verdict task 2 (two rounds of host-noise-inflated driver
+    artifacts): a reading worse than 1.3x its recorded envelope gets
+    bounded extra runs (default 2) and the artifact carries the rerun
+    count plus a per-query loadavg stamp — self-adjudicating, so a
+    surviving regression is real and a vanished one is explained."""
+    env_file = tmp_path / "envelope.json"
+    # an absurdly tight envelope forces adjudication for the query
+    env_file.write_text(
+        json.dumps({"sf": 0.001, "queries": {"x35_epoch_shuffle": 0.0001}})
+    )
+    res = _run_bench(
+        {
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+            "BENCH_RUNS": "1",
+            "BENCH_ENVELOPE": str(env_file),
+        },
+        ["x35_epoch_shuffle"],
+    )
+    assert res["queries"]["x35_epoch_shuffle"] > 0
+    assert res["reruns"] == {"x35_epoch_shuffle": 2}
+    assert res["loadavg"]["x35_epoch_shuffle"] == res["load_max"] >= 0
+    # an envelope from a DIFFERENT sf must not trigger adjudication
+    env_file.write_text(
+        json.dumps({"sf": 0.1, "queries": {"x35_epoch_shuffle": 0.0001}})
+    )
+    res = _run_bench(
+        {
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+            "BENCH_RUNS": "1",
+            "BENCH_ENVELOPE": str(env_file),
+        },
+        ["x35_epoch_shuffle"],
+    )
+    assert "reruns" not in res
+
+
 def test_bench_final_line_fits_driver_capture_window(capsys, monkeypatch, tmp_path):
     """The driver records only the last 2000 chars of bench stdout and
     parses the final JSON line. For the REAL registry size (every
@@ -109,13 +146,16 @@ def test_bench_final_line_fits_driver_capture_window(capsys, monkeypatch, tmp_pa
     from rehiver_spark.queries import QUERIES, load_all
 
     load_all()
-    # worst-case widths: real names, negative timings, all flaky
+    # worst-case widths: real names, negative timings, all flaky, a
+    # full per-query loadavg map plus rerun annotations (round 10)
     timings = {n: -1.0 for n in QUERIES}
     flaky = list(QUERIES)[:5]
+    loadavg = {n: 31.99 for n in QUERIES}
+    reruns = {n: 2 for n in list(QUERIES)[:20]}
     monkeypatch.setattr(
         bench.os.path, "dirname", lambda _p: str(tmp_path)
     )
-    bench.emit_artifacts(timings, flaky, 0.1)
+    bench.emit_artifacts(timings, flaky, 0.1, loadavg=loadavg, reruns=reruns)
     out = capsys.readouterr().out
     last = out.strip().splitlines()[-1]
     assert len(last) < 1800, len(last)
