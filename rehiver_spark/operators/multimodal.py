@@ -11,12 +11,14 @@ Decode dispatch:
   — fully testable, stable across runs, used by the test suite.
 - ``fake=False``: PNG images decode/resize for real via the stdlib
   codec (``rehiver_spark.functions.png``: zlib inflate, filter
-  reconstruction, nearest-neighbor resample, deterministic re-encode)
+  reconstruction, nearest-neighbor resample, deterministic re-encode),
+  JPEG metadata (width/height) parses lib-free from the SOF frame
+  header (``rehiver_spark.functions.jpeg``, baseline + progressive),
   and WAV audio decodes via the stdlib ``wave`` module — no media
-  library needed for either; other image formats go through Pillow
-  when present; compressed audio and video raise
-  ``NotImplementedError`` (no codec library exists in this container —
-  documented stub).
+  library needed for any of those; JPEG PIXEL work and other image
+  formats go through Pillow when present; compressed audio and video
+  raise ``NotImplementedError`` (no codec library exists in this
+  container — documented stub).
 
 Scale notes: payloads never pass through Python row-at-a-time — all
 UDFs are ``mapInPandas`` (Arrow batches). For 100 TB media lakes keep
@@ -98,10 +100,12 @@ def _fake_decode(kind: str, payload: bytes) -> dict:
 
 
 def _real_decode(kind: str, payload: bytes) -> dict:
-    """Real codec: PNG via the stdlib codec and WAV via the stdlib
-    ``wave`` module (both always available); other image formats via
-    Pillow when present; compressed audio / video unsupported (no
-    codec library exists in this container)."""
+    """Real codec: PNG via the stdlib codec, JPEG metadata via the
+    lib-free SOF parser (functions/jpeg.py — baseline AND progressive
+    frame headers), WAV via the stdlib ``wave`` module (all always
+    available); other image formats via Pillow when present;
+    compressed audio / video unsupported (no codec library exists in
+    this container)."""
     if kind == "audio" and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import io
         import wave
@@ -117,10 +121,14 @@ def _real_decode(kind: str, payload: bytes) -> dict:
                 "sample_rate": rate,
             }
     if kind == "image":
+        from rehiver_spark.functions import jpeg as _jpeg
         from rehiver_spark.functions import png as _png
 
         if _png.is_png(payload):
             w, h, _depth, _ctype = _png.png_info(payload)
+            return {"width": w, "height": h, "duration_ms": None, "sample_rate": None}
+        if _jpeg.is_jpeg(payload):
+            w, h, _prec, _ncomp = _jpeg.jpeg_info(payload)
             return {"width": w, "height": h, "duration_ms": None, "sample_rate": None}
         try:  # pragma: no cover - needs Pillow
             import io
@@ -128,8 +136,9 @@ def _real_decode(kind: str, payload: bytes) -> dict:
             from PIL import Image  # noqa: PLC0415
         except ImportError as e:
             raise NotImplementedError(
-                "real decode for non-PNG images requires Pillow (not in "
-                "this container); PNG decodes via the stdlib codec"
+                "real decode for non-PNG/JPEG images requires Pillow (not "
+                "in this container); PNG decodes and JPEG metadata are "
+                "stdlib-only"
             ) from e
         im = Image.open(io.BytesIO(payload))  # pragma: no cover - needs Pillow
         return {"width": im.width, "height": im.height, "duration_ms": None, "sample_rate": None}

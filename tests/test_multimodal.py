@@ -139,29 +139,45 @@ def test_real_decode_png_stdlib():
     assert d["duration_ms"] is None and d["sample_rate"] is None
 
 
-def test_decode_media_real_path_png_and_missing_codec(spark):
+def test_decode_media_real_path_png_jpeg_and_missing_codec(spark):
     """decode_media(fake=False): PNG rows decode for real everywhere;
-    a non-PNG image row without Pillow lands in `error` naming the
-    missing dependency — the job itself never fails."""
-    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32  # JPEG SOI marker
+    JPEG metadata parses lib-free (r10: functions/jpeg.py) so a
+    malformed JPEG is a ValueError from the parser on EVERY host, not
+    a Pillow complaint; a non-PNG/JPEG image (GIF here) without Pillow
+    lands in `error` naming the missing dependency — the job itself
+    never fails."""
+    from rehiver_spark.functions.jpeg import minimal_jpeg
+
+    jpeg_junk = b"\xff\xd8\xff\xe0" + b"\x00" * 32  # SOI then garbage
+    gif_ish = b"GIF87a" + b"\x00" * 16
     df = spark.createDataFrame(
-        [(1, "image", bytearray(_TINY_PNG)), (2, "image", bytearray(jpeg_ish))],
+        [
+            (1, "image", bytearray(_TINY_PNG)),
+            (2, "image", bytearray(jpeg_junk)),
+            (3, "image", bytearray(gif_ish)),
+            (4, "image", bytearray(minimal_jpeg(17, 9))),
+        ],
         "media_id bigint, kind string, payload binary",
     )
     from rehiver_spark.operators.multimodal import decode_media
 
     rows = {r["media_id"]: r for r in decode_media(df, fake=False).collect()}
-    assert len(rows) == 2
+    assert len(rows) == 4
     png = rows[1]
     assert png["error"] is None and (png["width"], png["height"]) == (1, 1)
-    other = rows[2]
+    junk = rows[2]
+    assert junk["error"] is not None and "ValueError" in junk["error"]
+    assert junk["width"] is None
+    gif = rows[3]
     try:
         import PIL  # noqa: F401
 
-        assert other["error"] is not None  # 36 junk bytes, not a real JPEG
+        assert gif["error"] is not None  # 22 junk bytes, not a real GIF
     except ImportError:
-        assert other["error"] is not None and "Pillow" in other["error"]
-        assert other["width"] is None
+        assert gif["error"] is not None and "Pillow" in gif["error"]
+        assert gif["width"] is None
+    jpg = rows[4]
+    assert jpg["error"] is None and (jpg["width"], jpg["height"]) == (17, 9)
 
 
 def test_resize_media_real_png_roundtrip(spark):
