@@ -61,103 +61,99 @@ def query(name: str, oracle: str | None = None):
 #   3. brand-new queries enter the window of the round that adds them;
 #   4. remaining slots fill with the oldest-evidence names first.
 #
-# Round-9 window under that policy (history: r2-r3 recorded r/c; r4
+# Round-10 window under that policy (history: r2-r3 recorded r/c; r4
 # rotated x/e in; r5 rotated the 44 displaced r/c back + x40 + 5
 # touched; r6 recorded the 19 never-recorded r5 additions + x57b + 30
 # r4-stale; r7 recorded the 15 r4-stale + x22b + 2 touched + 6
 # streaming + 4 mm_* + 18 r + c1-c4; r8 recorded the 19 committed
-# r5-stale + x25 + x57c + 5 touched + 26 r6-row holders):
-#   - the committed 21 (pre-declared in round 8 as _R9_COMMITTED):
-#     the x41-x57 sketch/stream/BPE block + x21f + x37 + x38, whose
-#     r6 rows turn 3 rounds old here (rule 1). x46_bpe_learn is also
-#     rule 2 this round (multi-merge batching rewrite of learn_bpe);
-#   - x22_semdedup + x22b_semdedup_scaled — touched this round
-#     (rule 2): the semdedup kernels got the mixed-dimension advisor
-#     fixes and the single-assignment-pass cap rework;
-#   - x9 + x9p — touched this round (rule 2): the LSH near-dup
-#     family's verify stage moved to the within-bucket Arrow kernel
-#     after the sf10 hot-bucket failure;
-#   - x17 + x29 + x34 — touched this round (rule 2): the
-#     connected-components edge relation gets a lazy checkpoint (its
-#     union-swap double-computed the whole upstream pair pipeline);
-#   - 22 of the 46 r7-row holders (rule 4 — all tie at two rounds
-#     stale; the fill keeps families contiguous: the 4 mm_* and the
-#     full r-surface r1-r17+r8b; c1-c4 and x14 yielded their slots to
-#     the rule-2 entries and join _R10_COMMITTED).
-# OUTSIDE the window and why that is safe: the remaining r7-row
-# holders (x6/x6b/x7/x8, x18, x30, x35, c18b, c17g, the 6 c17
-# streaming forms, plus the displaced c1-c4 and x14) — code untouched
-# since their last row, and they are the committed r10 window under
-# rule 1; everything else has an r8 driver row on unchanged code.
-_R10_COMMITTED = (
-    "x6_approx", "x6b_sampling", "x7_minhash_pairs",
-    "x8_simhash_pairs", "c1_projection", "c2_filter",
-    "c3_join", "c4_range_join", "x14_winnow_fingerprints",
-    "x18_sequence_packing",
-    "x30_zorder_layout", "x35_epoch_shuffle",
-    "c18b_python_udtf", "c17g_sliding_window",
-    "c17_tumbling_window", "c17_session_window", "c17c_streaming_exec",
-    "c17d_stream_join", "c17e_stream_static_join", "c17f_stream_dedup",
+# r5-stale + x25 + x57c + 5 touched + 26 r6-row holders; r9 recorded
+# the committed 21 sketch/stream/BPE names + 6 touched + mm_* + the
+# full r-surface):
+#   - the committed 20 (pre-declared in round 9 as _R10_COMMITTED):
+#     x6/x6b/x7/x8, c1-c4, x14, x18, x30, x35, c18b, c17g and the six
+#     c17 streaming forms, whose r7 rows turn 3 rounds old here
+#     (rule 1). c17d is also rule 2 (per-side pre-filtered staging +
+#     source-byte state sizing);
+#   - touched this round (rule 2): x46 + x46b (the _accept_batch
+#     self-pair fix + merge-crossing checkpoints in learn_bpe), x9 +
+#     x9p (adaptive plane count + the split/coalesced verify kernel),
+#     x34 (minhash_index ensure_parallelism), x22 (fixed-k
+#     certification pinned to the 2400-vector bench slice), mm_decode
+#     (lib-free JPEG SOF metadata in _real_decode);
+#   - 23 of the 44 r8-row holders (rule 4 — oldest evidence first,
+#     families contiguous): the full c5-c18 relational block, x1-x5,
+#     and x10/x11. The remaining r8 holders are _R11_COMMITTED.
+# OUTSIDE the window and why that is safe: every name not listed has
+# an r8 or r9 driver row on code untouched since (the r9 window's
+# sketch/stream/BPE block, x21f/x37/x38, x22b, x17/x29, the mm_* and
+# r-surface families all hold r9 rows; the r8 holders not filled here
+# are the committed r11 window under rule 1).
+_R11_COMMITTED = (
+    "x6c_portable_sample", "x7p_minhash_lsh", "x8p_simhash",
+    "x12_redact_pii", "x13_stratified_sample", "x15_contamination",
+    "x16_repetition", "x19_pipeline", "x20_training_mix",
+    "x21_winnow_contamination", "x23_span_dedup", "x24_url_dedup",
+    "x25_charlm_quality", "x26_quantize_int8", "x27_line_dedup",
+    "x28_incremental_dedup", "x31_semantic_decontamination",
+    "x32_corpus_report", "x33_quality_select", "x36_vocab_topk",
+    "x39_hybrid_search", "x40_source_overlap",
+    "x57b_substring_dedup_pruned", "x57c_substring_dedup_auto",
 )
 _DRIVER_WINDOW = (
-    # the committed r9 window (rule 1: r6 rows turning 3 rounds old;
-    # x46 also rule 2 — learn_bpe multi-merge rewrite) — FIRST
-    "x21f_winnow_fast",
-    "x37_chunk_reassembly",
-    "x38_corpus_drift",
-    "x41_count_min",
-    "x42_hll_distinct",
-    "x43_bloom_dedup",
-    "x44_stream_hll",
-    "x45_bpe_pairs",
+    # the committed r10 window (rule 1: r7 rows turning 3 rounds old;
+    # c17d also rule 2 — staging + state-sizing rework) — FIRST
+    "x6_approx",
+    "x6b_sampling",
+    "x7_minhash_pairs",
+    "x8_simhash_pairs",
+    "c1_projection",
+    "c2_filter",
+    "c3_join",
+    "c4_range_join",
+    "x14_winnow_fingerprints",
+    "x18_sequence_packing",
+    "x30_zorder_layout",
+    "x35_epoch_shuffle",
+    "c18b_python_udtf",
+    "c17g_sliding_window",
+    "c17_tumbling_window",
+    "c17_session_window",
+    "c17c_streaming_exec",
+    "c17d_stream_join",
+    "c17e_stream_static_join",
+    "c17f_stream_dedup",
+    # touched this round (rule 2)
     "x46_bpe_learn",
     "x46b_bpe_apply",
-    "x47_hdr_quantiles",
-    "x48_weighted_sample",
-    "x49_dsir_scores",
-    "x50_jl_project",
-    "x51_kmeans",
-    "x52_stream_cm",
-    "x53_ann_recall",
-    "x54_pipeline_yield",
-    "x55_sketch_filter",
-    "x56_stream_hdr",
-    "x57_substring_dedup",
-    # touched this round (rule 2): semdedup kernel fixes + cap
-    # rework; the LSH within-bucket verify kernel (the sf10
-    # hot-bucket fix) pulls in x9/x9p; the connected-components lazy
-    # checkpoint pulls in its consumers x17/x29/x34 — the displaced
-    # rule-4 fills (c1-c4, x14) join _R10_COMMITTED
-    "x22_semdedup",
-    "x22b_semdedup_scaled",
     "x9_lsh_cosine_neardup",
     "x9p_lsh_cosine",
-    "x17_dedup_clusters",
-    "x29_fuzzy_dedup",
     "x34_incremental_neardup",
-    # r7-row holders, family blocks (rule 4)
+    "x22_semdedup",
     "mm_decode",
-    "mm_resize",
-    "mm_features",
-    "mm_frame_plan",
-    "r1_glob_match",
-    "r2_glob_filter",
-    "r3_path_capture",
-    "r4_partition_parse",
-    "r5_partition_format",
-    "r6_partition_prune",
-    "r7_missing_keys",
-    "r8_time_partition_path",
-    "r8b_time_path_tz",
-    "r9_time_range_paths",
-    "r10_detect_changes",
-    "r11_changes_filter",
-    "r12_snapshot_commit",
-    "r13_s3key_codec",
-    "r14_valid_bucket_name",
-    "r15_content_type",
-    "r16_object_catalog",
-    "r17_stream_process",
+    # r8-row holders, family blocks (rule 4)
+    "c5_asof_join",
+    "c6_agg",
+    "c6b_percentile",
+    "c7_rollup",
+    "c7b_cube",
+    "c8_window",
+    "c9_topk",
+    "c10_setops",
+    "c10b_except_all",
+    "c11_string",
+    "c12_datetime",
+    "c13_math",
+    "c14_array",
+    "c15_json",
+    "c16_dedup",
+    "c18_pandas_udf",
+    "x1_exact_dedup",
+    "x2_jaccard_pairs",
+    "x3_cosine_topk",
+    "x4_text_stats",
+    "x5_tf_idf",
+    "x10_ivf_topk",
+    "x11_chunking",
 )
 
 
@@ -166,10 +162,10 @@ def load_all() -> None:
 
     Import order alone does not control the driver window: after the
     imports, the registry is reordered to the explicit 50-name
-    ``_DRIVER_WINDOW`` (round-9 rotation under the standing policy —
+    ``_DRIVER_WINDOW`` (round-10 rotation under the standing policy —
     see the note above), with everything else after in import order.
-    Every query outside the window keeps its r7/r8 driver row on
-    untouched code (the leftover r7-row holders are the committed r10
+    Every query outside the window keeps its r8/r9 driver row on
+    untouched code (the leftover r8-row holders are the committed r11
     window), and all are re-verified locally by tools/check_oracle.py
     (the identical gate). Do not change ``_DRIVER_WINDOW`` without
     checking driver-window coverage (tests/test_engine.py pins it).

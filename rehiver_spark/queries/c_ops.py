@@ -741,26 +741,48 @@ def c17d_stream_join(spark, sf_dir):
 
     ev = tables(spark, sf_dir, ["events"])["events"]
     scratch = scratch_dir("c17d", sf_dir)
-    src = f"{scratch}/src"
-    ev.withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
-    schema = spark.read.parquet(src).schema
-    src_bytes = sum(
-        e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")
+    # stage each SIDE pre-filtered and pre-projected — the production
+    # shape (clicks and purchases arrive as separate feeds), replacing
+    # a full-width staged copy (all 6 columns incl. the wide `props`
+    # varchar, 100% of rows) that was written once and scanned twice.
+    # The r10 sf10 adjudication: this trims the staging stages but the
+    # row is JOIN-bound, not staging-bound — the streaming join stage
+    # holds 1675 of 1802 executor-seconds (93%) because the fixture
+    # keeps user cardinality FIXED at 1,500 while events scale 100x,
+    # so per-user click x purchase probe work (and the output itself:
+    # 1.83M matched pairs at sf10) grows ~quadratically with sf. An
+    # inherent class of the data shape, not a state-sizing defect;
+    # real clickstreams grow the key space with the data.
+    src_c, src_p = f"{scratch}/clicks", f"{scratch}/purchases"
+    evt = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    evt.filter(F.col("event_type") == "click").selectExpr(
+        "user_id AS c_user", "ts AS c_ts"
+    ).repartition(4).write.mode("overwrite").parquet(src_c)
+    evt.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS p_user", "ts AS p_ts", "value AS p_value"
+    ).repartition(4).write.mode("overwrite").parquet(src_p)
+    # state partitions are sized from the SOURCE table bytes, not the
+    # narrow staged slices: the 2 MB ramp was calibrated on full-width
+    # parquet (windows.py), and the pre-projected slices undershoot it
+    # ~8x — measured at sf10: 10 state stores (slice bytes) ran 259 s
+    # where 32 (source bytes) ran 54 s, the join being
+    # parallelism-bound well past the ramp's small-input regime
+    ev_src = f"{sf_dir}/events.parquet"
+    src_bytes = (
+        sum(
+            e.stat().st_size
+            for e in _os.scandir(ev_src)
+            if e.name.endswith(".parquet")
+        )
+        if _os.path.isdir(ev_src)
+        else _os.path.getsize(ev_src)
     )
-    clicks = (
-        read_file_stream(spark, src, schema)
-        .filter(F.col("event_type") == "click")
-        .selectExpr("user_id AS c_user", "ts AS c_ts")
-        .withWatermark("c_ts", "1 hour")
-    )
-    purchases = (
-        read_file_stream(spark, src, schema)
-        .filter(F.col("event_type") == "purchase")
-        .selectExpr("user_id AS p_user", "ts AS p_ts", "value AS p_value")
-        .withWatermark("p_ts", "1 hour")
-    )
+    clicks = read_file_stream(
+        spark, src_c, spark.read.parquet(src_c).schema
+    ).withWatermark("c_ts", "1 hour")
+    purchases = read_file_stream(
+        spark, src_p, spark.read.parquet(src_p).schema
+    ).withWatermark("p_ts", "1 hour")
     joined = clicks.join(
         purchases,
         F.expr(

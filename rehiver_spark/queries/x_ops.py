@@ -558,15 +558,24 @@ def x8_simhash_pairs(spark, sf_dir):
     return simhash_neardup_pairs(corpus, "doc_id", "text", max_hamming=3)
 
 
-def _perturbed_embeddings(spark, sf_dir):
+def _perturbed_embeddings(spark, sf_dir, cap: int | None = None):
     """Synthesized near-dup embedding corpus shared by x9/x9p/x22 (and
     their SQL twins): testdata embeddings are near-orthogonal (max
     pairwise cosine ≈ 0.51), so near-dups are planted as perturbed
     copies (vec_id+100000, every 5th vector, +0.02 per component,
-    cosine ≈ 0.998 to the original). ONE definition — the three
-    queries' documented "same corpus" invariant is structural, not a
-    copy-paste promise."""
+    cosine ≈ 0.998 to the original). ONE definition — the queries'
+    documented "same corpus" invariant is structural, not a copy-paste
+    promise.
+
+    ``cap`` pins the BASE slice to the lowest ``cap`` vec_ids before
+    perturbation (the x21 bench-slice pattern): a fixed-shape
+    certification query (x22's fixed 16 cells) would otherwise measure
+    corpus×corpus inflation at sf10 instead of the operator. No-op at
+    the driver scales (sf0.01 has 500 base rows, sf0.1 has 2000 —
+    both under the 2400 cap x22 passes)."""
     emb = tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    if cap is not None:
+        emb = emb.orderBy(F.col("vec_id").asc()).limit(cap)
     perturbed = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
@@ -1353,12 +1362,16 @@ def winnow_contamination_pipeline(spark, sf_dir, hash_fn: str):
 @query(
     "x22_semdedup",
     """
-    WITH corpus AS (
+    WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      ORDER BY vec_id ASC LIMIT 2400
+    ),
+    corpus AS (
+      SELECT vec_id, e FROM base
       UNION ALL
       SELECT vec_id + 100000 AS vec_id,
-        list_transform(embedding::DOUBLE[], x -> x + 0.02) AS e
-      FROM embeddings WHERE vec_id % 5 = 0
+        list_transform(e, x -> x + 0.02) AS e
+      FROM base WHERE vec_id % 5 = 0
     ),
     normed AS (
       SELECT vec_id,
@@ -1392,11 +1405,17 @@ def x22_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup (arXiv:2303.09540): cluster embeddings
     (deterministic min-id centroids, same convention as x10's IVF),
     then within each cluster drop items whose cosine to a lower-id
-    member ≥ 0.9. Same synthesized near-dup corpus as x9/x9p — the
-    planted perturbed copies (cosine ≈ 0.998) are exactly the rows
-    that lose ``keep``. Cell-scoped pair join: N²/k comparisons, no
-    all-pairs stage (the SemDeDup scaling argument)."""
-    corpus = _perturbed_embeddings(spark, sf_dir)
+    member ≥ 0.9. The planted perturbed copies (cosine ≈ 0.998) are
+    exactly the rows that lose ``keep``. Cell-scoped pair join: N²/k
+    comparisons, no all-pairs stage (the SemDeDup scaling argument).
+
+    This is the FIXED-k certification shape (16 cells) on a corpus
+    slice pinned at 2400 base vectors (r10 task 7, the x21 bench-slice
+    pattern — a no-op at the sf0.01/sf0.1 driver scales): pair work in
+    a fixed-k query grows quadratically BY CONSTRUCTION, so at sf10 it
+    measured 163 s of corpus inflation, not the operator. The
+    OPERATING posture — k ∝ √N on the full corpus — is x22b."""
+    corpus = _perturbed_embeddings(spark, sf_dir, cap=2400)
     out = semdedup(corpus, threshold=0.9, n_cells=16)
     return out.select(
         "vec_id",
