@@ -505,11 +505,53 @@ def minhash_neardup_pairs(
     )
 
 
+def _cc_driver(spark, raw: DataFrame, id_type, max_iter: int) -> DataFrame:
+    """Driver-side branch of :func:`connected_components`: the SAME
+    pointer-jumped min-label fixpoint, vectorized over numpy arrays.
+
+    ``raw`` is the symmetrized distinct edge list (both directions
+    present), already materialized by the caller's localCheckpoint, so
+    the Arrow collect is a cache read. Labels are INDICES into the
+    sorted node-id array — the minimum index IS the minimum id, so the
+    final ``ids[lab]`` is exactly the distributed branch's per-component
+    min id (string ids included: numpy's sort order on unicode matches
+    Spark's binary-collation ``min``).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", id_type), StructField("cluster_id", id_type)]
+    )
+    tbl = raw.toArrow()
+    a = np.asarray(tbl.column("a").to_pandas())
+    b = np.asarray(tbl.column("b").to_pandas())
+    if len(a) == 0:
+        return spark.createDataFrame([], schema=schema)
+    # both directions are present in raw, so every node occurs in `a`
+    ids = np.unique(a)
+    ia = np.searchsorted(ids, a)
+    ib = np.searchsorted(ids, b)
+    lab = np.arange(len(ids), dtype=np.int64)
+    for _ in range(max_iter):
+        new = lab.copy()
+        np.minimum.at(new, ia, lab[ib])  # neighbor propagation
+        new = np.minimum(new, new[new])  # pointer jump (chains halve)
+        if np.array_equal(new, lab):
+            out = pd.DataFrame({"doc_id": ids, "cluster_id": ids[lab]})
+            return spark.createDataFrame(out, schema=schema)
+        lab = new
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    impl: str = "auto",
+    driver_edge_cap: int = 4_000_000,
 ) -> DataFrame:
     """Duplicate-cluster resolution: assign every node appearing in the
     pair list its component's minimum id as ``cluster_id``.
@@ -522,17 +564,39 @@ def connected_components(
     rounds (bounded by ``max_iter``; raises if not converged so an
     incomplete clustering can never be silently returned).
 
-    Scale notes: per round = one shuffle join (edges × labels) + one
-    map-side-combinable min-aggregation; the only driver-side value is
-    a scalar convergence aggregate — node/edge data never leaves
-    executors. Rounds are ``localCheckpoint``-ed: persist() alone keeps
-    the logical lineage, and each round's plan then embeds every prior
-    round's (analysis cost compounds until rounds take seconds);
-    checkpointing physically truncates it. localCheckpoint stores
-    blocks on executors — on a cluster where executor loss must not
-    fail the job, swap in reliable ``checkpoint()`` with a checkpoint
-    dir; the algorithm is unchanged.
+    ``impl="auto"`` (default, round 10) dispatches on the MEASURED
+    edge count — the same probe the distributed loop already needs for
+    its topology sizing, so the dial costs nothing extra:
+
+    - ``"driver"`` when the symmetrized edge list holds at most
+      ``2 * driver_edge_cap`` rows: the pair graph of a dedup run is
+      corpus-TINY (only docs with a near-dup appear), while each
+      distributed round pays whole-cluster latency (a shuffle join +
+      an aggregation job); at sf10 the x17 pair graph is ~10⁴ edges
+      yet the round loop alone ran ~40 s. The driver solve Arrow-
+      collects the (a, b) columns — two int64 numpy arrays, 16 B/row,
+      ≤128 MiB at the default cap — and runs the SAME pointer-jumped
+      min-label iteration vectorized (``np.minimum.at`` + one
+      ``lab[lab]`` jump per round), so the fixpoint is identical by
+      construction (test-pinned against the distributed branch).
+    - ``"distributed"`` above the cap: node/edge data never leaves
+      executors (the only driver-side value is a scalar convergence
+      aggregate). A 100 TB near-dup graph with billions of edges takes
+      this path; the cap bounds driver memory the way the Σpop² probe
+      bounds the LSH verify join (vectorops._lsh_neardup_from_base).
+
+    Scale notes (distributed branch): per round = one shuffle join
+    (edges × labels) + one map-side-combinable min-aggregation. Rounds
+    are ``localCheckpoint``-ed: persist() alone keeps the logical
+    lineage, and each round's plan then embeds every prior round's
+    (analysis cost compounds until rounds take seconds); checkpointing
+    physically truncates it. localCheckpoint stores blocks on
+    executors — on a cluster where executor loss must not fail the
+    job, swap in reliable ``checkpoint()`` with a checkpoint dir; the
+    algorithm is unchanged.
     """
+    if impl not in ("auto", "driver", "distributed"):
+        raise ValueError(f"impl must be auto|driver|distributed, got {impl!r}")
     # e is referenced TWICE below (forward + swapped); without a cache
     # the union's branches EACH replay the whole upstream pair
     # pipeline (banding join + verification — measured 2× the x29
@@ -552,6 +616,16 @@ def connected_components(
     # appear), and per-round latency is dominated by task count
     n_edges = raw.count()
     spark = pairs.sparkSession
+    if impl == "auto":
+        impl = "driver" if n_edges <= 2 * driver_edge_cap else "distributed"
+        import logging
+
+        logging.getLogger(__name__).info(
+            "connected_components auto: %d directed edges (cap %d) -> %s",
+            n_edges, 2 * driver_edge_cap, impl,
+        )
+    if impl == "driver":
+        return _cc_driver(spark, raw, pairs.schema[id_a].dataType, max_iter)
     parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
     edges = raw.repartition(parts, "a").localCheckpoint()
     # initial labels already fold in one propagation round: each node

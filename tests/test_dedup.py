@@ -181,6 +181,73 @@ def test_connected_components_long_chain_converges(spark):
     assert {r.cluster_id for r in got} == {0}
 
 
+def test_connected_components_driver_matches_distributed(spark):
+    """The round-10 driver branch (vectorized min-label over Arrow-
+    collected edges) reaches the identical fixpoint as the distributed
+    loop on a random multi-component graph — the dispatch is a cost
+    dial, never a semantics change."""
+    import random
+
+    from rehiver_spark.operators.dedup import connected_components
+
+    rng = random.Random(1031)
+    edges = []
+    for base in range(0, 500, 50):  # 10 blocks of 50 node ids
+        nodes = list(range(base, base + 50))
+        for _ in range(40):  # sparse: some blocks fragment further
+            edges.append((rng.choice(nodes), rng.choice(nodes)))
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    drv = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, impl="driver").collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, impl="distributed").collect()
+    }
+    assert drv == dist and drv
+
+
+def test_connected_components_driver_string_ids(spark):
+    """String ids: numpy unicode sort order matches Spark's min() on
+    binary-collated strings, so the driver branch labels identically."""
+    from rehiver_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("zz", "yy")],
+        "id_a string, id_b string",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, impl="driver").collect()
+    }
+    assert got == {
+        ("doc-a", "doc-a"), ("doc-b", "doc-a"), ("doc-c", "doc-a"),
+        ("yy", "yy"), ("zz", "yy"),
+    }
+
+
+def test_connected_components_auto_cap_dispatch(spark):
+    """auto: at or below the edge cap the driver branch runs; above it
+    the distributed loop does. Both answers are equal either way."""
+    from rehiver_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    # 3 undirected pairs symmetrize to 6 directed edges; cap=1 -> 2 < 6
+    big = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, driver_edge_cap=1).collect()
+    }
+    small = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, driver_edge_cap=10).collect()
+    }
+    assert big == small == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+
 def test_jaccard_blocking_leaves_no_persisted_rdds(spark):
     """The non-default blocking baseline must not leak executor storage:
     its returned plan is lazy, so an in-function persist could never be
