@@ -572,8 +572,12 @@ def lsh_cosine_neardup_portable(
         )
         # a NULL or zero-norm embedding has no direction: it cannot be
         # near-dup to anything, and a None reaching the Arrow batch
-        # would crash np.vstack for the whole job — drop it here
-        .filter(F.col("_v").isNotNull())
+        # would crash np.vstack for the whole job — drop it here. The
+        # size guard enforces the `dim` contract the same way
+        # jl_project/ivf do: a ragged row would crash the batched
+        # matmul on the arrow path yet silently zero-bucket on the
+        # expr twin (zip_with NULL-pads), so neither path may see one
+        .filter(F.col("_v").isNotNull() & (F.size("_v") == dim))
     )  # read by the bucketing pass plus the verify stage
     if n_planes is None:
         n_planes = adaptive_plane_count(base.count())
@@ -691,8 +695,9 @@ def lsh_cosine_neardup(
         ensure_parallelism(df)
         .select(F.col(id_col).alias("_id"), l2_normalize(vec_col).alias("_v"))
         # NULL/zero-norm embeddings have no direction; a None in the
-        # Arrow batch would crash np.vstack for the whole job
-        .filter(F.col("_v").isNotNull())
+        # Arrow batch would crash np.vstack for the whole job. Size
+        # guard = the `dim` contract (see the portable form)
+        .filter(F.col("_v").isNotNull() & (F.size("_v") == dim))
     )  # read by the bucketing pass plus the verify stage
     if n_planes is None:
         n_planes = adaptive_plane_count(base.count())

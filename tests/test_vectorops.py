@@ -565,6 +565,33 @@ def test_lsh_paths_tolerate_null_and_zero_vectors(spark):
     assert gotp == {(1, 2)}
 
 
+def test_lsh_paths_exclude_ragged_dim_vectors(spark):
+    """A vector violating the `dim` contract is excluded up front on
+    BOTH impls: before round 10 a ragged row crashed the batched plane
+    matmul on the arrow path but silently zero-bucketed on the expr
+    twin (zip_with NULL-pads) — divergent behavior for the same bad
+    input."""
+    from rehiver_spark.operators.vectorops import (
+        lsh_cosine_neardup,
+        lsh_cosine_neardup_portable,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),
+        (5, [1.0, 0.0]),               # too short
+        (6, [1.0, 0.0, 0.0, 0.0]),     # too long
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    for fn in (lsh_cosine_neardup, lsh_cosine_neardup_portable):
+        for impl in ("arrow", "expr"):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in fn(df, dim=3, threshold=0.9, impl=impl).collect()
+            }
+            assert got == {(1, 2)}, (fn.__name__, impl)
+
+
 def test_lsh_verify_arrow_equals_expr(spark, sf_dir):
     """Round-9 scale fix: the within-bucket Arrow verification (the
     default — the relational verify materialized pop² candidate rows
