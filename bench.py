@@ -149,7 +149,7 @@ def main() -> int:
                 finally:
                     # ALWAYS clear: a failing run must not leak its
                     # persisted intermediates into later measurements
-                    spark.catalog.clearCache()
+                    _release_query_state(spark)
             # self-adjudication: a reading worse than 1.3x the recorded
             # envelope (previous same-sf full-suite artifact) is
             # re-measured up to adj_max extra times — host-load spikes
@@ -168,7 +168,7 @@ def main() -> int:
                     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                     best = min(best, time.perf_counter() - t0)
                 finally:
-                    spark.catalog.clearCache()
+                    _release_query_state(spark)
         except Exception as e:  # a failing query records -1, never kills the run
             print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
             # keep a valid earlier run's timing if one exists, but NAME
@@ -211,6 +211,27 @@ def main() -> int:
         timings, flaky, sf, write_file=complete, loadavg=loads, reruns=reruns
     )
     return 0
+
+
+def _release_query_state(spark) -> None:
+    """Release EVERYTHING a query pinned, outside the timed window.
+
+    ``clearCache()`` covers SQL-cached relations but NOT
+    ``localCheckpoint`` RDD blocks — those live until the Python
+    DataFrame is GC'd and the JVM ContextCleaner reaps the RDD, so a
+    long suite accretes checkpoint blocks from every prior query
+    (measured: the sf10 min-of-2 suite OOM'd an 8 GiB heap at query
+    ~77 inside a checkpoint unroll; single queries run fine). Force
+    the chain: drop py4j refs, then ask the JVM to run the cleaner.
+    """
+    spark.catalog.clearCache()
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # a GC hint must never kill the bench
 
 
 def _loadavg1() -> float:
