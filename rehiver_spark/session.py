@@ -38,6 +38,14 @@ def get_spark(
         .config("spark.sql.sources.parallelPartitionDiscovery.parallelism", str(cpus))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # JDK-17 default ReservedCodeCacheSize is 240 MB; a long query
+        # suite generates enough whole-stage-codegen classes to churn
+        # it, after which even WARM queries re-pay Janino+JIT (measured
+        # sf0.1: x17 7.5 s in-suite vs 2.7 s dedicated). 512 MB holds
+        # the full 117-query working set
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m"
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
