@@ -297,6 +297,7 @@ def _lsh_verify_arrow(
     id_type,
     split_cap: int | None = None,
     coalesce_groups: int | None = None,
+    hist: DataFrame | None = None,
 ) -> DataFrame:
     """Within-bucket exact-cosine verification as ONE ``applyInPandas``
     pass — the round-9 scale fix for the LSH near-dup family (same
@@ -369,11 +370,12 @@ def _lsh_verify_arrow(
     )
 
     # --- grouping prep: coalesce cold buckets, split hot ones ---
-    hot = (
-        bucketed.groupBy("t", "bkt")
-        .agg(F.count(F.lit(1)).alias("_pop"))
-        .filter(F.col("_pop") > cap)
-    )
+    # the auto dispatch already aggregated the bucket histogram for
+    # its Σpop² dial and passes it in persisted; recompute only when
+    # the kernel is forced directly (impl="arrow")
+    if hist is None:
+        hist = bucketed.groupBy("t", "bkt").agg(F.count(F.lit(1)).alias("_pop"))
+    hot = hist.filter(F.col("_pop") > cap)
     tagged = bucketed.join(F.broadcast(hot), ["t", "bkt"], "left")
     g = F.pmod(F.xxhash64("bkt"), F.lit(ngroups)).cast("int")
     cold = tagged.filter(F.col("_pop").isNull()).select(
@@ -613,13 +615,20 @@ def _lsh_neardup_from_base(
     decision, not a semantics change."""
     if impl not in ("auto", "arrow", "expr"):
         raise ValueError(f"impl must be auto|arrow|expr, got {impl!r}")
+    hist = None
     if impl == "auto":
-        sum_pop2 = (
+        # ONE histogram aggregation feeds both the Σpop² dial and (if
+        # the kernel wins) the verify stage's hot-bucket detection —
+        # before round 10 each was its own shuffle over the exploded
+        # bucket relation
+        hist = track_persist(
             base.select(F.posexplode(bkts_col))
-            .groupBy("pos", "col")
-            .agg(F.count(F.lit(1)).alias("_p"))
-            .agg(F.sum(F.col("_p") * F.col("_p")).alias("_s"))
-            .first()["_s"]
+            .withColumnsRenamed({"pos": "t", "col": "bkt"})
+            .groupBy("t", "bkt")
+            .agg(F.count(F.lit(1)).alias("_pop"))
+        )
+        sum_pop2 = (
+            hist.agg(F.sum(F.col("_pop") * F.col("_pop")).alias("_s")).first()["_s"]
         ) or 0
         est_bytes = sum_pop2 * (2 * dim * 8 + 48)
         impl = "expr" if est_bytes <= _LSH_EXPR_VERIFY_MAX_BYTES else "arrow"
@@ -628,7 +637,7 @@ def _lsh_neardup_from_base(
             "_id", "_v", F.posexplode(bkts_col)
         ).withColumnsRenamed({"pos": "t", "col": "bkt"})
         pairs = _lsh_verify_arrow(
-            bucketed, threshold, base.schema["_id"].dataType
+            bucketed, threshold, base.schema["_id"].dataType, hist=hist
         )
         # a pair colliding in several tables is verified in each with
         # an identical fold → identical doubles → distinct collapses
