@@ -824,8 +824,12 @@ def simhash_neardup_pairs(
         a.join(b, ["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
-        .distinct()
+        # hamming is a function of the PAIR (identical for every chunk
+        # collision of the same pair), so filtering before distinct is
+        # equivalent — and the dedup shuffle then carries only pairs
+        # inside the budget instead of every chunk collision
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
