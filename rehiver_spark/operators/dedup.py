@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rehiver_spark.functions.hashing import md5_hash60, md5_hash60_py
 from rehiver_spark.operators.textops import normalize_text, tokens, word_ngrams
@@ -572,10 +573,13 @@ def connected_components(
       ``2 * driver_edge_cap`` rows: the pair graph of a dedup run is
       corpus-TINY (only docs with a near-dup appear), while each
       distributed round pays whole-cluster latency (a shuffle join +
-      an aggregation job); at sf10 the x17 pair graph is ~10⁴ edges
-      yet the round loop alone ran ~40 s. The driver solve Arrow-
-      collects the (a, b) columns — two int64 numpy arrays, 16 B/row,
-      ≤128 MiB at the default cap — and runs the SAME pointer-jumped
+      an aggregation job); at sf10 the x17 pair graph is ~5×10⁵
+      directed edges (BASELINE.md: 512,792) yet the round loop alone
+      ran ~40 s. The driver solve Arrow-collects the (a, b) columns —
+      two int64 numpy arrays, 16 B/row, ≤128 MiB at the default cap
+      (string doc ids are bigger per row — the cap scales itself down
+      by the probed average id width, see below) — and runs the SAME
+      pointer-jumped
       min-label iteration vectorized (``np.minimum.at`` + one
       ``lab[lab]`` jump per round), so the fixpoint is identical by
       construction (test-pinned against the distributed branch).
@@ -603,9 +607,17 @@ def connected_components(
     # pairs cost at sf10, 106 s vs 45 s for the CC stage). The lazy
     # checkpoint is materialized once by the union job and the swap
     # side reads the cache.
-    e = pairs.select(
-        F.col(id_a).alias("a"), F.col(id_b).alias("b")
-    ).localCheckpoint(eager=False)
+    # NULL ids are dropped up front so both impls see the same graph:
+    # the driver branch's np.unique cannot sort None among strings
+    # (opaque TypeError), and the distributed branch would silently
+    # treat NULL as a node that joins to nothing — neither is a useful
+    # semantics for bad input, and diverging across the auto dispatch
+    # boundary by graph size would be worse.
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     raw = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -617,12 +629,30 @@ def connected_components(
     n_edges = raw.count()
     spark = pairs.sparkSession
     if impl == "auto":
-        impl = "driver" if n_edges <= 2 * driver_edge_cap else "distributed"
+        cap = 2 * driver_edge_cap
+        id_dt = pairs.schema[id_a].dataType
+        if not isinstance(
+            id_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            # byte-aware cap (advisor r10): the 16 B/row ≤128 MiB
+            # rationale assumes int64 ids. String/binary rows cost
+            # ~2·avg_len utf8 bytes + Arrow offset overhead, so scale
+            # the row cap down by the probed width ratio (one cheap
+            # agg over the already-checkpointed edge list, only on the
+            # non-integral-id path).
+            avg_w = (
+                raw.agg(
+                    F.avg(F.length(F.col("a").cast("string")))
+                ).collect()[0][0]
+                or 8.0
+            )
+            cap = max(1, int(cap * 16.0 / (2.0 * avg_w + 16.0)))
+        impl = "driver" if n_edges <= cap else "distributed"
         import logging
 
         logging.getLogger(__name__).info(
             "connected_components auto: %d directed edges (cap %d) -> %s",
-            n_edges, 2 * driver_edge_cap, impl,
+            n_edges, cap, impl,
         )
     if impl == "driver":
         return _cc_driver(spark, raw, pairs.schema[id_a].dataType, max_iter)
@@ -635,11 +665,20 @@ def connected_components(
         .agg(F.min(F.least("a", "b")).alias("label"))
         .localCheckpoint()
     )
-    # convergence via the MONOTONE label sum: labels only ever decrease,
-    # so the total is strictly smaller iff any node changed — one scalar
-    # aggregate per round instead of a join against the previous round
+    # convergence for NUMERIC ids via the MONOTONE label sum: labels
+    # only ever decrease, so the total is strictly smaller iff any node
+    # changed — one scalar aggregate per round instead of a join
+    # against the previous round. String/binary ids have no sound
+    # monotone scalar (r11: the decimal cast crashed outright), so they
+    # compare rounds directly: an anti-equality join on node, isEmpty
+    # as the stop signal — one extra join per round over the labels
+    # relation, which the round's edge join already dwarfs.
+    numeric_ids = isinstance(
+        pairs.schema[id_a].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
     dec = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(dec).collect()[0][0]
+    prev_sum = labels.agg(dec).collect()[0][0] if numeric_ids else None
     for _ in range(max_iter):
         neighbor = edges.join(
             labels, edges["a"] == labels["node"]
@@ -654,6 +693,7 @@ def connected_components(
             .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.node"))
             .select(F.col("l1.node").alias("node"), F.col("l2.label").alias("label"))
         )
+        prev_labels = labels
         labels = (
             labels.unionByName(neighbor)
             .unionByName(jumped)
@@ -661,12 +701,24 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(dec).collect()[0][0]
-        if cur_sum == prev_sum:
+        if numeric_ids:
+            cur_sum = labels.agg(dec).collect()[0][0]
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = (
+                labels.alias("n")
+                .join(
+                    prev_labels.alias("p"),
+                    F.col("n.node") == F.col("p.node"),
+                )
+                .filter(F.col("n.label") != F.col("p.label"))
+                .isEmpty()
+            )
+        if converged:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
             )
-        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -248,6 +248,56 @@ def test_connected_components_auto_cap_dispatch(spark):
     assert big == small == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
 
 
+def test_connected_components_null_ids_dropped_both_branches(spark):
+    """A NULL id in the pair list is dropped up front (r10 advice):
+    before the fix the driver branch crashed in np.unique while the
+    distributed branch silently ignored the edge — behavior diverged
+    across the auto dispatch boundary by graph size."""
+    from rehiver_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), (None, "c"), ("d", None), ("e", "f")],
+        "id_a string, id_b string",
+    )
+    want = {("a", "a"), ("b", "a"), ("e", "e"), ("f", "e")}
+    for impl in ("driver", "distributed"):
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(pairs, impl=impl).collect()
+        }
+        assert got == want, impl
+
+
+def test_connected_components_byte_aware_cap(spark, caplog):
+    """auto + string ids scales the row cap down by probed id width:
+    wide string ids must push a graph that row-counts under the cap
+    onto the distributed branch (the 16 B/row driver-memory rationale
+    assumes int64 ids — r10 advice)."""
+    import logging
+
+    from rehiver_spark.operators.dedup import connected_components
+
+    wide = "x" * 200  # 2*200+16 bytes/row vs int64's 16 -> cap/27
+    pairs = spark.createDataFrame(
+        [(wide + "1", wide + "2"), (wide + "2", wide + "3")],
+        "id_a string, id_b string",
+    )
+    # 2 undirected pairs -> 4 directed edges. driver_edge_cap=2 would
+    # admit 4 rows for int64 ids, but the width probe shrinks it below
+    # 4, so this must take (and succeed on) the distributed branch.
+    with caplog.at_level(logging.INFO, logger="rehiver_spark.operators.dedup"):
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(pairs, driver_edge_cap=2).collect()
+        }
+    assert any("-> distributed" in m for m in caplog.messages)
+    assert got == {
+        (wide + "1", wide + "1"),
+        (wide + "2", wide + "1"),
+        (wide + "3", wide + "1"),
+    }
+
+
 def test_jaccard_blocking_leaves_no_persisted_rdds(spark):
     """The non-default blocking baseline must not leak executor storage:
     its returned plan is lazy, so an in-function persist could never be
