@@ -632,6 +632,13 @@ def _lsh_neardup_from_base(
         ) or 0
         est_bytes = sum_pop2 * (2 * dim * 8 + 48)
         impl = "expr" if est_bytes <= _LSH_EXPR_VERIFY_MAX_BYTES else "arrow"
+        if impl == "expr":
+            # the histogram's only other consumer is the arrow kernel's
+            # hot-bucket detection; on the expr path it is dead after
+            # the Σpop² read, so free its executor storage now instead
+            # of waiting for high-water eviction / release_persisted
+            hist.unpersist()
+            hist = None
     if impl == "arrow":
         bucketed = base.select(
             "_id", "_v", F.posexplode(bkts_col)
