@@ -810,6 +810,98 @@ def c17d_stream_join(spark, sf_dir):
 
 
 @query(
+    "c17d2_stream_join_linear",
+    """
+    WITH keyed AS (
+      SELECT user_id + 10000 * (event_id // 10000000) AS user_key,
+        ts::TIMESTAMP AS ts, event_type, value
+      FROM events
+    )
+    SELECT a.user_key,
+      strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      round(CAST(b.value AS DOUBLE), 2) AS purchase_value
+    FROM keyed a JOIN keyed b
+      ON a.user_key = b.user_key
+      AND a.event_type = 'click' AND b.event_type = 'purchase'
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def c17d2_stream_join_linear(spark, sf_dir):
+    """c17d's stream-stream interval join in the LINEAR key regime.
+
+    The c17d fixture holds user cardinality FIXED (1,500 at sf0.1)
+    while events scale with sf, so its sf10 row certifies the
+    skew/quadratic posture (matched pairs grow ~sf² by construction —
+    the r10 inherent-class receipt). THIS variant re-keys each event to
+    ``user_key = user_id + 10000 * (event_id div 10000000)``:
+    event_id's replica stride in tools/make_sf1.py is 10,000,000, so
+    every sf1/sf10 replica gets its own user space and key cardinality
+    grows linearly with the data — an identity mapping at driver
+    scales (event_id < 10M ⇒ user_key = user_id), where the oracle
+    certifies it. Together the two rows pin both regimes the operator
+    is partitioned for: state and output per key CONSTANT here, the
+    deliberate hot-key stress in c17d.
+    """
+    import os as _os
+
+    from rehiver_spark.queries import scratch_dir
+    from rehiver_spark.streaming.windows import (
+        read_file_stream,
+        run_available_now,
+        suggest_state_partitions,
+    )
+
+    ev = tables(spark, sf_dir, ["events"])["events"]
+    scratch = scratch_dir("c17d2", sf_dir)
+    src_c, src_p = f"{scratch}/clicks", f"{scratch}/purchases"
+    evt = ev.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "user_key",
+        F.col("user_id") + F.lit(10_000) * F.expr("event_id div 10000000"),
+    )
+    evt.filter(F.col("event_type") == "click").selectExpr(
+        "user_key AS c_user", "ts AS c_ts"
+    ).repartition(4).write.mode("overwrite").parquet(src_c)
+    evt.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_key AS p_user", "ts AS p_ts", "value AS p_value"
+    ).repartition(4).write.mode("overwrite").parquet(src_p)
+    ev_src = f"{sf_dir}/events.parquet"
+    src_bytes = (
+        sum(
+            e.stat().st_size
+            for e in _os.scandir(ev_src)
+            if e.name.endswith(".parquet")
+        )
+        if _os.path.isdir(ev_src)
+        else _os.path.getsize(ev_src)
+    )
+    clicks = read_file_stream(
+        spark, src_c, spark.read.parquet(src_c).schema
+    ).withWatermark("c_ts", "1 hour")
+    purchases = read_file_stream(
+        spark, src_p, spark.read.parquet(src_p).schema
+    ).withWatermark("p_ts", "1 hour")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    res = run_available_now(
+        joined,
+        output_mode="append",
+        checkpoint=f"{scratch}/ckpt",
+        state_partitions=suggest_state_partitions(spark, src_bytes),
+    )
+    return res.select(
+        F.col("c_user").alias("user_key"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round(F.col("p_value").cast("double"), 2).alias("purchase_value"),
+    )
+
+
+@query(
     "c17e_stream_static_join",
     """
     SELECT o_orderpriority AS priority,
