@@ -46,6 +46,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
+    # External-quietness receipt, stamped BEFORE the JVM exists: once
+    # the suite is running, every per-query 1-min loadavg stamp is
+    # dominated by the bench's OWN local[32] work (a verified-idle host
+    # reads 4-13 mid-suite), so "was the host quiet?" is answered by
+    # load_pre plus load_floor (min per-query stamp — the first queries
+    # run before self-load accumulates), not by load_max.
+    load_pre = _loadavg1()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -208,7 +215,8 @@ def main() -> int:
         )
         return 0
     emit_artifacts(
-        timings, flaky, sf, write_file=complete, loadavg=loads, reruns=reruns
+        timings, flaky, sf, write_file=complete, loadavg=loads,
+        reruns=reruns, load_pre=load_pre,
     )
     return 0
 
@@ -289,6 +297,7 @@ def emit_artifacts(
     write_file: bool = True,
     loadavg: dict | None = None,
     reruns: dict | None = None,
+    load_pre: float | None = None,
 ) -> None:
     """Write BENCH_FULL.json (full-suite runs only) and print the record.
 
@@ -317,6 +326,14 @@ def emit_artifacts(
         valid = [v for v in loadavg.values() if v >= 0]
         if valid:
             full["load_max"] = max(valid)
+            # external-load floor: per-query stamps include the bench's
+            # own local[32] work, so the MIN stamp (first queries, before
+            # self-load accumulates) is the honest host-quietness signal
+            full["load_floor"] = min(valid)
+    if load_pre is not None and load_pre >= 0:
+        # stamped before the JVM started; on resumable multi-pass runs
+        # this is the final pass's value (per-pass external receipt)
+        full["load_pre"] = load_pre
     if reruns:
         full["reruns"] = reruns
     full_line = json.dumps(full, separators=(",", ":"))
