@@ -810,6 +810,32 @@ def simhash_signatures(
     return sums.select(F.col(id_col), sig.alias("sig"))
 
 
+def adaptive_match_blocks(
+    n: int, max_hamming: int, sig_bits: int, slack_bits: int = 3, hi: int = 5
+) -> int:
+    """Smallest k with a k-block join key wide enough for the corpus:
+    ``k * sig_bits // (max_hamming + k) >= ceil(log2(n)) + slack_bits``,
+    clamped to [1, hi]. Pure integer arithmetic (bit_length, no log
+    floats), so the dial is bit-deterministic given the count.
+
+    Rationale: blocking on single pigeonhole chunks (k=1) keys on only
+    ``sig_bits/(h+1)`` bits — at 625k docs (sf10) the 16-bit buckets
+    carried Σpop² ≈ 6.8e9 join rows (measured r11; top bucket 26k docs,
+    real signature bits CLUSTER). Requiring agreement on k blocks of
+    ``h + k`` (lossless: a pair differing in ≤ h blocks agrees on ≥ k,
+    so some k-subset matches exactly — Manku, Jain & Das Sarma, WWW'07,
+    "Detecting near-duplicates for web crawling") widens the key
+    k/(h+k)-fold at a C(h+k, k)-table explode cost; k grows with
+    log2(n) so expected random collisions stay ~O(n) per table while
+    the table count stays combinatorially small (k ≤ 5 covers any
+    realistic shard)."""
+    need = max(int(n) - 1, 1).bit_length() + slack_bits
+    for k in range(1, hi):
+        if k * sig_bits // (max_hamming + k) >= need:
+            return k
+    return hi
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -817,58 +843,81 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    match_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates with hamming(simhash) ≤ max_hamming.
 
-    Blocking (pigeonhole): split the 64-bit signature into
-    ``max_hamming + 1`` chunks — a pair within the hamming budget must
-    agree exactly on ≥1 chunk, so joining on (chunk_idx, chunk_value)
-    is lossless and never all-pairs. Verification = bit_count(xor).
-    Wider budgets → narrower chunks → bigger collision buckets; at
-    corpus scale keep max_hamming small (≤7) or pre-block by shard.
+    Blocking (generalized pigeonhole, lossless): split the signature
+    into ``max_hamming + k`` blocks — a pair within the hamming budget
+    differs in at most ``max_hamming`` blocks, so it agrees EXACTLY on
+    at least ``k`` of them, and some k-subset of blocks matches as a
+    unit. Joining on every C(max_hamming+k, k) packed k-subset key is
+    therefore lossless and never all-pairs. Verification =
+    bit_count(xor).
 
-    Because the blocking is LOSSLESS, the result equals "all pairs with
-    hamming ≤ budget" exactly — so with ``hash_fn="md5"`` the output is
-    fully oracle-checkable (the oracle may verify all-pairs at sf scale).
+    ``match_blocks`` (k) defaults to a count probe via
+    :func:`adaptive_match_blocks`: k=1 is the plain one-chunk
+    pigeonhole (4 tables of 16-bit keys at the default budget — right
+    for small corpora, where more tables only add explode cost), and
+    each +1 widens the join key by ~sig_bits/(h+k) bits, holding
+    expected bucket collisions ~O(n) as the corpus grows (measured at
+    sf10/625k docs: k=1 carried Σpop² ≈ 6.8e9 join rows, k=2 ≈ 1e7).
+    In md5 mode only 60 signature bits are live (bits 60–63 of the
+    portable hash are structurally 0, so they can never differ and
+    carry no blocking power) — blocks cover exactly the live bits.
+
+    Because the blocking is LOSSLESS at any k, the result equals "all
+    pairs with hamming ≤ budget" exactly — so with ``hash_fn="md5"``
+    the output is fully oracle-checkable (the oracle may verify
+    all-pairs at sf scale), and k is a pure cost dial, never a
+    semantics change (test-pinned k=1 ≡ k=2).
     """
     if not 0 <= max_hamming <= 31:
         raise ValueError("max_hamming must be in [0, 31]")
-    n_chunks = max_hamming + 1
-    base, rem = divmod(64, n_chunks)
-    chunk_specs = []  # (offset, width)
-    off = 0
-    for i in range(n_chunks):
-        w = base + (1 if i < rem else 0)
-        chunk_specs.append((off, w))
-        off += w
+    sig_bits = 60 if hash_fn == "md5" else 64
     sigs = track_persist(
         simhash_signatures(df, id_col, text_col, seed, hash_fn).select(
             F.col(id_col).alias("_id"), F.col("sig").alias("_sig")
         )
-    )  # chunk explode is read by both join sides
+    )  # block explode is read by both join sides (and the k probe)
+    if match_blocks is None:
+        match_blocks = adaptive_match_blocks(sigs.count(), max_hamming, sig_bits)
+    if match_blocks < 1:
+        raise ValueError(f"match_blocks must be >= 1, got {match_blocks}")
+    n_blocks = max_hamming + match_blocks
+    base, rem = divmod(sig_bits, n_blocks)
+    block_specs = []  # (offset, width)
+    off = 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        block_specs.append((off, w))
+        off += w
+
+    def _block_val(o: int, w: int) -> Column:
+        # a width-64 block (max_hamming=0, k=1, xxhash64) needs no
+        # mask — and its (1<<64)-1 literal would overflow int64 and
+        # fail F.lit at plan build
+        v = F.shiftrightunsigned("_sig", o)
+        return v if w >= 64 else v.bitwiseAND(F.lit((1 << w) - 1))
+
+    from itertools import combinations
+
+    keys = []
+    for ci, combo in enumerate(combinations(range(n_blocks), match_blocks)):
+        # pack the k block values into ONE bigint key (cumulative
+        # shifts; the chosen blocks are disjoint slices of the
+        # signature, so their total width is ≤ sig_bits ≤ 64 and the
+        # pack is always exact — XOR over non-overlapping shifted
+        # ranges is bijective)
+        kv = F.lit(0).cast("bigint")
+        shift = 0
+        for bi in combo:
+            o, w = block_specs[bi]
+            kv = kv.bitwiseXOR(F.shiftleft(_block_val(o, w), shift))
+            shift += w
+        keys.append(F.struct(F.lit(ci).alias("ci"), kv.alias("cv")))
     chunks = sigs.select(
-        "_id",
-        "_sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        # a width-64 chunk (max_hamming=0) needs no
-                        # mask — and its (1<<64)-1 literal would
-                        # overflow int64 and fail F.lit at plan build
-                        (
-                            F.shiftrightunsigned("_sig", o)
-                            if w >= 64
-                            else F.shiftrightunsigned("_sig", o).bitwiseAND(
-                                F.lit((1 << w) - 1)
-                            )
-                        ).alias("cv"),
-                    )
-                    for i, (o, w) in enumerate(chunk_specs)
-                ]
-            )
-        ).alias("c"),
+        "_id", "_sig", F.explode(F.array(*keys)).alias("c")
     ).select("_id", "_sig", "c.ci", "c.cv")
     a = chunks.withColumnsRenamed({"_id": "id_a", "_sig": "sig_a"})
     b = chunks.withColumnsRenamed({"_id": "id_b", "_sig": "sig_b"})
@@ -876,10 +925,10 @@ def simhash_neardup_pairs(
         a.join(b, ["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
-        # hamming is a function of the PAIR (identical for every chunk
+        # hamming is a function of the PAIR (identical for every block
         # collision of the same pair), so filtering before distinct is
         # equivalent — and the dedup shuffle then carries only pairs
-        # inside the budget instead of every chunk collision
+        # inside the budget instead of every block collision
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -100,6 +100,50 @@ def test_simhash_neardup_pairs(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_match_blocks_equivalence(spark):
+    """k-of-c blocking is LOSSLESS at every k: the k=1 single-chunk
+    pigeonhole, k=2, and k=3 forms must return the exact same pair set
+    (the r11 scale lever — k widens the join key, never the answer)."""
+    from rehiver_spark.operators.dedup import simhash_neardup_pairs
+
+    rows = [
+        (i, f"spark query engine fast scan join window batch doc{i % 7}")
+        for i in range(40)
+    ] + [(100, "completely different words entirely unrelated content")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    outs = []
+    for k in (1, 2, 3):
+        for hash_fn in ("xxhash64", "md5"):
+            got = {
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in simhash_neardup_pairs(
+                    df, max_hamming=3, hash_fn=hash_fn, match_blocks=k
+                ).collect()
+            }
+            outs.append((k, hash_fn, got))
+    base = {(hf): g for k, hf, g in outs if k == 1}
+    for k, hf, got in outs:
+        assert got == base[hf], (k, hf)
+
+
+def test_adaptive_match_blocks_dial():
+    """Pure-integer k dial: k=1 up to corpora the single-chunk key can
+    absorb, +1 per ~sig_bits/(h+k) bits of corpus growth, clamped."""
+    from rehiver_spark.operators.dedup import adaptive_match_blocks
+
+    # h=3, xxhash64 (64-bit): 16-bit keys absorb up to 2^13 docs
+    assert adaptive_match_blocks(625, 3, 64) == 1
+    assert adaptive_match_blocks(6_250, 3, 64) == 1
+    assert adaptive_match_blocks(625_000, 3, 64) == 2  # sf10 (measured)
+    assert adaptive_match_blocks(50_000_000, 3, 64) == 3
+    # md5: only 60 live bits -> k=1 keys are 15-bit, flip earlier
+    assert adaptive_match_blocks(625, 3, 60) == 1
+    assert adaptive_match_blocks(6_250, 3, 60) == 2
+    # clamp
+    assert adaptive_match_blocks(1 << 62, 3, 64) == 5
+    assert adaptive_match_blocks(0, 3, 64) == 1
+
+
 def test_simhash_signatures_matches_column_form(spark):
     from pyspark.sql import functions as F
 
