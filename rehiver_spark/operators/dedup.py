@@ -358,6 +358,12 @@ def minhash_signature(
     per (i, shingle). Computed in one Arrow batch (hashlib md5 ==
     JVM/DuckDB md5; numpy int64 == BIGINT). Requires non-empty shingle
     arrays (shingles() guarantees [""] minimum).
+
+    This is the per-ROW Column form. DataFrame-level consumers should
+    prefer :func:`minhash_signatures_relational` (bit-identical,
+    test-pinned): its md5 runs JVM-side inside codegen — 19x faster at
+    sf10 — where this form's portable path pays a per-shingle hashlib
+    call in a pandas UDF.
     """
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
 
@@ -403,6 +409,55 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def minhash_signatures_relational(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 32,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``(id, sig array<bigint>)`` via the RELATIONAL formulation:
+    explode shingles, hash each ONCE on the JVM, ``num_hashes``
+    min-aggregates in one map-side-combinable hash aggregate — the
+    same shape as :func:`simhash_signatures` and the scale path for
+    every DataFrame-level minhash consumer.
+
+    Bit-identical to the :func:`minhash_signature` Column form in both
+    hash modes (test-pinned). The difference is WHERE the md5 runs:
+    the Column form's portable path computes hashlib md5 per shingle
+    inside a pandas UDF — measured 87 s for the sf10 x29 corpus (120M
+    shingles through Python hashlib + hex parsing) vs 4.5 s for this
+    form, whose md5 is the JVM's inside whole-stage codegen
+    (functions/hashing.md5_hash60) and whose affine universal hashes
+    are exact-int64 column arithmetic. Requires non-empty shingle
+    arrays (``shingles()`` guarantees ``[""]`` minimum) — a row with
+    an empty array would simply vanish at the explode.
+    """
+    ex = df.select(F.col(id_col), F.explode(shingle_col).alias("_mh_s"))
+    if hash_fn == "md5":
+        a_co, c_co = minhash_affine_consts(num_hashes, seed)
+        h = md5_hash60(F.concat(F.lit(f"{seed}:"), F.col("_mh_s"))) % F.lit(
+            _MH_DOMAIN
+        )
+        ex = ex.withColumn("_mh_h", h)
+        aggs = [
+            F.min(
+                (F.col("_mh_h") * F.lit(a_co[i]) + F.lit(c_co[i])) % F.lit(_MH_P)
+            ).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(seed), F.lit(i), F.col("_mh_s"))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    return ex.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col),
+        F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"),
+    )
+
+
 def _band_keys(sig: Column, num_hashes: int, bands: int) -> Column:
     """ARRAY<STRUCT<band INT, bh BIGINT>> of LSH band bucket keys over
     a minhash signature — the ONE definition of banding, shared by the
@@ -445,10 +500,15 @@ def lsh_candidates(
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    sig = minhash_signature(shingle_col, num_hashes, seed, hash_fn)
-    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
-        "_id",
-        F.explode(_band_keys(F.col("_sig"), num_hashes, bands)).alias("b"),
+    # signatures via the relational JVM form (r11): the Column form's
+    # portable md5 path is a per-shingle hashlib pandas UDF — 19x
+    # slower at sf10 (87 s vs 4.5 s) for bit-identical output
+    sigs = minhash_signatures_relational(
+        df, id_col, shingle_col, num_hashes, seed, hash_fn
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_band_keys(F.col("sig"), num_hashes, bands)).alias("b"),
     ).select("_id", "b.band", "b.bh")
     a = banded.withColumnRenamed("_id", "id_a")
     b = banded.withColumnRenamed("_id", "id_b")
@@ -1265,18 +1325,17 @@ def minhash_index(
     (vs the full text), written once at ingest; corpus text is never
     needed again for near-dup checks.
 
-    ``ensure_parallelism`` guards the signature UDF the same way
-    :func:`lsh_candidates` does: a small single-file corpus scans as
-    ONE partition and the per-doc md5 sketch would run on 1 of 32
-    cores (the r10 profile of the x34 drift: a 2.5 s single-task
-    signature stage inside a 3.4 s job). No-op on a real multi-file
-    corpus."""
+    ``ensure_parallelism`` keeps the shingle/hash map side wide when a
+    small single-file corpus scans as ONE partition (the r10 profile
+    of the x34 drift: a 2.5 s single-task signature stage inside a
+    3.4 s job). Signatures come from the relational JVM form (r11),
+    not the per-shingle hashlib UDF — see
+    :func:`minhash_signatures_relational`."""
     sh = ensure_parallelism(corpus).select(
         F.col(id_col), shingles(F.col(text_col), k).alias("_sh")
     )
-    return sh.select(
-        F.col(id_col),
-        minhash_signature("_sh", num_hashes, seed, hash_fn).alias("sig"),
+    return minhash_signatures_relational(
+        sh, id_col, "_sh", num_hashes, seed, hash_fn
     )
 
 

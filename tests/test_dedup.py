@@ -84,6 +84,48 @@ def test_minhash_lsh_subset_and_recall(docs, sf_dir):
     assert len(got) >= 0.9 * len(exp)
 
 
+def test_minhash_relational_matches_column_form(spark):
+    """The relational JVM signature form (r11 scale path: explode +
+    codegen md5 + min-aggs) must be bit-identical to the per-row
+    Column form in BOTH hash modes — the portable md5 sketch is
+    oracle-checked downstream, so even one differing component would
+    break x7p/x29/x34 hash parity."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures_relational,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with other words here"),
+            (4, ""),  # shingles() guarantees [""] — must not vanish
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = df.select("doc_id", shingles("text", 3).alias("_sh"))
+    for hash_fn in ("md5", "xxhash64"):
+        col_form = {
+            r.doc_id: r.sig
+            for r in sh.select(
+                "doc_id",
+                minhash_signature("_sh", 16, 42, hash_fn).alias("sig"),
+            ).collect()
+        }
+        rel_form = {
+            r.doc_id: r.sig
+            for r in minhash_signatures_relational(
+                sh, "doc_id", "_sh", 16, 42, hash_fn
+            ).collect()
+        }
+        assert rel_form == col_form, hash_fn
+        assert len(rel_form) == 4
+
+
 def test_simhash_neardup_pairs(spark):
     from rehiver_spark.operators.dedup import simhash_neardup_pairs
 
