@@ -95,3 +95,505 @@ def minimal_jpeg(
     marker = b"\xff\xc2" if progressive else b"\xff\xc0"
     sof = marker + (len(sof_payload) + 2).to_bytes(2, "big") + sof_payload
     return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# Baseline pixel codec (r10 verdict stretch task 8): decode + minimal
+# encode for SOF0 sequential 8-bit JPEG, stdlib + numpy only — the
+# functions/png.py posture extended to JPEG so the multimodal pixel
+# tier (decode → resample → re-encode) runs lib-free end to end.
+#
+# Scope: the DECODER handles what baseline cameras/encoders emit —
+# 1- or 3-component SOF0, 8/16-bit DQT, per-file Huffman tables (read
+# from DHT, never assumed), arbitrary integer sampling factors,
+# restart intervals, byte stuffing. Progressive (SOF2), arithmetic
+# coding, 12-bit precision, and CMYK raise informative errors. The
+# ENCODER emits 4:4:4 SOF0 with simple PROVABLY-VALID canonical
+# Huffman tables (all DC symbols at 4 bits, all AC symbols at 8 bits
+# — legal per T.81, suboptimal compression) and a mild parametric
+# quant table; every table it writes travels in the stream, so any
+# spec-compliant decoder (including this one and Pillow, cross-checked
+# in tests/test_multimodal_pillow.py) reads it back.
+#
+# Python does the entropy coding coefficient-by-coefficient; the DCT
+# runs as one numpy tensordot over all blocks. Fine for the test/
+# reference tier this is — a production 100 TB image pipeline swaps a
+# codec library into the same mapInPandas slot (multimodal.py).
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [  # zigzag index -> natural (row-major) index
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = math.sqrt(0.125) if u == 0 else math.sqrt(0.25)
+        for x in range(8):
+            c[u, x] = a * math.cos((2 * x + 1) * u * math.pi / 16)
+    return c
+
+
+class _BitReader:
+    """MSB-first bit reader over a DE-STUFFED entropy segment."""
+
+    __slots__ = ("b", "i", "acc", "n")
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.b):
+                raise ValueError("entropy data exhausted mid-block")
+            self.acc = self.b[self.i]
+            self.i += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _build_huff(bits: list[int], vals: bytes) -> dict:
+    """(length, code) -> symbol from the canonical DHT description."""
+    table = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[vi]
+            vi += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huffdecode(r: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _entropy_segments(b: bytes, i: int) -> list[bytes]:
+    """De-stuffed entropy intervals from offset ``i``, split at RST
+    markers, ending at the first non-RST marker (EOI or next segment)."""
+    segs, cur, n = [], bytearray(), len(b)
+    while i < n:
+        x = b[i]
+        if x == 0xFF:
+            nxt = b[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or another segment marker
+        cur.append(x)
+        i += 1
+    segs.append(bytes(cur))
+    return segs
+
+
+def decode_baseline(b: bytes):
+    """Decode a BASELINE (SOF0, 8-bit) JPEG to
+    ``(width, height, ncomp, numpy uint8 array (h, w[, 3]))``.
+
+    Grayscale returns (h, w); 3-component YCbCr converts to RGB per
+    JFIF/BT.601. Raises ValueError with the reason for anything outside
+    the baseline tier (progressive, arithmetic, 12-bit, CMYK)."""
+    import numpy as np
+
+    if not is_jpeg(b):
+        raise ValueError("not a JPEG stream (missing SOI marker)")
+    qt: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (precision, h, w, [(cid, hs, vs, tq)])
+    dri = 0
+    i, n = 2, len(b)
+    while i < n:
+        if b[i] != 0xFF:
+            raise ValueError(f"bad marker prefix 0x{b[i]:02x} at offset {i}")
+        while i < n and b[i] == 0xFF:
+            i += 1
+        if i >= n:
+            break
+        m = b[i]
+        i += 1
+        if m in _STANDALONE:
+            continue
+        if m == 0xD9:
+            break
+        if i + 2 > n:
+            raise ValueError("truncated segment length")
+        seglen = (b[i] << 8) | b[i + 1]
+        if seglen < 2 or i + seglen > n:
+            raise ValueError(f"bad segment length {seglen} at offset {i}")
+        p, end = i + 2, i + seglen
+        if m == 0xDB:  # DQT
+            while p < end:
+                pq, tq = b[p] >> 4, b[p] & 15
+                p += 1
+                cnt = 64 * (2 if pq else 1)
+                if p + cnt > end:
+                    raise ValueError("truncated DQT")
+                raw = (
+                    np.frombuffer(b[p:p + 128], dtype=">u2").astype(np.int64)
+                    if pq
+                    else np.frombuffer(b[p:p + 64], dtype=np.uint8).astype(np.int64)
+                )
+                t = np.zeros(64, dtype=np.int64)
+                t[_ZIGZAG] = raw  # de-zigzag into natural order
+                qt[tq] = t.reshape(8, 8)
+                p += cnt
+        elif m == 0xC4:  # DHT
+            while p < end:
+                tc, th = b[p] >> 4, b[p] & 15
+                counts = list(b[p + 1:p + 17])
+                nv = sum(counts)
+                vals = b[p + 17:p + 17 + nv]
+                if len(vals) < nv:
+                    raise ValueError("truncated DHT")
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(counts, vals)
+                p += 17 + nv
+        elif m in _SOF_MARKERS:
+            if m != 0xC0 and m != 0xC1:  # extended sequential C1 is ok
+                kind = {0xC2: "progressive", 0xC3: "lossless"}.get(
+                    m, f"SOF{m - 0xC0}"
+                )
+                raise ValueError(f"{kind} JPEG not supported (baseline only)")
+            prec, hh, ww, nc = b[p], (b[p + 1] << 8) | b[p + 2], (
+                b[p + 3] << 8
+            ) | b[p + 4], b[p + 5]
+            if prec != 8:
+                raise ValueError(f"{prec}-bit precision not supported")
+            if hh == 0 or ww == 0:
+                raise ValueError("DNL-deferred or zero dimensions unsupported")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG (CMYK?) not supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = b[p + 6 + 3 * c], b[p + 7 + 3 * c], b[p + 8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (prec, hh, ww, comps)
+        elif m == 0xDD:  # DRI
+            dri = (b[p] << 8) | b[p + 1]
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("scan data reached before any SOF marker")
+            ns = b[p]
+            scan = []  # (comp_idx, dc_table, ac_table)
+            for s in range(ns):
+                cs, tt = b[p + 1 + 2 * s], b[p + 2 + 2 * s]
+                idx = next(
+                    (k for k, c in enumerate(frame[3]) if c[0] == cs), None
+                )
+                if idx is None:
+                    raise ValueError(f"SOS names unknown component {cs}")
+                scan.append((idx, tt >> 4, tt & 15))
+            if len(scan) != len(frame[3]):
+                raise ValueError("non-interleaved scans not supported")
+            return _decode_scan(
+                b, end, frame, scan, qt, huff_dc, huff_ac, dri
+            )
+        i += seglen
+    raise ValueError("no SOS scan found")
+
+
+def _decode_scan(b, data_start, frame, scan, qt, huff_dc, huff_ac, dri):
+    import numpy as np
+
+    _, h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+    segs = _entropy_segments(b, data_start)
+    # per component: coefficient store (n_blocks, 8, 8) in MCU order
+    blocks = [
+        np.zeros((mcuy * c[2] * mcux * c[1], 8, 8), dtype=np.int64)
+        for c in comps
+    ]
+    preds = [0] * len(comps)
+    seg_i = 0
+    r = _BitReader(segs[0])
+    for mcu in range(n_mcu):
+        if dri and mcu and mcu % dri == 0:  # restart: next interval
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart interval data")
+            r = _BitReader(segs[seg_i])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, tdc, tac in scan:
+            _, hs, vs, _tq = comps[ci]
+            dct = huff_dc.get(tdc)
+            act = huff_ac.get(tac)
+            if dct is None or act is None:
+                raise ValueError("scan references undefined Huffman table")
+            for v in range(vs):
+                for hh in range(hs):
+                    coef = np.zeros(64, dtype=np.int64)
+                    s = _huffdecode(r, dct)
+                    if s > 11:
+                        raise ValueError("DC category > 11 in 8-bit baseline")
+                    diff = _extend(r.bits(s), s) if s else 0
+                    preds[ci] += diff
+                    coef[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huffdecode(r, act)
+                        rr, ss = rs >> 4, rs & 15
+                        if ss == 0:
+                            if rr == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rr
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        coef[_ZIGZAG[k]] = _extend(r.bits(ss), ss)
+                        k += 1
+                    row = (my * vs + v) * (mcux * hs) + (mx * hs + hh)
+                    blocks[ci][row] = coef.reshape(8, 8)
+    # dequantize + IDCT per component (one tensordot over all blocks)
+    C = _dct_matrix()
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError(f"component {cid} references undefined DQT {tq}")
+        deq = blocks[ci].astype(np.float64) * qt[tq][None, :, :]
+        spat = np.einsum("ux,nuv,vy->nxy", C, deq, C) + 128.0
+        bw, bh = mcux * hs, mcuy * vs  # blocks per row / column
+        plane = (
+            spat.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        # map full-res pixels to this component's samples (T.81 A.1.1)
+        ys = (np.arange(h) * vs) // vmax
+        xs = (np.arange(w) * hs) // hmax
+        planes.append(plane[np.ix_(ys, xs)])
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, out
+    y, cb, cr = planes
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (T.81 B.1.1.5)."""
+
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for k in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def _enc_tables():
+    """Simple PROVABLY-VALID canonical Huffman tables for the encoder:
+    every DC category (0-11) at 4 bits (Kraft 12/16), every AC (run,
+    size) symbol at 8 bits (Kraft 162/256). Legal per T.81, ~15-30%
+    bigger files than Annex K tables — they travel in the DHT segment,
+    so any compliant decoder reads them back; nothing downstream
+    assumes them."""
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_vals = bytes(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_counts = [0] * 7 + [len(ac_syms)] + [0] * 8
+    ac_vals = bytes(ac_syms)
+    def codes(counts, vals):
+        enc = {}
+        code = 0
+        vi = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                enc[vals[vi]] = (code, length)
+                vi += 1
+                code += 1
+            code <<= 1
+        return enc
+    return (
+        (dc_counts, dc_vals, codes(dc_counts, dc_vals)),
+        (ac_counts, ac_vals, codes(ac_counts, ac_vals)),
+    )
+
+
+def _quant_table(quality: int):
+    """Mild parametric quant table (frequency-proportional, clamped to
+    [1, 255]): quality 100 → all-ones (DCT roundoff only), lower
+    quality scales linearly. Deliberately simple and deterministic —
+    NOT Annex K; it travels in the DQT segment like any custom table."""
+    import numpy as np
+
+    q = max(1, min(100, int(quality)))
+    s = (100 - q) / 50.0  # 0.0 at q=100, 1.0 at q=50
+    u = np.arange(8)
+    base = 1.0 + (u[:, None] + u[None, :]) * 2.0 * s
+    return np.clip(np.round(base), 1, 255).astype(np.int64)
+
+
+def encode_baseline(arr, quality: int = 92) -> bytes:
+    """Encode a numpy uint8 array — (h, w) grayscale or (h, w, 3) RGB —
+    as a baseline 4:4:4 SOF0 JPEG (see the codec banner above)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim not in (2, 3) or (
+        a.ndim == 3 and a.shape[2] != 3
+    ):
+        raise ValueError("encode_baseline wants uint8 (h, w) or (h, w, 3)")
+    h, w = a.shape[:2]
+    if not (0 < w < 65536 and 0 < h < 65536):
+        raise ValueError(f"dims out of range: {w}x{h}")
+    if a.ndim == 2:
+        planes = [a.astype(np.float64)]
+    else:
+        r, g, bl = (a[..., k].astype(np.float64) for k in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * bl,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl,
+        ]
+    nc = len(planes)
+    q = _quant_table(quality)
+    (dc_counts, dc_vals, dc_enc), (ac_counts, ac_vals, ac_enc) = _enc_tables()
+    C = _dct_matrix()
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    bw = _BitWriter()
+    zz = np.asarray(_ZIGZAG)
+    preds = [0] * nc
+    # quantized blocks per component, in interleaved 4:4:4 MCU order
+    qblocks = []
+    for p in planes:
+        padded = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        blk = (
+            padded.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        dct = np.einsum("ux,nxy,vy->nuv", C, blk, C)
+        qb = np.round(dct / q[None, :, :]).astype(np.int64)
+        qblocks.append(qb.reshape(-1, 64)[:, zz])  # zigzag-ordered rows
+    for bi in range(qblocks[0].shape[0]):
+        for ci in range(nc):
+            coef = qblocks[ci][bi]
+            diff = int(coef[0]) - preds[ci]
+            preds[ci] = int(coef[0])
+            s = abs(diff).bit_length()
+            code, length = dc_enc[s]
+            bw.write(code, length)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(coef[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_enc[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                s = abs(v).bit_length()
+                code, length = ac_enc[(run << 4) | s]
+                bw.write(code, length)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                code, length = ac_enc[0x00]  # EOB
+                bw.write(code, length)
+    data = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q.reshape(-1)[zz]))
+    sof = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([nc]) + b"".join(bytes([c + 1, 0x11, 0]) for c in range(nc)),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_vals) + seg(
+        0xC4, bytes([0x10]) + bytes(ac_counts) + ac_vals
+    )
+    sos = seg(
+        0xDA,
+        bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
+        + bytes([0, 63, 0]),
+    )
+    return b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
+
+
+def jpeg_resize(b: bytes, max_side: int):
+    """Decode → aspect-preserving nearest-neighbor resample (shared
+    ``png.fit_dims`` integer math, never upscales) → deterministic
+    re-encode. Returns ``(src_w, src_h, w, h, jpeg_bytes)`` — the JPEG
+    twin of ``png.png_resize``."""
+    import numpy as np
+
+    from rehiver_spark.functions.png import fit_dims
+
+    w, h, _nc, arr = decode_baseline(b)
+    tw, th = fit_dims(w, h, max_side)
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    small = arr[np.ix_(ys, xs)]
+    return w, h, tw, th, encode_baseline(small)

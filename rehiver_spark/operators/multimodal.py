@@ -13,9 +13,12 @@ Decode dispatch:
   codec (``rehiver_spark.functions.png``: zlib inflate, filter
   reconstruction, nearest-neighbor resample, deterministic re-encode),
   JPEG metadata (width/height) parses lib-free from the SOF frame
-  header (``rehiver_spark.functions.jpeg``, baseline + progressive),
-  and WAV audio decodes via the stdlib ``wave`` module — no media
-  library needed for any of those; JPEG PIXEL work and other image
+  header (``rehiver_spark.functions.jpeg``, baseline + progressive)
+  and baseline JPEG PIXELS decode/resize/re-encode lib-free too
+  (r11: ``jpeg.decode_baseline``/``encode_baseline`` — per-file
+  Huffman/quant tables, numpy IDCT, Pillow-cross-validated), and WAV
+  audio decodes via the stdlib ``wave`` module — no media library
+  needed for any of those; progressive-JPEG pixels and other image
   formats go through Pillow when present; compressed audio and video
   raise ``NotImplementedError`` (no codec library exists in this
   container — documented stub).
@@ -229,6 +232,7 @@ def resize_media(df: DataFrame, max_side: int = 256, fake: bool = True) -> DataF
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from rehiver_spark.functions import jpeg as _jpeg
         from rehiver_spark.functions import png as _png
 
         for pdf in batches:
@@ -253,6 +257,13 @@ def resize_media(df: DataFrame, max_side: int = 256, fake: bool = True) -> DataF
                         rows.append(
                             (mid, kind, w, h, tw, th, out, hashlib.sha256(out).hexdigest()[:16], None)
                         )
+                    elif _jpeg.is_jpeg(b):
+                        # lib-free baseline JPEG codec (functions/jpeg.py,
+                        # r11): same decode → resample → re-encode shape
+                        w, h, tw, th, out = _jpeg.jpeg_resize(b, max_side)
+                        rows.append(
+                            (mid, kind, w, h, tw, th, out, hashlib.sha256(out).hexdigest()[:16], None)
+                        )
                     else:  # pragma: no cover - needs Pillow
                         import io
 
@@ -260,7 +271,7 @@ def resize_media(df: DataFrame, max_side: int = 256, fake: bool = True) -> DataF
                             from PIL import Image  # noqa: PLC0415
                         except ImportError as e:
                             raise NotImplementedError(
-                                "real resize for non-PNG images requires Pillow"
+                                "real resize for non-PNG/JPEG images requires Pillow"
                             ) from e
                         im = Image.open(io.BytesIO(b))
                         w, h = im.width, im.height

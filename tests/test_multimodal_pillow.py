@@ -1,13 +1,16 @@
-"""JPEG real-decode tier (r5 verdict stretch item 8; r10 task 6).
+"""JPEG real-decode tier (r5 verdict stretch item 8; r10 task 6; r11
+pixel codec).
 
 Since round 10 JPEG METADATA (width/height from the SOF frame header)
-parses lib-free via functions/jpeg.py, so the decode-path tests here
-run everywhere: with Pillow present the fixture is a real encoded
-JPEG, without it a structurally-valid SOF header fixture
-(``minimal_jpeg``) — same segment grammar, no codec needed. Only the
-PIXEL resize test still requires a codec and keeps the Pillow gate
-(``importorskip`` inside the test), the same opt-in discipline as the
-live-S3 tier (test_s3_live.py).
+parses lib-free via functions/jpeg.py. Round 11 adds the lib-free
+BASELINE PIXEL codec (decode_baseline/encode_baseline — per-file
+Huffman/quant tables, numpy IDCT), so the whole pixel tier
+(decode → resample → re-encode) now runs everywhere with no Pillow
+gate: the fixture is Pillow-encoded when Pillow exists (cross-
+validating the decoder against a real codec) and encode_baseline
+otherwise — real pixels either way. Only the PROGRESSIVE fixture
+stays a header-only stub without Pillow (the codec is baseline-only
+by declared scope and raises an informative error on SOF2 scans).
 """
 
 import io
@@ -24,19 +27,31 @@ def _pillow():
         return None
 
 
-def _jpeg_bytes(w: int = 40, h: int = 24, progressive: bool = False) -> bytes:
-    """A JPEG fixture: Pillow-encoded when Pillow exists (real pixels),
-    otherwise the lib-free SOF header fixture (decodable metadata)."""
-    Image = _pillow()
-    if Image is None:
-        from rehiver_spark.functions.jpeg import minimal_jpeg
+def _gradient(w: int, h: int):
+    import numpy as np
 
-        return minimal_jpeg(w, h, progressive=progressive)
-    im = Image.new("RGB", (w, h))
-    px = im.load()
+    img = np.zeros((h, w, 3), np.uint8)
     for y in range(h):
         for x in range(w):
-            px[x, y] = (x * 6 % 256, y * 10 % 256, (x + y) % 256)
+            img[y, x] = (x * 6 % 256, y * 10 % 256, (x + y) % 256)
+    return img
+
+
+def _jpeg_bytes(w: int = 40, h: int = 24, progressive: bool = False) -> bytes:
+    """A JPEG fixture with REAL pixels: Pillow-encoded when Pillow
+    exists, encode_baseline otherwise. Progressive without Pillow falls
+    back to the SOF header stub (metadata-only — our codec is
+    baseline-scope)."""
+    Image = _pillow()
+    if Image is None:
+        if progressive:
+            from rehiver_spark.functions.jpeg import minimal_jpeg
+
+            return minimal_jpeg(w, h, progressive=True)
+        from rehiver_spark.functions.jpeg import encode_baseline
+
+        return encode_baseline(_gradient(w, h), quality=92)
+    im = Image.fromarray(_gradient(w, h), "RGB")
     buf = io.BytesIO()
     im.save(buf, format="JPEG", quality=90, progressive=progressive)
     return buf.getvalue()
@@ -96,10 +111,11 @@ def test_decode_media_real_jpeg(spark):
 
 
 def test_resize_media_real_jpeg(spark):
-    """PIXEL-level JPEG work genuinely needs a codec — Pillow-gated."""
-    PIL_Image = pytest.importorskip(
-        "PIL.Image", reason="JPEG pixel resize needs an image codec lib"
-    )
+    """Pixel-level JPEG resize, lib-free since r11: decode_baseline →
+    nearest-neighbor → encode_baseline inside the mapInPandas path.
+    The resized payload must itself re-decode to the target dims (our
+    codec always; PIL additionally when present)."""
+    from rehiver_spark.functions.jpeg import decode_baseline
     from rehiver_spark.functions.png import fit_dims
     from rehiver_spark.operators.multimodal import resize_media
 
@@ -113,5 +129,75 @@ def test_resize_media_real_jpeg(spark):
     assert (row["src_width"], row["src_height"]) == (64, 16)
     assert (row["width"], row["height"]) == fit_dims(64, 16, 32)
     # the resized payload must itself decode to the target dims
-    im = PIL_Image.open(io.BytesIO(bytes(row["payload"])))
-    assert (im.width, im.height) == (row["width"], row["height"])
+    w, h, _nc, _arr = decode_baseline(bytes(row["payload"]))
+    assert (w, h) == (row["width"], row["height"])
+    PIL_Image = _pillow()
+    if PIL_Image is not None:
+        im = PIL_Image.open(io.BytesIO(bytes(row["payload"])))
+        assert (im.width, im.height) == (row["width"], row["height"])
+
+
+def test_jpeg_codec_roundtrip_tolerance():
+    """encode_baseline → decode_baseline self-roundtrip: quality 100
+    uses an all-ones quant table, so the only loss is DCT roundoff —
+    every pixel within ±2; q92 stays visually tight (mean < 2)."""
+    import numpy as np
+
+    from rehiver_spark.functions.jpeg import decode_baseline, encode_baseline
+
+    img = _gradient(40, 24)
+    for q, max_tol, mean_tol in ((100, 2, 0.5), (92, 24, 2.0)):
+        b = encode_baseline(img, quality=q)
+        w, h, nc, out = decode_baseline(b)
+        assert (w, h, nc) == (40, 24, 3)
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= max_tol and err.mean() <= mean_tol, q
+    # grayscale + odd (non-multiple-of-8) dims
+    g = (np.arange(13 * 7).reshape(13, 7) * 5 % 256).astype(np.uint8)
+    w, h, nc, out = decode_baseline(encode_baseline(g, quality=100))
+    assert (w, h, nc) == (7, 13, 1)
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_decode_rejects_out_of_scope():
+    import pytest as _pytest
+
+    from rehiver_spark.functions.jpeg import decode_baseline, minimal_jpeg
+
+    with _pytest.raises(ValueError, match="progressive"):
+        decode_baseline(minimal_jpeg(8, 8, progressive=True))
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_baseline(b"\x89PNG\r\n\x1a\n")
+    with _pytest.raises(ValueError, match="no SOS"):
+        decode_baseline(minimal_jpeg(8, 8))  # header-only stub: no scan
+
+
+def test_jpeg_decode_cross_validates_against_pillow():
+    """Wherever Pillow exists, decode_baseline must read REAL
+    libjpeg-encoded files (4:2:0 subsampling, optimized Huffman,
+    restart intervals) within codec tolerance; Pillow must also read
+    encode_baseline's output back pixel-exact-ish."""
+    import numpy as np
+
+    Image = _pillow()
+    if Image is None:
+        pytest.skip("Pillow absent: cross-validation runs where it exists")
+    from rehiver_spark.functions.jpeg import decode_baseline, encode_baseline
+
+    img = _gradient(40, 24)
+    # our decoder on Pillow files (subsampling on/off, restarts)
+    for kwargs in (
+        {"quality": 95},
+        {"quality": 95, "subsampling": 0},
+        {"quality": 90, "restart_marker_blocks": 2},
+    ):
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGB").save(buf, format="JPEG", **kwargs)
+        w, h, nc, out = decode_baseline(buf.getvalue())
+        ref = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+        assert (w, h, nc) == (40, 24, 3)
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 24, kwargs
+    # Pillow on our files
+    mine = encode_baseline(img, quality=100)
+    ref = np.asarray(Image.open(io.BytesIO(mine)).convert("RGB"))
+    assert np.abs(ref.astype(int) - img.astype(int)).max() <= 4
