@@ -871,7 +871,7 @@ def simhash_signatures(
 
 
 def adaptive_match_blocks(
-    n: int, max_hamming: int, sig_bits: int, slack_bits: int = 3, hi: int = 5
+    n: int, max_hamming: int, sig_bits: int, slack_bits: int = 2, hi: int = 5
 ) -> int:
     """Smallest k with a k-block join key wide enough for the corpus:
     ``k * sig_bits // (max_hamming + k) >= ceil(log2(n)) + slack_bits``,

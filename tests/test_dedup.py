@@ -178,9 +178,13 @@ def test_adaptive_match_blocks_dial():
     assert adaptive_match_blocks(6_250, 3, 64) == 1
     assert adaptive_match_blocks(625_000, 3, 64) == 2  # sf10 (measured)
     assert adaptive_match_blocks(50_000_000, 3, 64) == 3
-    # md5: only 60 live bits -> k=1 keys are 15-bit, flip earlier
+    # md5: only 60 live bits -> k=1 keys are 15-bit; sf0.1's 6,250-doc
+    # corpus sits exactly at the 15-bit boundary and stays k=1
+    # (slack_bits=2 — measured: k=2 cost +1.1 s at sf0.1 for nothing,
+    # while sf10 flips to k=2 either way)
     assert adaptive_match_blocks(625, 3, 60) == 1
-    assert adaptive_match_blocks(6_250, 3, 60) == 2
+    assert adaptive_match_blocks(6_250, 3, 60) == 1
+    assert adaptive_match_blocks(625_000, 3, 60) == 2
     # clamp
     assert adaptive_match_blocks(1 << 62, 3, 64) == 5
     assert adaptive_match_blocks(0, 3, 64) == 1
