@@ -142,6 +142,34 @@ def test_x7p_minhash_no_cartesian(spark, queries):
     assert "CartesianProduct" not in p
 
 
+def test_minhash_relational_signature_partial_agg(spark):
+    """The r11 relational signature must stay JVM-side and map-side
+    combinable: no Python UDF anywhere (the 87 s sf10 class it
+    replaced), partial + final HashAggregate around the explode."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.dedup import (
+        minhash_signatures_relational,
+        shingles,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", shingles(F.col("text"), 3).alias("_sh")
+    )
+    p = plan_of(minhash_signatures_relational(df, "doc_id", "_sh", 32, 42, "md5"))
+    assert "partial_min" in p and p.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_x8p_simhash_kofc_no_cartesian_and_no_python(spark, queries):
+    """The r11 k-of-c blocking is a plain equi-join on packed block
+    keys: never a cartesian, never a Python UDF (the whole simhash
+    pipeline is codegen expressions)."""
+    p = plan_of(queries["x8p_simhash"](spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_x15_contamination_broadcasts_benchmark(spark, queries):
     p = plan_of(queries["x15_contamination"](spark, SF))
     assert "CartesianProduct" not in p
