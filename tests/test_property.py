@@ -521,3 +521,76 @@ def test_auto_dedup_output_equals_its_chosen_branch(spark, docs):
             dedup_substrings_pruned(df, window_tokens=L, min_run=L + 3).collect(),
         )
     )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_codec_roundtrip_property(w, h, gray, seed):
+    """encode_baseline(q=100) → decode_baseline recovers every pixel
+    within ±2 (all-ones quant table: DCT roundoff is the only loss) for
+    arbitrary dims — including non-multiple-of-8 and 1-pixel edges —
+    in both grayscale and RGB."""
+    import numpy as np
+
+    from rehiver_spark.functions.jpeg import decode_baseline, encode_baseline
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    gw, gh, nc, out = decode_baseline(encode_baseline(img, quality=100))
+    assert (gw, gh) == (w, h) and nc == (1 if gray else 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 1 << 40), st.integers(0, 7), st.sampled_from([60, 64]))
+def test_adaptive_match_blocks_properties(n, h, sig_bits):
+    """The simhash k dial is monotone in n, clamped to [1, 5], and —
+    below the clamp — always wide enough: the k-subset key carries at
+    least bit_length(n-1)+slack bits."""
+    from rehiver_spark.operators.dedup import adaptive_match_blocks
+
+    k = adaptive_match_blocks(n, h, sig_bits)
+    assert 1 <= k <= 5
+    assert adaptive_match_blocks(n * 2 + 1, h, sig_bits) >= k  # monotone
+    if k < 5:
+        need = max(n - 1, 1).bit_length() + 2
+        assert k * sig_bits // (h + k) >= need
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.booleans(),
+)
+def test_connected_components_impls_agree_property(spark, edges, as_str):
+    """Driver and distributed CC are the same fixpoint on arbitrary
+    small graphs — int and string ids both (string exercises the r11
+    join-based convergence path)."""
+    from rehiver_spark.operators.dedup import connected_components
+
+    if as_str:
+        rows = [(f"n{a:02d}", f"n{b:02d}") for a, b in edges]
+        schema = "id_a string, id_b string"
+    else:
+        rows = edges
+        schema = "id_a long, id_b long"
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame(
+        [], schema
+    )
+    got = {}
+    for impl in ("driver", "distributed"):
+        got[impl] = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(df, impl=impl).collect()
+        )
+    assert got["driver"] == got["distributed"]
