@@ -754,22 +754,33 @@ def winnow_fingerprints(
     removed the shuffle, hashing stopped being the bottleneck.
 
     ZERO-SHUFFLE formulation (round 5): hash the grams ONCE into a
-    per-doc array behind an explicit projection barrier, take each
-    window's min with ``array_min(slice(...))`` over the MATERIALIZED
-    array, and explode the per-doc ``array_distinct`` of the mins —
-    everything is map-side: the operator introduces NO key shuffle
-    (the only exchange ever present is ensure_parallelism's small-file
-    round-robin, a no-op on a real multi-file scan; plan test pins the
-    absence of hash/range exchanges). Previously (the
-    earlier window-frame form shuffled one row per corpus CHARACTER
-    window-frame form) one row per corpus CHARACTER was shuffled into
-    a per-doc sort: ~500M rows at sf10, measured 82 s vs 52 s here,
-    and on a real cluster that shuffle is network. The barrier
-    matters: inlining the hash-array transform into the slice lambda
+    per-doc array behind an explicit projection barrier, take the
+    per-window minima map-side, and explode the per-doc
+    ``array_distinct`` of the mins — the operator introduces NO key
+    shuffle (the only exchange ever present is ensure_parallelism's
+    small-file round-robin, a no-op on a real multi-file scan; plan
+    test pins the absence of hash/range exchanges). Previously the
+    window-frame form shuffled one row per corpus CHARACTER into a
+    per-doc sort: ~500M rows at sf10, measured 82 s vs 52 s here, and
+    on a real cluster that shuffle is network. The barrier matters:
+    inlining the hash-array transform into the selection lambda
     defeats common-subexpression elimination and re-evaluates the
     array per window — O(n²) hashing, measured 270 s at sf0.1. With
     the two-step select the plan computes the array once per row
     (equality with the window form is test-pinned).
+
+    SELECTION is a sparse-table doubling cascade (round 11): the
+    sliding min comes from ⌈log₂ window⌉ ``zip_with(m, shift(m, s),
+    least)`` passes — one comparison per element per pass, no
+    allocation — instead of ``transform(sequence, i →
+    array_min(slice(_hs, i, window)))``, which allocates a
+    window-sized array PER POSITION and does O(n·window) interpreted
+    work. ``zip_with`` NULL-pads the shorter side and ``least`` skips
+    NULLs, so boundary windows fall out correctly, and the discarded
+    tail past n_windows is sliced off. Measured at sf1: 6.6 → 1.5 s
+    with bit-identical output (the two prior winnow experiments moved
+    the selection across an Arrow boundary and lost to data transfer
+    — see BASELINE.md; this one shrinks the interpreted work itself).
 
     Output: (id, fp) — one row per distinct selected fingerprint.
     """
@@ -789,10 +800,16 @@ def winnow_fingerprints(
     )
     t2 = t1.select(id_col, "_ng", hashes.alias("_hs"))
     n_windows = F.greatest(F.col("_ng") - F.lit(window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(F.col("_hs"), i, window)),
-    )
+    m: Column = F.col("_hs")
+    covered = 1  # m[i] == min(_hs[i .. i+covered-1])
+    while covered < window:
+        step = min(covered, window - covered)
+        shifted = F.slice(
+            m, step + 1, F.greatest(F.size(m) - step, F.lit(0))
+        )
+        m = F.zip_with(m, shifted, lambda x, y: F.least(x, y))
+        covered += step
+    mins = F.slice(m, 1, n_windows)
     return t2.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
 
 

@@ -594,3 +594,45 @@ def test_connected_components_impls_agree_property(spark, edges, as_str):
             for r in connected_components(df, impl=impl).collect()
         )
     assert got["driver"] == got["distributed"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcde ", min_size=0, max_size=60), min_size=1, max_size=8),
+    st.integers(1, 9),
+)
+def test_winnow_cascade_matches_python_reference(spark, texts, window):
+    """The r11 doubling-cascade sliding min must equal the naive
+    per-window min for EVERY window width, including w=1 and widths
+    that are not powers of two (the cascade's step math is the risky
+    part) — checked against a pure-Python winnow reference."""
+    from rehiver_spark.functions.hashing import md5_hash60_py
+    from rehiver_spark.operators.textops import winnow_fingerprints
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints(
+            df, k=k, window=window, hash_fn="md5"
+        ).collect()
+    }
+
+    def norm(t):  # mirror normalize_text: lower + collapse whitespace
+        return " ".join(t.lower().split())
+
+    want = set()
+    for i, t in enumerate(texts):
+        nt = norm(t)
+        grams = (
+            [nt[j : j + k] for j in range(len(nt) - k + 1)]
+            if len(nt) >= k
+            else [nt]
+        )
+        hs = [md5_hash60_py(g) for g in grams]
+        n_windows = max(len(hs) - window + 1, 1)
+        for j in range(n_windows):
+            want.add((i, min(hs[j : j + window])))
+    assert got == want
