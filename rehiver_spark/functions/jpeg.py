@@ -205,15 +205,21 @@ def _entropy_segments(b: bytes, i: int) -> list[bytes]:
     while i < n:
         x = b[i]
         if x == 0xFF:
-            nxt = b[i + 1] if i + 1 < n else 0xD9
-            if nxt == 0x00:
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+            # marker — skip the run and dispatch on the first non-FF
+            # byte (a lone trailing run reads as EOI).
+            j = i + 1
+            while j < n and b[j] == 0xFF:
+                j += 1
+            nxt = b[j] if j < n else 0xD9
+            if nxt == 0x00:  # stuffed data byte (any leading FFs = fill)
                 cur.append(0xFF)
-                i += 2
+                i = j + 1
                 continue
             if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
                 segs.append(bytes(cur))
                 cur = bytearray()
-                i += 2
+                i = j + 1
                 continue
             break  # EOI or another segment marker
         cur.append(x)
@@ -277,10 +283,12 @@ def decode_baseline(b: bytes):
         elif m == 0xC4:  # DHT
             while p < end:
                 tc, th = b[p] >> 4, b[p] & 15
+                if p + 17 > end:
+                    raise ValueError("truncated DHT")
                 counts = list(b[p + 1:p + 17])
                 nv = sum(counts)
                 vals = b[p + 17:p + 17 + nv]
-                if len(vals) < nv:
+                if p + 17 + nv > end or len(vals) < nv:
                     raise ValueError("truncated DHT")
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(counts, vals)
                 p += 17 + nv

@@ -235,6 +235,18 @@ def resize_media(df: DataFrame, max_side: int = 256, fake: bool = True) -> DataF
         from rehiver_spark.functions import jpeg as _jpeg
         from rehiver_spark.functions import png as _png
 
+        def pillow_resize(b: bytes):  # pragma: no cover - needs Pillow
+            import io
+
+            from PIL import Image  # noqa: PLC0415
+
+            im = Image.open(io.BytesIO(b))
+            w, h = im.width, im.height
+            tw, th = _png.fit_dims(w, h, max_side)
+            buf = io.BytesIO()
+            im.resize((tw, th)).save(buf, format=im.format or "PNG")
+            return w, h, tw, th, buf.getvalue()
+
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
@@ -250,38 +262,34 @@ def resize_media(df: DataFrame, max_side: int = 256, fake: bool = True) -> DataF
                         out = hashlib.sha256(b + f":{tw}x{th}".encode()).digest()
                         sha16 = out.hex()[:16]
                         rows.append((mid, kind, w, h, tw, th, out, sha16, None))
-                    elif _png.is_png(b):
+                        continue
+                    if _png.is_png(b):
                         # real pixels, stdlib-only: decode → nearest-
                         # neighbor resample → deterministic re-encode
                         w, h, tw, th, out = _png.png_resize(b, max_side)
-                        rows.append(
-                            (mid, kind, w, h, tw, th, out, hashlib.sha256(out).hexdigest()[:16], None)
-                        )
                     elif _jpeg.is_jpeg(b):
                         # lib-free baseline JPEG codec (functions/jpeg.py,
-                        # r11): same decode → resample → re-encode shape
-                        w, h, tw, th, out = _jpeg.jpeg_resize(b, max_side)
-                        rows.append(
-                            (mid, kind, w, h, tw, th, out, hashlib.sha256(out).hexdigest()[:16], None)
-                        )
-                    else:  # pragma: no cover - needs Pillow
-                        import io
-
+                        # r11); anything outside the baseline tier
+                        # (progressive/12-bit/CMYK) raises ValueError —
+                        # fall through to Pillow when present, else
+                        # surface the codec's reason.
                         try:
-                            from PIL import Image  # noqa: PLC0415
-                        except ImportError as e:
+                            w, h, tw, th, out = _jpeg.jpeg_resize(b, max_side)
+                        except ValueError as codec_err:
+                            try:
+                                w, h, tw, th, out = pillow_resize(b)
+                            except ImportError:
+                                raise codec_err from None  # no Pillow: report the codec reason
+                    else:
+                        try:
+                            w, h, tw, th, out = pillow_resize(b)
+                        except ImportError as e:  # pragma: no cover
                             raise NotImplementedError(
                                 "real resize for non-PNG/JPEG images requires Pillow"
                             ) from e
-                        im = Image.open(io.BytesIO(b))
-                        w, h = im.width, im.height
-                        tw, th = _png.fit_dims(w, h, max_side)
-                        buf = io.BytesIO()
-                        im.resize((tw, th)).save(buf, format=im.format or "PNG")
-                        out = buf.getvalue()
-                        rows.append(
-                            (mid, kind, w, h, tw, th, out, hashlib.sha256(out).hexdigest()[:16], None)
-                        )
+                    rows.append(
+                        (mid, kind, w, h, tw, th, out, hashlib.sha256(out).hexdigest()[:16], None)
+                    )
                 except Exception as e:
                     rows.append((mid, kind, None, None, None, None, None, None, f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(

@@ -201,3 +201,66 @@ def test_jpeg_decode_cross_validates_against_pillow():
     mine = encode_baseline(img, quality=100)
     ref = np.asarray(Image.open(io.BytesIO(mine)).convert("RGB"))
     assert np.abs(ref.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_entropy_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad the stream
+    before a marker (RSTn or EOI). The scan splitter must skip the run
+    and dispatch on the first non-FF byte, not truncate mid-scan
+    (r11 advice)."""
+    import numpy as np
+
+    from rehiver_spark.functions.jpeg import decode_baseline, encode_baseline
+
+    img = _gradient(24, 16)
+    b = encode_baseline(img, quality=100)
+    assert b.endswith(b"\xff\xd9")
+    base = decode_baseline(b)[3]
+    padded = b[:-2] + b"\xff\xff\xff" + b[-2:]  # FF fill before EOI
+    w, h, nc, out = decode_baseline(padded)
+    assert (w, h, nc) == (24, 16, 3)
+    assert np.array_equal(out, base)
+
+
+def test_jpeg_truncated_dht_raises_value_error():
+    """A DHT whose 16 count bytes (or declared values) run past the
+    segment end must raise the module's ValueError('truncated DHT')
+    convention, not an uninformative IndexError (r11 advice)."""
+    from rehiver_spark.functions.jpeg import decode_baseline
+
+    # counts cut off: seglen 8 leaves only 6 payload bytes (< 1+16)
+    short_counts = b"\xff\xd8\xff\xc4\x00\x08" + b"\x00" * 6
+    with pytest.raises(ValueError, match="truncated DHT"):
+        decode_baseline(short_counts)
+    # counts complete but the 5 declared values overrun the segment
+    short_vals = (
+        b"\xff\xd8\xff\xc4\x00\x13" + b"\x00" + b"\x05" + b"\x00" * 15
+    )
+    with pytest.raises(ValueError, match="truncated DHT"):
+        decode_baseline(short_vals)
+
+
+def test_resize_media_progressive_jpeg_falls_through(spark):
+    """resize_media(fake=False) on a progressive JPEG: the lib-free
+    codec is baseline-scope, so the row must fall through to Pillow
+    when present (r11 advice — previously it error'd even with Pillow
+    installed); without Pillow the error column must carry the CODEC's
+    reason ('progressive...'), not an ImportError."""
+    from rehiver_spark.operators.multimodal import resize_media
+
+    payload = _jpeg_bytes(40, 24, progressive=True)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, kind string, payload binary",
+    )
+    [row] = resize_media(df, max_side=16, fake=False).collect()
+    if _pillow() is not None:
+        assert row["error"] is None
+        assert (row["src_width"], row["src_height"]) == (40, 24)
+        assert max(row["width"], row["height"]) <= 16
+    else:
+        # header-only stub fixture: decode stops at the missing scan,
+        # but the reason must be the codec's ValueError either way
+        assert row["error"] is not None
+        assert "ValueError" in row["error"]
+        assert "ImportError" not in row["error"]

@@ -532,9 +532,11 @@ def test_auto_dedup_output_equals_its_chosen_branch(spark, docs):
 )
 def test_jpeg_codec_roundtrip_property(w, h, gray, seed):
     """encode_baseline(q=100) → decode_baseline recovers every pixel
-    within ±2 (all-ones quant table: DCT roundoff is the only loss) for
-    arbitrary dims — including non-multiple-of-8 and 1-pixel edges —
-    in both grayscale and RGB."""
+    within ±4 (all-ones quant table: DCT roundoff is the only loss; the
+    analytic worst case of ±0.5-per-coefficient rounding plus YCbCr
+    mixing is ~3.5, so ±2 is only empirical — the fixed-seed unit test
+    keeps the tight bound) for arbitrary dims — including
+    non-multiple-of-8 and 1-pixel edges — in both grayscale and RGB."""
     import numpy as np
 
     from rehiver_spark.functions.jpeg import decode_baseline, encode_baseline
@@ -544,7 +546,7 @@ def test_jpeg_codec_roundtrip_property(w, h, gray, seed):
     img = rng.integers(0, 256, size=shape, dtype=np.uint8)
     gw, gh, nc, out = decode_baseline(encode_baseline(img, quality=100))
     assert (gw, gh) == (w, h) and nc == (1 if gray else 3)
-    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
 
 
 @settings(max_examples=50, deadline=None)
