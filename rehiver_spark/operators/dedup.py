@@ -355,50 +355,52 @@ def minhash_signature(
     then num_hashes affine universal hashes (a_i·h + c_i) mod (2^31-1)
     in exact int64 arithmetic — any SQL engine reproduces the sketch
     bit-for-bit, and the md5 count drops num_hashes-fold vs hashing
-    per (i, shingle). Computed in one Arrow batch (hashlib md5 ==
-    JVM/DuckDB md5; numpy int64 == BIGINT). Requires non-empty shingle
-    arrays (shingles() guarantees [""] minimum).
+    per (i, shingle). Since r12 this path is ALL JVM expression work
+    inside one map-only projection: ``transform`` computes the base
+    hash once per shingle (functions/hashing.md5_hash60 — the same
+    expression the relational form uses post-explode), then a single
+    ``aggregate`` folds the shingle axis with a ``zip_with``/``least``
+    step against a literal (a_i, c_i) array — no pandas UDF (the
+    pre-r12 hashlib form measured 87 s standalone at sf10 where the
+    JVM forms take ~4.5 s), no explode, and — unlike
+    :func:`minhash_signatures_relational` — NO shuffle: the row never
+    leaves its partition, so at small scale there is no stage floor to
+    amortize (the r11 x34 envelope breach) and at large scale the
+    hash-aggregate Exchange disappears entirely. Requires non-empty
+    shingle arrays (shingles() guarantees [""] minimum).
 
-    This is the per-ROW Column form. DataFrame-level consumers should
-    prefer :func:`minhash_signatures_relational` (bit-identical,
-    test-pinned): its md5 runs JVM-side inside codegen — 19x faster at
-    sf10 — where this form's portable path pays a per-shingle hashlib
-    call in a pandas UDF.
+    Bit-identical to :func:`minhash_signatures_relational` in both
+    hash modes (test-pinned).
     """
     sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
 
     if hash_fn == "md5":
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-
         a_co, c_co = minhash_affine_consts(num_hashes, seed)
-        a_np = np.asarray(a_co, dtype=np.int64)
-        c_np = np.asarray(c_co, dtype=np.int64)
-        prefix = f"{seed}:".encode()
-
-        def _sigs(s):
-            import hashlib
-
-            if len(s) == 0:
-                return pd.Series([], dtype=object)
-            lens = np.fromiter((len(arr) for arr in s), dtype=np.int64, count=len(s))
-            base = np.fromiter(
-                (
-                    int(hashlib.md5(prefix + x.encode()).hexdigest()[:15], 16) % _MH_DOMAIN
-                    for arr in s
-                    for x in arr
-                ),
-                dtype=np.int64,
-                count=int(lens.sum()),
-            )
-            prods = (base[:, None] * a_np + c_np) % _MH_P
-            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            mins = np.minimum.reduceat(prods, offsets, axis=0)
-            return pd.Series(list(mins))
-
-        _sigs.__annotations__ = {"s": pd.Series, "return": pd.Series}
-        return pandas_udf(_sigs, "array<bigint>")(sh)
+        # literal (a_i, c_i) pairs, zipped elementwise against the
+        # running minima so the md5 base hash binds ONCE per shingle
+        ac = F.array(
+            *[
+                F.struct(
+                    F.lit(a_co[i]).cast("bigint").alias("a"),
+                    F.lit(c_co[i]).cast("bigint").alias("c"),
+                )
+                for i in range(num_hashes)
+            ]
+        )
+        base = F.transform(
+            sh,
+            lambda x: md5_hash60(F.concat(F.lit(f"{seed}:"), x)) % F.lit(_MH_DOMAIN),
+        )
+        init = F.array(*[F.lit(_MH_P).cast("bigint")] * num_hashes)
+        return F.aggregate(
+            base,
+            init,
+            lambda acc, h: F.zip_with(
+                acc,
+                ac,
+                lambda m, p: F.least(m, (h * p["a"] + p["c"]) % F.lit(_MH_P)),
+            ),
+        )
 
     # single-parameter lambda per hash fn: pyspark binds a lambda var per
     # Python parameter, so `lambda s, i=i` would bind i to the index var
@@ -407,6 +409,35 @@ def minhash_signature(
 
     mins = [F.array_min(F.transform(sh, hash_i(i))) for i in range(num_hashes)]
     return F.array(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 32,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``(id, sig array<bigint>)`` — the DataFrame-level signature
+    entrypoint, a map-only projection of the :func:`minhash_signature`
+    Column form.
+
+    Since r12 this is the scale path for every consumer: the Column
+    form runs entirely JVM-side with NO shuffle (the r11
+    :func:`minhash_signatures_relational` explode + min-agg shape pays
+    a hash-aggregate Exchange whose stage floor broke the x34 sf0.1
+    envelope), and measured faster at BOTH ends — sf0.1 corpus
+    2.37→0.83 s (md5) / 1.88→0.62 s (xxhash64), sf10 450k docs
+    10.96→8.28 s / 10.85→7.29 s — with bit-identical output
+    (bit_xor-checksum-pinned, r12; parity test pins all three forms).
+    """
+    return df.select(
+        F.col(id_col),
+        minhash_signature(
+            F.col(shingle_col), num_hashes, seed, hash_fn
+        ).alias("sig"),
+    )
 
 
 def minhash_signatures_relational(
@@ -420,19 +451,20 @@ def minhash_signatures_relational(
     """``(id, sig array<bigint>)`` via the RELATIONAL formulation:
     explode shingles, hash each ONCE on the JVM, ``num_hashes``
     min-aggregates in one map-side-combinable hash aggregate — the
-    same shape as :func:`simhash_signatures` and the scale path for
-    every DataFrame-level minhash consumer.
+    same shape as :func:`simhash_signatures`.
 
-    Bit-identical to the :func:`minhash_signature` Column form in both
-    hash modes (test-pinned). The difference is WHERE the md5 runs:
-    the Column form's portable path computes hashlib md5 per shingle
-    inside a pandas UDF — measured 87 s for the sf10 x29 corpus (120M
-    shingles through Python hashlib + hex parsing) vs 4.5 s for this
-    form, whose md5 is the JVM's inside whole-stage codegen
-    (functions/hashing.md5_hash60) and whose affine universal hashes
-    are exact-int64 column arithmetic. Requires non-empty shingle
-    arrays (``shingles()`` guarantees ``[""]`` minimum) — a row with
-    an empty array would simply vanish at the explode.
+    SUPERSEDED as the default path (r12): :func:`minhash_signatures`
+    (the map-only JVM Column form) is bit-identical in both hash modes
+    (test-pinned) and measured faster at every scale — this form pays
+    a hash-aggregate Exchange the Column form avoids entirely (sf0.1
+    corpus 2.37 vs 0.83 s md5; sf10 450k docs 10.96 vs 8.28 s). It was
+    the r11 replacement for the per-shingle hashlib pandas UDF
+    (87 s standalone at sf10) and is kept as the explode-shaped
+    reference twin: its partial-aggregate shape is what a SQL oracle
+    mirrors, and the 3-way parity test pins all forms together.
+    Requires non-empty shingle arrays (``shingles()`` guarantees
+    ``[""]`` minimum) — a row with an empty array would simply vanish
+    at the explode.
     """
     ex = df.select(F.col(id_col), F.explode(shingle_col).alias("_mh_s"))
     if hash_fn == "md5":
@@ -500,12 +532,19 @@ def lsh_candidates(
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    # signatures via the relational JVM form (r11): the Column form's
-    # portable md5 path is a per-shingle hashlib pandas UDF — 19x
-    # slower at sf10 (87 s vs 4.5 s) for bit-identical output
-    sigs = minhash_signatures_relational(
-        df, id_col, shingle_col, num_hashes, seed, hash_fn
-    )
+    # map-only JVM Column signatures (r12): no signature-stage shuffle
+    # at all — the only Exchange left is the band-bucket self-join's
+    sigs = minhash_signatures(df, id_col, shingle_col, num_hashes, seed, hash_fn)
+    return _lsh_band_candidates(sigs, id_col, num_hashes, bands)
+
+
+def _lsh_band_candidates(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Distinct candidate pairs from a precomputed ``(id, sig)``
+    relation — the banding half of :func:`lsh_candidates`, split out so
+    :func:`minhash_neardup_pairs` can reuse ONE signature computation
+    for banding AND the estimate pre-filter (r12)."""
     banded = sigs.select(
         F.col(id_col).alias("_id"),
         F.explode(_band_keys(F.col("sig"), num_hashes, bands)).alias("b"),
@@ -520,6 +559,16 @@ def lsh_candidates(
     )
 
 
+def sig_est_jaccard(sig_a: Column | str, sig_b: Column | str, num_hashes: int) -> Column:
+    """The standard MinHash Jaccard estimator: matching signature
+    components / num_hashes — ONE definition shared by the batch
+    pre-filter (:func:`minhash_neardup_pairs`) and the incremental
+    index probe (:func:`incremental_minhash_neardup`)."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+    ) / F.lit(float(num_hashes))
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -530,6 +579,7 @@ def minhash_neardup_pairs(
     bands: int = 8,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    est_gate_margin: float | None = 0.25,
 ) -> DataFrame:
     """LSH-blocked, exact-verified near-dup pairs: generate candidates by
     MinHash banding, then compute TRUE Jaccard on candidates only and
@@ -538,16 +588,43 @@ def minhash_neardup_pairs(
     shingle-blocking join in ``jaccard_pairs`` touches every co-shingle
     pair, LSH touches only banding collisions.
 
-    ``hash_fn="md5"`` makes the MinHash sketch itself portable (see
-    functions/hashing.py) so the whole pipeline — candidates included —
-    is reproducible in a SQL oracle, not just the verification step.
+    ``est_gate_margin`` (r12): before the exact verification join
+    touches the wide shingle arrays, candidates are pre-filtered on the
+    SIGNATURE-estimated Jaccard at ``threshold - est_gate_margin`` —
+    the signatures are already computed for banding, so the gate costs
+    two narrow sig joins and saves the per-pair ``array_intersect``
+    for the banding false positives (bands=8/r=4 collides ~40% of
+    J=0.5 pairs that the exact filter then discards). The margin is a
+    RECALL dial layered on the existing (num_hashes, bands) one: with
+    32 hashes the estimator's sd at J=0.8 is ~0.071, so 0.25 ≈ 3.5σ —
+    and the gate is deterministic given the sketch, so a portable-md5
+    oracle reproduces it exactly (x7p/x29 embed the same gate in SQL).
+    ``None`` disables the gate (bit-identical pair set whenever no true
+    pair estimates below the margin — pinned on the driver testdata).
     """
     sh = track_persist(
         ensure_parallelism(df).select(
             F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
         )
     )  # read by banding AND both verify sides
-    cand = lsh_candidates(sh, "_id", "_sh", num_hashes, bands, seed, hash_fn)
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    sigs = track_persist(
+        minhash_signatures(sh, "_id", "_sh", num_hashes, seed, hash_fn)
+    )  # read by banding and (gated) both estimate sides
+    cand = _lsh_band_candidates(sigs, "_id", num_hashes, bands)
+    if est_gate_margin is not None:
+        sa = sigs.select(F.col("_id").alias("id_a"), F.col("sig").alias("_siga"))
+        sb = sigs.select(F.col("_id").alias("id_b"), F.col("sig").alias("_sigb"))
+        cand = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(
+                sig_est_jaccard("_siga", "_sigb", num_hashes)
+                >= F.lit(threshold - est_gate_margin)
+            )
+            .select("id_a", "id_b")
+        )
     a = sh.withColumnsRenamed({"_id": "id_a", "_sh": "_sha"})
     b = sh.withColumnsRenamed({"_id": "id_b", "_sh": "_shb"})
     verified = (
@@ -1094,6 +1171,7 @@ def fuzzy_dedup(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     keep: str = "min_id",
+    est_gate_margin: float | None = 0.25,
 ) -> DataFrame:
     """One-call fuzzy-dedup pipeline over a corpus — the composition a
     training-data run actually executes (NeMo-Curator-style):
@@ -1124,7 +1202,8 @@ def fuzzy_dedup(
     if keep not in ("min_id", "longest"):
         raise ValueError(f"keep must be 'min_id' or 'longest', got {keep!r}")
     pairs = minhash_neardup_pairs(
-        df, id_col, text_col, k, threshold, num_hashes, bands, seed, hash_fn
+        df, id_col, text_col, k, threshold, num_hashes, bands, seed, hash_fn,
+        est_gate_margin,
     )
     comp = connected_components(pairs).withColumnsRenamed({"doc_id": id_col})
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
@@ -1328,15 +1407,15 @@ def minhash_index(
     ``ensure_parallelism`` keeps the shingle/hash map side wide when a
     small single-file corpus scans as ONE partition (the r10 profile
     of the x34 drift: a 2.5 s single-task signature stage inside a
-    3.4 s job). Signatures come from the relational JVM form (r11),
-    not the per-shingle hashlib UDF — see
-    :func:`minhash_signatures_relational`."""
+    3.4 s job). Signatures come from the map-only JVM Column form
+    (r12) — zero shuffle; the r11 relational explode + min-agg shape
+    paid a hash-aggregate Exchange whose stage floor a small corpus
+    could not amortize (the x34 sf0.1 envelope breach) — see
+    :func:`minhash_signatures`."""
     sh = ensure_parallelism(corpus).select(
         F.col(id_col), shingles(F.col(text_col), k).alias("_sh")
     )
-    return minhash_signatures_relational(
-        sh, id_col, "_sh", num_hashes, seed, hash_fn
-    )
+    return minhash_signatures(sh, id_col, "_sh", num_hashes, seed, hash_fn)
 
 
 def incremental_minhash_neardup(
@@ -1396,12 +1475,7 @@ def incremental_minhash_neardup(
         .select("batch_id", "corpus_id", "_sig_batch_id", "_sig_corpus_id")
         .distinct()
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("_sig_batch_id", "_sig_corpus_id", lambda x, y: x == y),
-            lambda m: m,
-        )
-    ) / F.lit(float(num_hashes))
+    est = sig_est_jaccard("_sig_batch_id", "_sig_corpus_id", num_hashes)
     out = cand.withColumn("est_jaccard", est).filter(
         F.col("est_jaccard") >= F.lit(est_threshold)
     )

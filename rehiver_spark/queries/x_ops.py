@@ -652,10 +652,22 @@ def _mh_consts_sql() -> str:
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     ),
+    sigs AS (
+      SELECT doc_id, list(h ORDER BY i) AS sig FROM hashed GROUP BY doc_id
+    ),
+    gated AS (
+      -- r12 estimate pre-filter (threshold 0.8 - margin 0.25), the
+      -- exact twin of minhash_neardup_pairs' est_gate_margin
+      SELECT id_a, id_b FROM cand
+      JOIN sigs ga ON ga.doc_id = id_a
+      JOIN sigs gb ON gb.doc_id = id_b
+      WHERE len(list_filter(range(1, 33), i -> ga.sig[i] = gb.sig[i]))::DOUBLE
+        / 32 >= 0.55
+    ),
     ver AS (
       SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) AS n_common,
         len(sa.s) AS n_a, len(sb.s) AS n_b
-      FROM cand
+      FROM gated
       JOIN sh sa ON sa.doc_id = id_a
       JOIN sh sb ON sb.doc_id = id_b
     )

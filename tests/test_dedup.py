@@ -84,6 +84,30 @@ def test_minhash_lsh_subset_and_recall(docs, sf_dir):
     assert len(got) >= 0.9 * len(exp)
 
 
+def test_minhash_est_gate_subset_and_equality(docs):
+    """The r12 estimate pre-filter (est_gate_margin) must be recall-
+    safe: the gated pair set is always a subset of the ungated one
+    (the gate only ever removes candidates), and on the driver
+    testdata — where every true pair sits well above threshold — the
+    two sets are EQUAL, in both hash modes."""
+    from rehiver_spark.operators.dedup import minhash_neardup_pairs
+
+    def pairs(margin, hash_fn):
+        return {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+            for r in minhash_neardup_pairs(
+                docs, threshold=0.8, hash_fn=hash_fn, est_gate_margin=margin
+            ).collect()
+        }
+
+    for hash_fn in ("md5", "xxhash64"):
+        ungated = pairs(None, hash_fn)
+        gated = pairs(0.25, hash_fn)
+        assert set(gated) <= set(ungated), hash_fn
+        assert gated == ungated, hash_fn
+        assert len(gated) > 0, hash_fn
+
+
 def test_minhash_relational_matches_column_form(spark):
     """The relational JVM signature form (r11 scale path: explode +
     codegen md5 + min-aggs) must be bit-identical to the per-row
