@@ -913,10 +913,22 @@ def c17d2_stream_join_linear(spark, sf_dir):
 )
 def c17e_stream_static_join(spark, sf_dir):
     """C17 stream-static enrichment: a lineitem file stream joined to
-    the static orders dimension (broadcast per micro-batch), aggregated
-    in complete mode under AvailableNow — the standard streaming
-    dimension-enrichment pattern, oracle-verified against the batch
-    join."""
+    the static orders dimension, aggregated in complete mode under
+    AvailableNow — the standard streaming dimension-enrichment pattern,
+    oracle-verified against the batch join.
+
+    r12 scale fixes (the r11 verdict's 41 s sf10 row, cost split 11.2 s
+    setup + 24.8 s stream): the staging write keeps its natural scan
+    width instead of ``repartition(4)`` (which both serialized the 60M-
+    row write through one shuffle into 4 tasks AND capped the stream
+    scan at 4-way parallelism — 11.2→5.1 s, and the source stays
+    multi-file at every sf), and the dimension is broadcast ONLY when
+    its on-disk size says it fits (the x8p probe-dial pattern): at sf10
+    orders is 15M rows — a forced broadcast builds a ~500 MB hash
+    relation on one thread per micro-batch (16.3 s) where the
+    planner's shuffle join reads 11.8 s; small scales stay broadcast
+    (orders.parquet ≤ 32 MiB). Combined sf10 receipt: 41.0 → 8.65 s
+    (dedicated min-of-2); sf0.1 1.73 s."""
     import os as _os
 
     from rehiver_spark.queries import scratch_dir
@@ -929,7 +941,7 @@ def c17e_stream_static_join(spark, sf_dir):
     t = tables(spark, sf_dir, ["lineitem", "orders"])
     scratch = scratch_dir("c17e", sf_dir)
     src = f"{scratch}/src"
-    t["lineitem"].select("l_orderkey", "l_extendedprice").repartition(4).write.mode(
+    t["lineitem"].select("l_orderkey", "l_extendedprice").write.mode(
         "overwrite"
     ).parquet(src)
     schema = spark.read.parquet(src).schema
@@ -937,7 +949,20 @@ def c17e_stream_static_join(spark, sf_dir):
         e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")
     )
     sdf = read_file_stream(spark, src, schema)
-    dim = F.broadcast(t["orders"].select("o_orderkey", "o_orderpriority"))
+    dim = t["orders"].select("o_orderkey", "o_orderpriority")
+    dim_path = _os.path.join(sf_dir, "orders.parquet")
+    if _os.path.isfile(dim_path):
+        dim_bytes = _os.stat(dim_path).st_size
+    elif _os.path.isdir(dim_path):
+        dim_bytes = sum(
+            e.stat().st_size
+            for e in _os.scandir(dim_path)
+            if e.name.endswith(".parquet")
+        )
+    else:
+        dim_bytes = 0
+    if dim_bytes and dim_bytes <= 32 << 20:  # broadcast only when it fits
+        dim = F.broadcast(dim)
     enriched = sdf.join(dim, sdf["l_orderkey"] == dim["o_orderkey"])
     agg = enriched.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count("*").alias("n_items"),
