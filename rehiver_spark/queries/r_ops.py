@@ -653,9 +653,15 @@ def r16_object_catalog(spark, sf_dir):
     # is cheap codegen over a cached scan — materializing 600k rows to
     # the block store measured slower (3.0 s → 4.8 s) than recompute,
     # and the decision HOLDS at the 10× catalog (5.5M keys: 24.4 s
-    # recompute vs 31.3 s persisted, tools/scale_catalog.py round 5) —
-    # block-store write+read of the wide rows costs more than the
-    # second codegen pass at every scale measured
+    # recompute vs 31.3 s persisted, tools/scale_catalog.py round 5;
+    # RE-MEASURED r12 on the current tree at real sf10, 60M lineitem →
+    # 80M catalog entries: 26.3 s recompute vs 30.3 s persisted,
+    # min-of-3) — block-store write+read of the wide rows costs more
+    # than the second codegen pass at every scale measured. A max_by
+    # hash-agg replacement for dedup_catalog's window was also A/B'd
+    # r12 (21.3 vs 22.7 s at sf10, ~6%) and declined: the row is
+    # shuffle-bound on the 80M wide entries either way, and the window
+    # form mirrors the oracle's row_number exactly
     dup = base.filter(F.col("size") % 3 == 0).select(
         "key",
         (F.col("size") + 1).alias("size"),
