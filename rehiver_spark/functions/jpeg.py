@@ -106,14 +106,19 @@ def minimal_jpeg(
 # Scope: the DECODER handles what baseline cameras/encoders emit —
 # 1- or 3-component SOF0, 8/16-bit DQT, per-file Huffman tables (read
 # from DHT, never assumed), arbitrary integer sampling factors,
-# restart intervals, byte stuffing. Progressive (SOF2), arithmetic
-# coding, 12-bit precision, and CMYK raise informative errors. The
-# ENCODER emits 4:4:4 SOF0 with simple PROVABLY-VALID canonical
-# Huffman tables (all DC symbols at 4 bits, all AC symbols at 8 bits
-# — legal per T.81, suboptimal compression) and a mild parametric
-# quant table; every table it writes travels in the stream, so any
-# spec-compliant decoder (including this one and Pillow, cross-checked
-# in tests/test_multimodal_pillow.py) reads it back.
+# restart intervals, byte stuffing — AND (r12, decode_jpeg) full
+# PROGRESSIVE (SOF2) streams: spectral-selection and successive-
+# approximation DC/AC scans incl. both refinement protocols (T.81
+# G.1.2). Arithmetic coding, 12-bit precision, lossless/hierarchical,
+# and CMYK raise informative errors. The ENCODER emits 4:4:4 SOF0
+# (encode_baseline) or a SOF2 scan script covering every progressive
+# decode path (encode_progressive) with simple PROVABLY-VALID
+# canonical Huffman tables (all DC symbols at 4 bits, all AC symbols
+# at 8 bits — legal per T.81, suboptimal compression) and a mild
+# parametric quant table; every table it writes travels in the
+# stream, so any spec-compliant decoder (including this one and
+# Pillow, cross-checked in tests/test_multimodal_pillow.py) reads it
+# back. Progressive restart intervals decode but are never emitted.
 #
 # Python does the entropy coding coefficient-by-coefficient; the DCT
 # runs as one numpy tensordot over all blocks. Fine for the test/
@@ -198,9 +203,10 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
-def _entropy_segments(b: bytes, i: int) -> list[bytes]:
-    """De-stuffed entropy intervals from offset ``i``, split at RST
-    markers, ending at the first non-RST marker (EOI or next segment)."""
+def _entropy_segments(b: bytes, i: int) -> tuple[list[bytes], int]:
+    """(de-stuffed entropy intervals from offset ``i``, split at RST
+    markers and ending at the first non-RST marker; offset of that
+    terminating marker's 0xFF — where the segment walk resumes)."""
     segs, cur, n = [], bytearray(), len(b)
     while i < n:
         x = b[i]
@@ -225,7 +231,7 @@ def _entropy_segments(b: bytes, i: int) -> list[bytes]:
         cur.append(x)
         i += 1
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 def decode_baseline(b: bytes):
@@ -234,7 +240,22 @@ def decode_baseline(b: bytes):
 
     Grayscale returns (h, w); 3-component YCbCr converts to RGB per
     JFIF/BT.601. Raises ValueError with the reason for anything outside
-    the baseline tier (progressive, arithmetic, 12-bit, CMYK)."""
+    the baseline tier (progressive, arithmetic, 12-bit, CMYK).
+    :func:`decode_jpeg` additionally decodes progressive (SOF2)
+    streams."""
+    return decode_jpeg(b, allow_progressive=False)
+
+
+def decode_jpeg(b: bytes, allow_progressive: bool = True):
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2, r12) 8-bit
+    JPEG to ``(width, height, ncomp, numpy uint8 array (h, w[, 3]))``.
+
+    Progressive streams are accumulated scan by scan into per-component
+    coefficient stores (DC/AC first scans and both successive-
+    approximation refinement protocols, T.81 G.1.2), then reconstructed
+    through the same dequantize→IDCT→upsample→color path as baseline.
+    Arithmetic coding, 12-bit precision, lossless, hierarchical and
+    CMYK still raise informative errors."""
     import numpy as np
 
     if not is_jpeg(b):
@@ -243,6 +264,8 @@ def decode_baseline(b: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (precision, h, w, [(cid, hs, vs, tq)])
+    progressive = False
+    pstate = None  # progressive accumulation state (set at first SOS)
     dri = 0
     i, n = 2, len(b)
     while i < n:
@@ -293,7 +316,9 @@ def decode_baseline(b: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(counts, vals)
                 p += 17 + nv
         elif m in _SOF_MARKERS:
-            if m != 0xC0 and m != 0xC1:  # extended sequential C1 is ok
+            if m == 0xC2 and allow_progressive:
+                progressive = True
+            elif m != 0xC0 and m != 0xC1:  # extended sequential C1 is ok
                 kind = {0xC2: "progressive", 0xC3: "lossless"}.get(
                     m, f"SOF{m - 0xC0}"
                 )
@@ -327,12 +352,25 @@ def decode_baseline(b: bytes):
                 if idx is None:
                     raise ValueError(f"SOS names unknown component {cs}")
                 scan.append((idx, tt >> 4, tt & 15))
-            if len(scan) != len(frame[3]):
-                raise ValueError("non-interleaved scans not supported")
-            return _decode_scan(
-                b, end, frame, scan, qt, huff_dc, huff_ac, dri
+            if not progressive:
+                if len(scan) != len(frame[3]):
+                    raise ValueError("non-interleaved scans not supported")
+                return _decode_scan(
+                    b, end, frame, scan, qt, huff_dc, huff_ac, dri
+                )
+            ss, se = b[p + 1 + 2 * ns], b[p + 2 + 2 * ns]
+            ahal = b[p + 3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if pstate is None:
+                pstate = _ProgressiveState(frame)
+            i = _progressive_scan(
+                b, end, frame, scan, ss, se, ah, al,
+                huff_dc, huff_ac, dri, pstate,
             )
+            continue  # i already points at the terminating marker
         i += seglen
+    if progressive and pstate is not None:
+        return _reconstruct(frame, pstate.blocks, qt, pstate.mcux, pstate.mcuy)
     raise ValueError("no SOS scan found")
 
 
@@ -345,7 +383,7 @@ def _decode_scan(b, data_start, frame, scan, qt, huff_dc, huff_ac, dri):
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     n_mcu = mcux * mcuy
-    segs = _entropy_segments(b, data_start)
+    segs, _end = _entropy_segments(b, data_start)
     # per component: coefficient store (n_blocks, 8, 8) in MCU order
     blocks = [
         np.zeros((mcuy * c[2] * mcux * c[1], 8, 8), dtype=np.int64)
@@ -393,7 +431,18 @@ def _decode_scan(b, data_start, frame, scan, qt, huff_dc, huff_ac, dri):
                         k += 1
                     row = (my * vs + v) * (mcux * hs) + (mx * hs + hh)
                     blocks[ci][row] = coef.reshape(8, 8)
-    # dequantize + IDCT per component (one tensordot over all blocks)
+    return _reconstruct(frame, blocks, qt, mcux, mcuy)
+
+
+def _reconstruct(frame, blocks, qt, mcux, mcuy):
+    """Dequantize + IDCT + upsample + color-convert a list of per-
+    component coefficient stores (MCU-padded layout) — shared by the
+    baseline single-scan path and the progressive accumulator."""
+    import numpy as np
+
+    _, h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     C = _dct_matrix()
     planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
@@ -424,6 +473,229 @@ def _decode_scan(b, data_start, frame, scan, qt, huff_dc, huff_ac, dri):
         axis=-1,
     )
     return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _ProgressiveState:
+    """Cross-scan accumulation for a progressive frame: one MCU-padded
+    coefficient store per component (same layout as the baseline
+    path's) plus the MCU grid dims."""
+
+    __slots__ = ("blocks", "mcux", "mcuy", "hmax", "vmax")
+
+    def __init__(self, frame):
+        import numpy as np
+
+        _, h, w, comps = frame
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.blocks = [
+            np.zeros((self.mcuy * c[2] * self.mcux * c[1], 8, 8), dtype=np.int64)
+            for c in comps
+        ]
+
+
+def _comp_block_dims(frame, ci, pstate):
+    """Non-interleaved block grid for one component (T.81 A.2.2):
+    ceil(comp samples / 8) per axis — NOT the MCU-padded store width
+    (``mcux*hs``), which can exceed it by sampling padding."""
+    _, h, w, comps = frame
+    _, hs, vs, _ = comps[ci]
+    cw = -(-w * hs // pstate.hmax)
+    ch = -(-h * vs // pstate.vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _progressive_scan(
+    b, data_start, frame, scan, ss, se, ah, al, huff_dc, huff_ac, dri, pstate
+):
+    """Decode ONE progressive scan (T.81 G.1.2) into ``pstate.blocks``;
+    returns the stream offset of the scan's terminating marker.
+
+    Covers all four scan kinds: DC first (Ah=0, interleaved or single-
+    component), DC refinement (one bit per block), AC first (EOB-run
+    coding, single component), AC refinement (correction-bit protocol,
+    G.1.2.3). Restart intervals reset DC predictors and the EOB run."""
+    import numpy as np  # noqa: F401  (layout parity with the callers)
+
+    segs, end = _entropy_segments(b, data_start)
+    comps = frame[3]
+    zz = _ZIGZAG
+    if ss == 0:  # DC scan (Se must be 0 per T.81)
+        if se != 0:
+            raise ValueError("DC progressive scan with Se != 0")
+        dc_tables = {}
+        for ci, tdc, _tac in scan:
+            t = huff_dc.get(tdc)
+            if t is None and ah == 0:
+                raise ValueError("scan references undefined Huffman table")
+            dc_tables[ci] = t
+        seg_i = 0
+        r = _BitReader(segs[0])
+        preds = {ci: 0 for ci, _, _ in scan}
+        if len(scan) > 1:  # interleaved over MCUs
+            n_mcu = pstate.mcux * pstate.mcuy
+            for mcu in range(n_mcu):
+                if dri and mcu and mcu % dri == 0:
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise ValueError("missing restart interval data")
+                    r = _BitReader(segs[seg_i])
+                    preds = {ci: 0 for ci, _, _ in scan}
+                my, mx = divmod(mcu, pstate.mcux)
+                for ci, _tdc, _tac in scan:
+                    _, hs, vs, _tq = comps[ci]
+                    for v in range(vs):
+                        for hh in range(hs):
+                            row = (my * vs + v) * (pstate.mcux * hs) + (
+                                mx * hs + hh
+                            )
+                            _dc_data_unit(
+                                r, pstate.blocks[ci], row, dc_tables[ci],
+                                preds, ci, ah, al,
+                            )
+        else:  # single-component DC scan: component block raster order
+            ci = scan[0][0]
+            _, hs, vs, _tq = comps[ci]
+            cbw, cbh = _comp_block_dims(frame, ci, pstate)
+            unit = 0
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if dri and unit and unit % dri == 0:
+                        seg_i += 1
+                        if seg_i >= len(segs):
+                            raise ValueError("missing restart interval data")
+                        r = _BitReader(segs[seg_i])
+                        preds = {ci: 0}
+                    row = by * (pstate.mcux * hs) + bx
+                    _dc_data_unit(
+                        r, pstate.blocks[ci], row, dc_tables[ci],
+                        preds, ci, ah, al,
+                    )
+                    unit += 1
+        return end
+    # AC scan: exactly one component (T.81 B.2.3)
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must have one component")
+    ci, _tdc, tac = scan[0]
+    act = huff_ac.get(tac)
+    if act is None:
+        raise ValueError("scan references undefined Huffman table")
+    _, hs, vs, _tq = comps[ci]
+    cbw, cbh = _comp_block_dims(frame, ci, pstate)
+    blocks = pstate.blocks[ci]
+    seg_i = 0
+    r = _BitReader(segs[0])
+    eobrun = 0
+    unit = 0
+    for by in range(cbh):
+        for bx in range(cbw):
+            if dri and unit and unit % dri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("missing restart interval data")
+                r = _BitReader(segs[seg_i])
+                eobrun = 0
+            row = by * (pstate.mcux * hs) + bx
+            coef = blocks[row].reshape(64)
+            if ah == 0:
+                eobrun = _ac_first_unit(r, coef, act, ss, se, al, eobrun, zz)
+            else:
+                eobrun = _ac_refine_unit(r, coef, act, ss, se, al, eobrun, zz)
+            unit += 1
+    return end
+
+
+def _dc_data_unit(r, blocks, row, dct, preds, ci, ah, al):
+    """One block's DC contribution: first scan (Ah=0) decodes the DPCM
+    difference of DC>>Al; refinement appends bit Al (two's-complement
+    OR reconstructs negatives exactly)."""
+    coef = blocks[row].reshape(64)
+    if ah == 0:
+        s = _huffdecode(r, dct)
+        if s > 11:
+            raise ValueError("DC category > 11 in 8-bit scan")
+        diff = _extend(r.bits(s), s) if s else 0
+        preds[ci] += diff
+        coef[0] = preds[ci] << al
+    else:
+        if r.bit():
+            coef[0] = int(coef[0]) | (1 << al)
+
+
+def _ac_first_unit(r, coef, act, ss, se, al, eobrun, zz):
+    """AC first scan for one block (T.81 G.1.2.2): EOB-run aware."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huffdecode(r, act)
+        rr, s = rs >> 4, rs & 15
+        if s == 0:
+            if rr < 15:  # EOBn: run of 2^rr + ext bits, this block incl.
+                eobrun = (1 << rr) - 1
+                if rr:
+                    eobrun += r.bits(rr)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += rr
+        if k > se:
+            raise ValueError("AC run past spectral band end")
+        coef[zz[k]] = _extend(r.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_unit(r, coef, act, ss, se, al, eobrun, zz):
+    """AC refinement for one block (T.81 G.1.2.3): newly-significant
+    coefficients arrive as ±1<<Al; already-significant ones receive a
+    correction bit whenever the scan passes them."""
+    p1 = 1 << al
+    k = ss
+
+    def correct(z):
+        cv = int(coef[z])
+        if r.bit() and (cv & p1) == 0:
+            coef[z] = cv + (p1 if cv >= 0 else -p1)
+
+    if eobrun == 0:
+        while k <= se:
+            rs = _huffdecode(r, act)
+            rr, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if rr < 15:  # EOBn
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break
+                # ZRL: rr stays 15 → pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement size > 1")
+                val = p1 if r.bit() else -p1
+            while k <= se:
+                z = zz[k]
+                if coef[z] != 0:
+                    correct(z)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                coef[zz[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = zz[k]
+            if coef[z] != 0:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 class _BitWriter:
@@ -498,16 +770,20 @@ def _quant_table(quality: int):
     return np.clip(np.round(base), 1, 255).astype(np.int64)
 
 
-def encode_baseline(arr, quality: int = 92) -> bytes:
-    """Encode a numpy uint8 array — (h, w) grayscale or (h, w, 3) RGB —
-    as a baseline 4:4:4 SOF0 JPEG (see the codec banner above)."""
+def _quantized_blocks(arr, quality: int):
+    """Shared encoder front half: validate, color-convert, pad, DCT and
+    quantize. Returns ``(h, w, nc, q, qblocks)`` with one
+    zigzag-ordered (n_blocks, 64) int64 array per component in 4:4:4
+    block raster order — encode_baseline and encode_progressive consume
+    the SAME coefficients, so their decoded pixels are bit-identical
+    (test-pinned)."""
     import numpy as np
 
     a = np.asarray(arr)
     if a.dtype != np.uint8 or a.ndim not in (2, 3) or (
         a.ndim == 3 and a.shape[2] != 3
     ):
-        raise ValueError("encode_baseline wants uint8 (h, w) or (h, w, 3)")
+        raise ValueError("encoder wants uint8 (h, w) or (h, w, 3)")
     h, w = a.shape[:2]
     if not (0 < w < 65536 and 0 < h < 65536):
         raise ValueError(f"dims out of range: {w}x{h}")
@@ -520,15 +796,10 @@ def encode_baseline(arr, quality: int = 92) -> bytes:
             128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl,
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl,
         ]
-    nc = len(planes)
     q = _quant_table(quality)
-    (dc_counts, dc_vals, dc_enc), (ac_counts, ac_vals, ac_enc) = _enc_tables()
     C = _dct_matrix()
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    bw = _BitWriter()
     zz = np.asarray(_ZIGZAG)
-    preds = [0] * nc
-    # quantized blocks per component, in interleaved 4:4:4 MCU order
     qblocks = []
     for p in planes:
         padded = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
@@ -540,6 +811,34 @@ def encode_baseline(arr, quality: int = 92) -> bytes:
         dct = np.einsum("ux,nxy,vy->nuv", C, blk, C)
         qb = np.round(dct / q[None, :, :]).astype(np.int64)
         qblocks.append(qb.reshape(-1, 64)[:, zz])  # zigzag-ordered rows
+    return h, w, len(planes), q, qblocks
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _header_segments(h, w, nc, q, sof_marker: int) -> bytes:
+    """DQT + SOFn for the shared 4:4:4 8-bit encoder frame."""
+    import numpy as np
+
+    zz = np.asarray(_ZIGZAG)
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q.reshape(-1)[zz]))
+    sof = _seg(
+        sof_marker,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([nc]) + b"".join(bytes([c + 1, 0x11, 0]) for c in range(nc)),
+    )
+    return dqt + sof
+
+
+def encode_baseline(arr, quality: int = 92) -> bytes:
+    """Encode a numpy uint8 array — (h, w) grayscale or (h, w, 3) RGB —
+    as a baseline 4:4:4 SOF0 JPEG (see the codec banner above)."""
+    h, w, nc, q, qblocks = _quantized_blocks(arr, quality)
+    (dc_counts, dc_vals, dc_enc), (ac_counts, ac_vals, ac_enc) = _enc_tables()
+    bw = _BitWriter()
+    preds = [0] * nc
     for bi in range(qblocks[0].shape[0]):
         for ci in range(nc):
             coef = qblocks[ci][bi]
@@ -569,37 +868,208 @@ def encode_baseline(arr, quality: int = 92) -> bytes:
                 code, length = ac_enc[0x00]  # EOB
                 bw.write(code, length)
     data = bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
-
-    dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q.reshape(-1)[zz]))
-    sof = seg(
-        0xC0,
-        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-        + bytes([nc]) + b"".join(bytes([c + 1, 0x11, 0]) for c in range(nc)),
-    )
-    dht = seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_vals) + seg(
+    dht = _seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_vals) + _seg(
         0xC4, bytes([0x10]) + bytes(ac_counts) + ac_vals
     )
-    sos = seg(
+    sos = _seg(
         0xDA,
         bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
         + bytes([0, 63, 0]),
     )
-    return b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
+    return (
+        b"\xff\xd8" + _header_segments(h, w, nc, q, 0xC0) + dht + sos
+        + data + b"\xff\xd9"
+    )
+
+
+def _enc_tables_progressive():
+    """Progressive AC table = the baseline 8-bit scheme plus the EOBn
+    symbols (r<<4, r=1..14) that code EOB runs (T.81 G.1.2.2): 176
+    symbols at 8 bits, Kraft 176/256 — still provably valid."""
+    dc, (_, _, _) = _enc_tables()
+    ac_syms = (
+        [0x00, 0xF0]
+        + [r << 4 for r in range(1, 15)]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    ac_counts = [0] * 7 + [len(ac_syms)] + [0] * 8
+    ac_vals = bytes(ac_syms)
+    enc = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(ac_counts[length - 1]):
+            enc[ac_vals[vi]] = (code, length)
+            vi += 1
+            code += 1
+        code <<= 1
+    return dc, (ac_counts, ac_vals, enc)
+
+
+def encode_progressive(arr, quality: int = 92) -> bytes:
+    """Encode a numpy uint8 array as a PROGRESSIVE 4:4:4 SOF2 JPEG
+    (r12 stretch): the same :func:`_quantized_blocks` coefficients as
+    :func:`encode_baseline` — decoded pixels are bit-identical,
+    test-pinned — split into a scan script that exercises every
+    progressive decode path:
+
+    1. DC first, interleaved, Al=1 (successive approximation)
+    2. DC refinement, Ah=1→Al=0 (one bit per block)
+    3. per component: AC first, Ss=1..63, Al=1 (EOB-run coding)
+    4. per component: AC refinement, Ah=1→Al=0 (correction bits,
+       T.81 G.1.2.3 — the encoder mirror of :func:`_ac_refine_unit`)
+    """
+    h, w, nc, q, qblocks = _quantized_blocks(arr, quality)
+    (dc_counts, dc_vals, dc_enc), (ac_counts, ac_vals, ac_enc) = (
+        _enc_tables_progressive()
+    )
+    n_blocks = qblocks[0].shape[0]
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        return _seg(
+            0xDA,
+            bytes([len(comp_ids)])
+            + b"".join(bytes([cid, 0x00]) for cid in comp_ids)
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += _header_segments(h, w, nc, q, 0xC2)
+    out += _seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_vals)
+    out += _seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_vals)
+
+    # --- scan 1: DC first, interleaved, Al=1 -------------------------
+    bw = _BitWriter()
+    preds = [0] * nc
+    for bi in range(n_blocks):
+        for ci in range(nc):
+            v1 = int(qblocks[ci][bi][0]) >> 1  # arithmetic point transform
+            diff = v1 - preds[ci]
+            preds[ci] = v1
+            s = abs(diff).bit_length()
+            code, length = dc_enc[s]
+            bw.write(code, length)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 0, 1) + bw.flush()
+
+    # --- scan 2: DC refinement, Ah=1 Al=0 (bit 0 per block) ----------
+    bw = _BitWriter()
+    for bi in range(n_blocks):
+        for ci in range(nc):
+            bw.write(int(qblocks[ci][bi][0]) & 1, 1)
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 1, 0) + bw.flush()
+
+    # --- scans 3..: per-component AC first, Al=1 ---------------------
+    def flush_eobrun(bw, eobrun, be_bits):
+        if eobrun:
+            rb = eobrun.bit_length() - 1
+            code, length = ac_enc[rb << 4]
+            bw.write(code, length)
+            if rb:
+                bw.write(eobrun - (1 << rb), rb)
+            for bit in be_bits:
+                bw.write(bit, 1)
+            be_bits.clear()
+        return 0
+
+    for ci in range(nc):
+        bw = _BitWriter()
+        eobrun = 0
+        be: list[int] = []  # no correction bits exist in first scans
+        for bi in range(n_blocks):
+            coef = qblocks[ci][bi]
+            run = 0
+            emitted = False
+            for k in range(1, 64):
+                v = int(coef[k])
+                t = abs(v) >> 1
+                if t == 0:
+                    run += 1
+                    continue
+                eobrun = flush_eobrun(bw, eobrun, be)
+                while run > 15:
+                    code, length = ac_enc[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                s = t.bit_length()
+                code, length = ac_enc[(run << 4) | s]
+                bw.write(code, length)
+                tv = t if v > 0 else -t
+                bw.write(tv if tv >= 0 else tv + (1 << s) - 1, s)
+                run = 0
+                emitted = True
+            if run or not emitted:
+                eobrun += 1
+                if eobrun == 32767:
+                    eobrun = flush_eobrun(bw, eobrun, be)
+        flush_eobrun(bw, eobrun, be)
+        out += sos_header([ci + 1], 1, 63, 0, 1) + bw.flush()
+
+    # --- scans ..: per-component AC refinement, Ah=1 Al=0 ------------
+    for ci in range(nc):
+        bw = _BitWriter()
+        eobrun = 0
+        be = []  # correction bits riding with the pending EOB run
+        for bi in range(n_blocks):
+            coef = qblocks[ci][bi]
+            # last newly-significant index: ZRLs are only legal before it
+            k_eob = 0
+            for k in range(1, 64):
+                if abs(int(coef[k])) == 1:
+                    k_eob = k
+            run = 0
+            br: list[int] = []  # corrections since the last symbol
+            for k in range(1, 64):
+                v = int(coef[k])
+                m = abs(v)
+                if m == 0:
+                    run += 1
+                    continue
+                if k <= k_eob:
+                    while run > 15:
+                        eobrun = flush_eobrun(bw, eobrun, be)
+                        code, length = ac_enc[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                        for bit in br:
+                            bw.write(bit, 1)
+                        br = []
+                if m > 1:  # history-significant: correction bit
+                    br.append(m & 1)
+                    continue
+                # newly significant (|v| == 1)
+                eobrun = flush_eobrun(bw, eobrun, be)
+                code, length = ac_enc[(run << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if v > 0 else 0, 1)  # sign bit
+                for bit in br:
+                    bw.write(bit, 1)
+                br = []
+                run = 0
+            if run or br:  # tail folds into the EOB run
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 32767:
+                    eobrun = flush_eobrun(bw, eobrun, be)
+        flush_eobrun(bw, eobrun, be)
+        out += sos_header([ci + 1], 1, 63, 1, 0) + bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def jpeg_resize(b: bytes, max_side: int):
-    """Decode → aspect-preserving nearest-neighbor resample (shared
-    ``png.fit_dims`` integer math, never upscales) → deterministic
-    re-encode. Returns ``(src_w, src_h, w, h, jpeg_bytes)`` — the JPEG
-    twin of ``png.png_resize``."""
+    """Decode (baseline OR progressive, r12) → aspect-preserving
+    nearest-neighbor resample (shared ``png.fit_dims`` integer math,
+    never upscales) → deterministic baseline re-encode. Returns
+    ``(src_w, src_h, w, h, jpeg_bytes)`` — the JPEG twin of
+    ``png.png_resize``."""
     import numpy as np
 
     from rehiver_spark.functions.png import fit_dims
 
-    w, h, _nc, arr = decode_baseline(b)
+    w, h, _nc, arr = decode_jpeg(b)
     tw, th = fit_dims(w, h, max_side)
     ys = (np.arange(th) * h) // th
     xs = (np.arange(tw) * w) // tw

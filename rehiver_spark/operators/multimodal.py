@@ -268,11 +268,11 @@ def resize_media(df: DataFrame, max_side: int = 256, fake: bool = True) -> DataF
                         # neighbor resample → deterministic re-encode
                         w, h, tw, th, out = _png.png_resize(b, max_side)
                     elif _jpeg.is_jpeg(b):
-                        # lib-free baseline JPEG codec (functions/jpeg.py,
-                        # r11); anything outside the baseline tier
-                        # (progressive/12-bit/CMYK) raises ValueError —
-                        # fall through to Pillow when present, else
-                        # surface the codec's reason.
+                        # lib-free JPEG codec (functions/jpeg.py): baseline
+                        # since r11, progressive since r12; anything still
+                        # outside scope (12-bit/CMYK/arithmetic) raises
+                        # ValueError — fall through to Pillow when present,
+                        # else surface the codec's reason.
                         try:
                             w, h, tw, th, out = _jpeg.jpeg_resize(b, max_side)
                         except ValueError as codec_err:

@@ -1,16 +1,16 @@
 """JPEG real-decode tier (r5 verdict stretch item 8; r10 task 6; r11
-pixel codec).
+pixel codec; r12 progressive).
 
 Since round 10 JPEG METADATA (width/height from the SOF frame header)
 parses lib-free via functions/jpeg.py. Round 11 adds the lib-free
 BASELINE PIXEL codec (decode_baseline/encode_baseline — per-file
-Huffman/quant tables, numpy IDCT), so the whole pixel tier
-(decode → resample → re-encode) now runs everywhere with no Pillow
-gate: the fixture is Pillow-encoded when Pillow exists (cross-
-validating the decoder against a real codec) and encode_baseline
-otherwise — real pixels either way. Only the PROGRESSIVE fixture
-stays a header-only stub without Pillow (the codec is baseline-only
-by declared scope and raises an informative error on SOF2 scans).
+Huffman/quant tables, numpy IDCT). Round 12 adds full PROGRESSIVE
+decode (decode_jpeg: spectral selection + successive approximation,
+both refinement protocols) and encode_progressive, so the whole pixel
+tier — progressive included — runs everywhere with no Pillow gate:
+fixtures are Pillow-encoded when Pillow exists (cross-validating the
+decoder against a real codec) and encode_baseline/encode_progressive
+otherwise — real pixels either way.
 """
 
 import io
@@ -39,18 +39,14 @@ def _gradient(w: int, h: int):
 
 def _jpeg_bytes(w: int = 40, h: int = 24, progressive: bool = False) -> bytes:
     """A JPEG fixture with REAL pixels: Pillow-encoded when Pillow
-    exists, encode_baseline otherwise. Progressive without Pillow falls
-    back to the SOF header stub (metadata-only — our codec is
-    baseline-scope)."""
+    exists, encode_baseline/encode_progressive (r12: the progressive
+    fixture is real pixels lib-free too) otherwise."""
     Image = _pillow()
     if Image is None:
-        if progressive:
-            from rehiver_spark.functions.jpeg import minimal_jpeg
+        from rehiver_spark.functions.jpeg import encode_baseline, encode_progressive
 
-            return minimal_jpeg(w, h, progressive=True)
-        from rehiver_spark.functions.jpeg import encode_baseline
-
-        return encode_baseline(_gradient(w, h), quality=92)
+        enc = encode_progressive if progressive else encode_baseline
+        return enc(_gradient(w, h), quality=92)
     im = Image.fromarray(_gradient(w, h), "RGB")
     buf = io.BytesIO()
     im.save(buf, format="JPEG", quality=90, progressive=progressive)
@@ -240,27 +236,99 @@ def test_jpeg_truncated_dht_raises_value_error():
         decode_baseline(short_vals)
 
 
-def test_resize_media_progressive_jpeg_falls_through(spark):
-    """resize_media(fake=False) on a progressive JPEG: the lib-free
-    codec is baseline-scope, so the row must fall through to Pillow
-    when present (r11 advice — previously it error'd even with Pillow
-    installed); without Pillow the error column must carry the CODEC's
-    reason ('progressive...'), not an ImportError."""
+def test_resize_media_progressive_jpeg_lib_free(spark):
+    """resize_media(fake=False) on a progressive JPEG resizes LIB-FREE
+    since r12 (decode_jpeg handles SOF2); a truly out-of-scope stream
+    (header-only stub, no scan) still lands the CODEC's ValueError in
+    the error column — never an ImportError — with Pillow absent."""
+    from rehiver_spark.functions.jpeg import minimal_jpeg
     from rehiver_spark.operators.multimodal import resize_media
 
     payload = _jpeg_bytes(40, 24, progressive=True)
+    stub = minimal_jpeg(8, 8, progressive=True)  # header-only: no SOS
     df = spark.createDataFrame(
-        [(1, "image", bytearray(payload))],
+        [(1, "image", bytearray(payload)), (2, "image", bytearray(stub))],
         "media_id long, kind string, payload binary",
     )
-    [row] = resize_media(df, max_side=16, fake=False).collect()
-    if _pillow() is not None:
-        assert row["error"] is None
-        assert (row["src_width"], row["src_height"]) == (40, 24)
-        assert max(row["width"], row["height"]) <= 16
-    else:
-        # header-only stub fixture: decode stops at the missing scan,
-        # but the reason must be the codec's ValueError either way
-        assert row["error"] is not None
-        assert "ValueError" in row["error"]
-        assert "ImportError" not in row["error"]
+    rows = {
+        r["media_id"]: r
+        for r in resize_media(df, max_side=16, fake=False).collect()
+    }
+    assert rows[1]["error"] is None
+    assert (rows[1]["src_width"], rows[1]["src_height"]) == (40, 24)
+    assert max(rows[1]["width"], rows[1]["height"]) <= 16
+    if _pillow() is None:
+        assert rows[2]["error"] is not None
+        assert "ValueError" in rows[2]["error"]
+        assert "ImportError" not in rows[2]["error"]
+
+
+def test_progressive_codec_matches_baseline_pixels():
+    """encode_progressive shares encode_baseline's quantized
+    coefficients, so decode_jpeg on the progressive stream must be
+    BIT-IDENTICAL to decode_baseline on the baseline stream — the
+    strongest lib-free pin on all four progressive scan paths (DC/AC
+    first + both refinements). Includes a flat image (long EOB runs in
+    both AC scans) and odd non-multiple-of-8 dims."""
+    import numpy as np
+
+    from rehiver_spark.functions.jpeg import (
+        decode_baseline,
+        decode_jpeg,
+        encode_baseline,
+        encode_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    fixtures = [
+        _gradient(40, 24),                                      # RGB, smooth
+        rng.integers(0, 256, size=(13, 7), dtype=np.uint8),     # gray, odd
+        np.full((32, 48, 3), 77, dtype=np.uint8),               # flat: EOB runs
+        rng.integers(0, 256, size=(17, 33, 3), dtype=np.uint8), # dense, odd
+    ]
+    for img in fixtures:
+        for q in (100, 92, 60):
+            pw, ph, pnc, pout = decode_jpeg(encode_progressive(img, quality=q))
+            bw, bh, bnc, bout = decode_baseline(encode_baseline(img, quality=q))
+            assert (pw, ph, pnc) == (bw, bh, bnc), (img.shape, q)
+            assert np.array_equal(pout, bout), (img.shape, q)
+
+
+def test_decode_baseline_still_rejects_progressive():
+    """The baseline-tier entrypoint keeps its contract (and error
+    message) — only decode_jpeg opts into SOF2."""
+    from rehiver_spark.functions.jpeg import (
+        decode_baseline,
+        encode_progressive,
+    )
+
+    b = encode_progressive(_gradient(16, 16), quality=92)
+    with pytest.raises(ValueError, match="progressive"):
+        decode_baseline(b)
+
+
+def test_progressive_cross_validates_against_pillow():
+    """Wherever Pillow exists: decode_jpeg must read libjpeg's standard
+    progressive scan script (spectral selection + successive
+    approximation with Al up to 2) within codec tolerance, and Pillow
+    must read encode_progressive's output back pixel-close."""
+    import numpy as np
+
+    Image = _pillow()
+    if Image is None:
+        pytest.skip("Pillow absent: cross-validation runs where it exists")
+    from rehiver_spark.functions.jpeg import decode_jpeg, encode_progressive
+
+    img = _gradient(40, 24)
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGB").save(
+        buf, format="JPEG", quality=95, progressive=True, subsampling=0
+    )
+    w, h, nc, out = decode_jpeg(buf.getvalue())
+    ref = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    assert (w, h, nc) == (40, 24, 3)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 24
+    # and the other direction
+    mine = encode_progressive(img, quality=100)
+    ref2 = np.asarray(Image.open(io.BytesIO(mine)).convert("RGB"))
+    assert np.abs(ref2.astype(int) - img.astype(int)).max() <= 4

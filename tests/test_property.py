@@ -549,6 +549,37 @@ def test_jpeg_codec_roundtrip_property(w, h, gray, seed):
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
 
 
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.booleans(),
+    st.sampled_from([100, 92, 60]),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_progressive_equals_baseline_property(w, h, gray, q, seed):
+    """encode_progressive shares encode_baseline's quantized
+    coefficients, so decode_jpeg(progressive) must be BIT-IDENTICAL to
+    decode_baseline(baseline) for arbitrary dims, both color modes and
+    every quality — pinning all four progressive scan paths (r12)."""
+    import numpy as np
+
+    from rehiver_spark.functions.jpeg import (
+        decode_baseline,
+        decode_jpeg,
+        encode_baseline,
+        encode_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    p = decode_jpeg(encode_progressive(img, quality=q))
+    b = decode_baseline(encode_baseline(img, quality=q))
+    assert p[:3] == b[:3]
+    assert np.array_equal(p[3], b[3])
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.integers(0, 1 << 40), st.integers(0, 7), st.sampled_from([60, 64]))
 def test_adaptive_match_blocks_properties(n, h, sig_bits):
