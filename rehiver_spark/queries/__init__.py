@@ -61,7 +61,7 @@ def query(name: str, oracle: str | None = None):
 #   3. brand-new queries enter the window of the round that adds them;
 #   4. remaining slots fill with the oldest-evidence names first.
 #
-# Round-11 window under that policy (history: r2-r3 recorded r/c; r4
+# Round-12 window under that policy (history: r2-r3 recorded r/c; r4
 # rotated x/e in; r5 rotated the 44 displaced r/c back + x40 + 5
 # touched; r6 recorded the 19 never-recorded r5 additions + x57b + 30
 # r4-stale; r7 recorded the 15 r4-stale + x22b + 2 touched + 6
@@ -69,26 +69,38 @@ def query(name: str, oracle: str | None = None):
 # r5-stale + x25 + x57c + 5 touched + 26 r6-row holders; r9 recorded
 # the committed 21 sketch/stream/BPE names + 6 touched + mm_* + the
 # full r-surface; r10 recorded its committed 20 + 7 touched + the
-# c5-c18 block + x1-x5 + x10/x11):
-#   - the committed 24 (pre-declared in round 10 as _R11_COMMITTED):
-#     the r8-row holders whose evidence turns 3 rounds old here
-#     (rule 1) — FIRST;
-#   - new this round (rule 3): c17d2_stream_join_linear (the linear
-#     key-regime twin of c17d);
-#   - touched this round (rule 2): x17 + x29 (connected_components
-#     NULL-id filter + byte-aware driver cap, r10 advice), x9 + x9p
-#     (expr-path histogram unpersist, r10 advice), x8 (the r10
-#     hamming-budget pre-filter 51ffc7d landed after the r10 window
-#     was recorded, plus any r11 simhash tuning);
-#   - 20 of the r9-row holders (rule 4 — oldest evidence first,
-#     families contiguous): x21f/x37/x38, x22b, and the full
-#     x41-x57 sketch/stream/BPE-stats block.
+# c5-c18 block + x1-x5 + x10/x11; r11 recorded its committed 24 +
+# c17d2 + 5 touched + the x41-x57 sketch/stream/BPE block):
+#   - the committed 21 (pre-declared in round 11 as _R12_COMMITTED):
+#     the mm_* trio + full r-surface, whose r9 rows turn 3 rounds old
+#     here (rule 1) — FIRST;
+#   - touched this round (rule 2): x7/x7p/x29/x34 (the relational→
+#     Column JVM minhash signature swap + the est-Jaccard verify
+#     pre-filter) and c17e (natural-width staging + size-dialed
+#     broadcast);
+#   - 24 of the 47 r10-row holders (rule 4 — oldest evidence first,
+#     families contiguous): the full x/mm set (x1-x6b, x10/x11, x14,
+#     x18, x22, x30, x35, x46/x46b, mm_decode) + the c17 streaming
+#     family + c18b.
 # OUTSIDE the window and why that is safe: every name not listed has
-# an r9 or r10 driver row on code untouched since — the r10 window's
-# c-block/x1-x5/x10/x11/x6-x8/x14/x18/x22/x30/x34/x35/x46/x46b/
-# mm_decode hold fresh r10 rows; the mm_* trio and the r-surface hold
-# r9 rows and are the committed r12 window under rule 1.
-_R12_COMMITTED = (
+# an r10 or r11 driver row on code untouched since — the r11 window's
+# 50 names hold fresh r11 rows; the 20 leftover r10-row holders (the
+# core relational c-block) are the committed r13 window under rule 1
+# (_R13_COMMITTED below).
+_R13_COMMITTED = (
+    # the 20 r10-row holders the r12 rotation could not fit (the core
+    # relational c-block, one contiguous family) — they MUST enter the
+    # r13 window under rule 1
+    "c1_projection", "c2_filter", "c3_join", "c4_range_join",
+    "c5_asof_join", "c6_agg", "c6b_percentile", "c7_rollup", "c7b_cube",
+    "c8_window", "c9_topk", "c10_setops", "c10b_except_all",
+    "c11_string", "c12_datetime", "c13_math", "c14_array", "c15_json",
+    "c16_dedup", "c18_pandas_udf",
+)
+_DRIVER_WINDOW = (
+    # the committed r12 window (rule 1: the mm_* trio + full r-surface
+    # held the last r9 rows; pre-declared last round as _R12_COMMITTED)
+    # — FIRST
     "mm_resize", "mm_features", "mm_frame_plan",
     "r1_glob_match", "r2_glob_filter", "r3_path_capture",
     "r4_partition_parse", "r5_partition_format", "r6_partition_prune",
@@ -96,63 +108,41 @@ _R12_COMMITTED = (
     "r9_time_range_paths", "r10_detect_changes", "r11_changes_filter",
     "r12_snapshot_commit", "r13_s3key_codec", "r14_valid_bucket_name",
     "r15_content_type", "r16_object_catalog", "r17_stream_process",
-)
-_DRIVER_WINDOW = (
-    # the committed r11 window (rule 1: r8 rows turned 3 rounds old;
-    # pre-declared last round as _R11_COMMITTED) — FIRST
-    "x6c_portable_sample",
+    # touched this round (rule 2): the relational→Column minhash
+    # signature swap + est-gate (x7/x7p/x29/x34) and the c17e
+    # stream-static scale fix
+    "x7_minhash_pairs",
     "x7p_minhash_lsh",
-    "x8p_simhash",
-    "x12_redact_pii",
-    "x13_stratified_sample",
-    "x15_contamination",
-    "x16_repetition",
-    "x19_pipeline",
-    "x20_training_mix",
-    "x21_winnow_contamination",
-    "x23_span_dedup",
-    "x24_url_dedup",
-    "x25_charlm_quality",
-    "x26_quantize_int8",
-    "x27_line_dedup",
-    "x28_incremental_dedup",
-    "x31_semantic_decontamination",
-    "x32_corpus_report",
-    "x33_quality_select",
-    "x36_vocab_topk",
-    "x39_hybrid_search",
-    "x40_source_overlap",
-    "x57b_substring_dedup_pruned",
-    "x57c_substring_dedup_auto",
-    # new this round (rule 3)
-    "c17d2_stream_join_linear",
-    # touched this round (rule 2)
-    "x17_dedup_clusters",
     "x29_fuzzy_dedup",
-    "x9_lsh_cosine_neardup",
-    "x9p_lsh_cosine",
-    "x8_simhash_pairs",
-    # r9-row holders, oldest evidence first (rule 4)
-    "x21f_winnow_fast",
-    "x37_chunk_reassembly",
-    "x38_corpus_drift",
-    "x22b_semdedup_scaled",
-    "x41_count_min",
-    "x42_hll_distinct",
-    "x43_bloom_dedup",
-    "x44_stream_hll",
-    "x45_bpe_pairs",
-    "x47_hdr_quantiles",
-    "x48_weighted_sample",
-    "x49_dsir_scores",
-    "x50_jl_project",
-    "x51_kmeans",
-    "x52_stream_cm",
-    "x53_ann_recall",
-    "x54_pipeline_yield",
-    "x55_sketch_filter",
-    "x56_stream_hdr",
-    "x57_substring_dedup",
+    "x34_incremental_neardup",
+    "c17e_stream_static_join",
+    # r10-row holders, oldest evidence first, families contiguous
+    # (rule 4): the full x/mm set + the c17 streaming family + c18b;
+    # the remaining 20 (the core c-block) are _R13_COMMITTED above
+    "x1_exact_dedup",
+    "x2_jaccard_pairs",
+    "x3_cosine_topk",
+    "x4_text_stats",
+    "x5_tf_idf",
+    "x6_approx",
+    "x6b_sampling",
+    "x10_ivf_topk",
+    "x11_chunking",
+    "x14_winnow_fingerprints",
+    "x18_sequence_packing",
+    "x22_semdedup",
+    "x30_zorder_layout",
+    "x35_epoch_shuffle",
+    "x46_bpe_learn",
+    "x46b_bpe_apply",
+    "mm_decode",
+    "c17_tumbling_window",
+    "c17_session_window",
+    "c17c_streaming_exec",
+    "c17d_stream_join",
+    "c17f_stream_dedup",
+    "c17g_sliding_window",
+    "c18b_python_udtf",
 )
 
 
@@ -161,10 +151,10 @@ def load_all() -> None:
 
     Import order alone does not control the driver window: after the
     imports, the registry is reordered to the explicit 50-name
-    ``_DRIVER_WINDOW`` (round-11 rotation under the standing policy —
+    ``_DRIVER_WINDOW`` (round-12 rotation under the standing policy —
     see the note above), with everything else after in import order.
-    Every query outside the window keeps its r9/r10 driver row on
-    untouched code (the leftover r9-row holders are the committed r12
+    Every query outside the window keeps its r10/r11 driver row on
+    untouched code (the leftover r10-row holders are the committed r13
     window), and all are re-verified locally by tools/check_oracle.py
     (the identical gate). Do not change ``_DRIVER_WINDOW`` without
     checking driver-window coverage (tests/test_engine.py pins it).

@@ -122,7 +122,7 @@ def test_driver_window_round11_rotation():
     from rehiver_spark.queries import (
         QUERIES,
         _DRIVER_WINDOW,
-        _R12_COMMITTED,
+        _R13_COMMITTED,
         load_all,
     )
 
@@ -130,52 +130,53 @@ def test_driver_window_round11_rotation():
     first50 = list(QUERIES)[:50]
     assert first50 == list(_DRIVER_WINDOW)
     assert len(first50) == 50 and len(set(first50)) == 50
-    # the round-10-committed r11 window (rule 1: r8 rows turned 3
-    # rounds old this round — MUST all be inside)
-    r11_committed = {
-        "x6c_portable_sample", "x7p_minhash_lsh", "x8p_simhash",
-        "x12_redact_pii", "x13_stratified_sample", "x15_contamination",
-        "x16_repetition", "x19_pipeline", "x20_training_mix",
-        "x21_winnow_contamination", "x23_span_dedup", "x24_url_dedup",
-        "x25_charlm_quality", "x26_quantize_int8", "x27_line_dedup",
-        "x28_incremental_dedup", "x31_semantic_decontamination",
-        "x32_corpus_report", "x33_quality_select", "x36_vocab_topk",
-        "x39_hybrid_search", "x40_source_overlap",
-        "x57b_substring_dedup_pruned", "x57c_substring_dedup_auto",
+    # the round-11-committed r12 window (rule 1: the mm_* trio + full
+    # r-surface held the last r9 rows — MUST all be inside)
+    r12_committed = {
+        "mm_resize", "mm_features", "mm_frame_plan",
+        "r1_glob_match", "r2_glob_filter", "r3_path_capture",
+        "r4_partition_parse", "r5_partition_format",
+        "r6_partition_prune", "r7_missing_keys",
+        "r8_time_partition_path", "r8b_time_path_tz",
+        "r9_time_range_paths", "r10_detect_changes",
+        "r11_changes_filter", "r12_snapshot_commit", "r13_s3key_codec",
+        "r14_valid_bucket_name", "r15_content_type",
+        "r16_object_catalog", "r17_stream_process",
     }
-    assert not r11_committed - set(first50)
-    # new (rule 3) + touched this round (rule 2): the c17d linear-key
-    # twin; connected_components NULL-id filter + byte-aware driver
-    # cap (x17/x29); LSH expr-path histogram unpersist (x9/x9p); the
-    # simhash hamming pre-filter landed post-window in r10 (x8)
+    assert not r12_committed - set(first50)
+    # touched this round (rule 2): the relational→Column JVM minhash
+    # signature swap + the est-Jaccard verify pre-filter (x7/x7p/x29/
+    # x34) and the c17e staging/broadcast scale fix
     assert {
-        "c17d2_stream_join_linear",
-        "x17_dedup_clusters", "x29_fuzzy_dedup",
-        "x9_lsh_cosine_neardup", "x9p_lsh_cosine", "x8_simhash_pairs",
+        "x7_minhash_pairs", "x7p_minhash_lsh", "x29_fuzzy_dedup",
+        "x34_incremental_neardup", "c17e_stream_static_join",
     } <= set(first50)
-    # EXACT outside set: the committed r12 window (r9 rows turning
-    # 3 rounds old there) + the r10-row holders on unchanged code
+    # EXACT outside set: the committed r13 window (the core c-block,
+    # r10 rows turning 3 rounds old there) + the r11-row holders on
+    # unchanged code (the r11 window minus the names rotated back in)
     outside = set(QUERIES) - set(first50)
-    has_r10_row = {
-        "x6_approx", "x6b_sampling", "x7_minhash_pairs",
-        "c1_projection", "c2_filter", "c3_join", "c4_range_join",
-        "x14_winnow_fingerprints", "x18_sequence_packing",
-        "x30_zorder_layout", "x35_epoch_shuffle", "c18b_python_udtf",
-        "c17g_sliding_window", "c17_tumbling_window",
-        "c17_session_window", "c17c_streaming_exec", "c17d_stream_join",
-        "c17e_stream_static_join", "c17f_stream_dedup",
-        "x46_bpe_learn", "x46b_bpe_apply", "x34_incremental_neardup",
-        "x22_semdedup", "mm_decode",
-        "c5_asof_join", "c6_agg", "c6b_percentile", "c7_rollup",
-        "c7b_cube", "c8_window", "c9_topk", "c10_setops",
-        "c10b_except_all", "c11_string", "c12_datetime", "c13_math",
-        "c14_array", "c15_json", "c16_dedup", "c18_pandas_udf",
-        "x1_exact_dedup", "x2_jaccard_pairs", "x3_cosine_topk",
-        "x4_text_stats", "x5_tf_idf", "x10_ivf_topk", "x11_chunking",
+    has_r11_row = {
+        "x6c_portable_sample", "x8p_simhash", "x12_redact_pii",
+        "x13_stratified_sample", "x15_contamination", "x16_repetition",
+        "x19_pipeline", "x20_training_mix", "x21_winnow_contamination",
+        "x23_span_dedup", "x24_url_dedup", "x25_charlm_quality",
+        "x26_quantize_int8", "x27_line_dedup", "x28_incremental_dedup",
+        "x31_semantic_decontamination", "x32_corpus_report",
+        "x33_quality_select", "x36_vocab_topk", "x39_hybrid_search",
+        "x40_source_overlap", "x57b_substring_dedup_pruned",
+        "x57c_substring_dedup_auto", "c17d2_stream_join_linear",
+        "x17_dedup_clusters", "x9_lsh_cosine_neardup", "x9p_lsh_cosine",
+        "x8_simhash_pairs", "x21f_winnow_fast", "x37_chunk_reassembly",
+        "x38_corpus_drift", "x22b_semdedup_scaled", "x41_count_min",
+        "x42_hll_distinct", "x43_bloom_dedup", "x44_stream_hll",
+        "x45_bpe_pairs", "x47_hdr_quantiles", "x48_weighted_sample",
+        "x49_dsir_scores", "x50_jl_project", "x51_kmeans",
+        "x52_stream_cm", "x53_ann_recall", "x54_pipeline_yield",
+        "x55_sketch_filter", "x56_stream_hdr", "x57_substring_dedup",
     }
-    assert outside == set(_R12_COMMITTED) | has_r10_row, (
+    assert outside == set(_R13_COMMITTED) | has_r11_row, (
         f"unclassified registrations: "
-        f"{sorted(outside ^ (set(_R12_COMMITTED) | has_r10_row))}"
+        f"{sorted(outside ^ (set(_R13_COMMITTED) | has_r11_row))}"
     )
 
 
