@@ -265,7 +265,14 @@ def _plane_buckets_udf(planes, input_dtype: str):
     48 of them over a 128-dim array make the analyzed plan big enough
     that optimizer passes alone cost seconds). Integer inputs make the
     matmul exact (int64), so portable-bucket parity with a SQL oracle
-    is preserved bit-for-bit.
+    is preserved bit-for-bit — and since r12 the int64 case still runs
+    through BLAS dgemm whenever exactness is provable: numpy has no
+    BLAS kernel for int64 (it falls back to a scalar loop, the r12 x9p
+    sf10 profile), but with ±1 planes every partial sum is an integer
+    bounded by dim·max|q|, and float64 represents (and adds) integers
+    exactly below 2^53 — so when the batch's bound clears 2^52 the
+    float64 matmul yields bit-identical signs at dgemm speed; the rare
+    unbounded batch keeps the exact int64 loop.
     """
     import numpy as np
     import pandas as pd
@@ -275,12 +282,16 @@ def _plane_buckets_udf(planes, input_dtype: str):
     n_tables, n_planes, dim = P.shape
     weights = 1 << np.arange(n_planes, dtype=np.int64)
     flat = np.ascontiguousarray(P.reshape(n_tables * n_planes, dim).T)
+    flat_f64 = np.ascontiguousarray(flat.astype(np.float64))
 
     def _buckets(s):
         if len(s) == 0:
             return pd.Series([], dtype=object)
         q = np.vstack(s.to_numpy()).astype(flat.dtype)
-        dots = q @ flat
+        if flat.dtype == np.int64 and int(np.abs(q).max(initial=0)) * dim < (1 << 52):
+            dots = q.astype(np.float64) @ flat_f64  # exact: see docstring
+        else:
+            dots = q @ flat
         bits = (dots > 0).reshape(len(q), n_tables, n_planes)
         bkts = (bits * weights).sum(axis=2, dtype=np.int64)
         return pd.Series(list(bkts))

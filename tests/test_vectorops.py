@@ -1070,3 +1070,48 @@ def test_jl_and_kmeans_tolerate_element_nulls(spark):
         assert rows[9005] is None, impl
     km = kmeans_quantized(df, dim=64, k=4, n_iter=2)
     assert sum(r["n_members"] for r in km.collect()) == 20
+
+
+def test_plane_buckets_int64_blas_path_bit_equal(spark):
+    """The r12 BLAS dispatch inside _plane_buckets_udf is exactness-
+    guarded: batches whose dim·max|q| clears 2^52 run the float64
+    dgemm, anything larger keeps the exact int64 loop — and BOTH must
+    reproduce the pure-Python sign computation bit-for-bit (huge
+    magnitudes near int64 range included)."""
+    import numpy as np
+
+    import rehiver_spark.operators.vectorops as vo
+    from rehiver_spark.functions.hashing import rademacher_planes
+
+    dim, n_planes = 8, 6
+    planes = [rademacher_planes(dim, n_planes, 42 + 1000 * t) for t in range(2)]
+    udf = vo._plane_buckets_udf(planes, input_dtype="int64")
+
+    rng = np.random.default_rng(3)
+    small = rng.integers(-20000, 20000, size=(50, dim), dtype=np.int64)
+    big = rng.integers(-(1 << 52), 1 << 52, size=(50, dim), dtype=np.int64)
+
+    def reference(q):
+        out = []
+        for row in q:
+            per_table = []
+            for tbl in planes:
+                b = 0
+                for p_i, plane in enumerate(tbl):
+                    d = sum(int(x) * w for x, w in zip(row, plane))
+                    if d > 0:
+                        b |= 1 << p_i
+                per_table.append(b)
+            out.append(per_table)
+        return out
+
+    for q in (small, big):
+        df = spark.createDataFrame(
+            [(i, [int(x) for x in row]) for i, row in enumerate(q)],
+            "vec_id bigint, q array<bigint>",
+        )
+        got = {
+            r["vec_id"]: list(r["b"]) for r in df.select("vec_id", udf("q").alias("b")).collect()
+        }
+        ref = reference(q)
+        assert [got[i] for i in range(len(q))] == ref
