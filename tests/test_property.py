@@ -669,3 +669,41 @@ def test_winnow_cascade_matches_python_reference(spark, texts, window):
         for j in range(n_windows):
             want.add((i, min(hs[j : j + window])))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=list("ab "), min_size=0, max_size=40),
+        min_size=2,
+        max_size=24,
+    ),
+    st.sampled_from([0.5, 0.7, 0.8]),
+    st.sampled_from([0.15, 0.25]),
+)
+def test_minhash_est_gate_subset_property(spark, texts, threshold, margin):
+    """The r12 estimate pre-filter is a SUBSET dial on arbitrary
+    corpora, thresholds and margins: gated pairs ⊆ ungated pairs, and
+    every surviving pair is a true above-threshold pair (both already
+    ⊆ exact by the verify stage — this pins the gate can only ever
+    REMOVE candidates, never corrupt scores, on adversarial tiny/dup/
+    empty-text inputs hypothesis loves)."""
+    from rehiver_spark.operators.dedup import minhash_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+    def pairs(m):
+        return {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in minhash_neardup_pairs(
+                df, threshold=threshold, hash_fn="md5", est_gate_margin=m
+            ).collect()
+        }
+
+    ungated = pairs(None)
+    gated = pairs(margin)
+    assert set(gated) <= set(ungated)
+    for k, v in gated.items():
+        assert v == ungated[k] and v >= threshold
