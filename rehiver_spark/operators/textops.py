@@ -1975,48 +1975,45 @@ def dedup_substrings_auto(
     text_col: str = "text",
     window_tokens: int = 20,
     min_run: int = 40,
-    density_cutoff: float = 0.2,
+    density_cutoff: float | None = None,
     impl: str = "arrow",
 ) -> DataFrame:
-    """Auto-dial between :func:`dedup_substrings` (exact) and
-    :func:`dedup_substrings_pruned` (r6 verdict task 3): the pruned
-    knob's operating curve shows it WINS at sparse duplication
-    (sf0.1: 9% candidate docs → 2.5× less stage-REST shuffle) and
-    LOSES when candidates are dense (sf1: 32% candidates → slower
-    than exact — nearly every doc goes through the exact pipeline
-    anyway, plus the winnow pass on top).
+    """Dial between :func:`dedup_substrings` (exact) and
+    :func:`dedup_substrings_pruned` (r6 verdict task 3).
 
-    The probe is EXACT and nearly free: candidate density is computed
-    from the pruned form's own stage 1 (winnow fingerprints → docs
-    holding a ≥2-site fingerprint), so when the decision is "pruned"
-    the probe work is fully reused — zero overhead beyond two count
-    jobs on persisted relations. When the decision is "exact" the
-    sunk cost is one map-side winnow pass plus a fingerprint-sized
-    (~2/(w+1) density) shuffle — small next to the exact form's two
-    corpus-token shuffles, and bounded regardless of which branch is
-    worse. The measured envelope (BASELINE.md round-7 row): auto is
-    within 10% of the WORSE branch at both sf0.1 and sf1 (the gate;
-    vs the better branch it reads 1.28× at sf0.1 and 1.09× at sf1 —
-    the probe is not free, it is bounded).
+    ``density_cutoff=None`` (the default since r12) short-circuits to
+    the EXACT branch with NO probe. The r6-era operating curve
+    ("pruned wins at 9% candidate density") was re-measured on the
+    r12 tree and the pruned branch is now DOMINATED at every operating
+    point — real fixture sf0.1 8.6% density: exact 2.34 s vs pruned
+    4.01 s; real sf10 31%: 13.64 vs 18.63; synthetic short-doc 500k
+    corpus at 1/5/15% planted density: 7.3 vs 8.5-10.7; synthetic
+    long-doc (400-token) corpus at 1/8%: 20.8 vs 24.5-25.7 (receipts
+    in BASELINE.md §Round 12). The r11 winnow zip_with/least cascade
+    sped the fingerprint SELECTION, but the pruned pipeline still pays
+    the full winnow pass (~2/3 of the exact pass's total cost at sf10)
+    before restricting anything — the restriction never earns it back.
+    Choose :func:`dedup_substrings_pruned` explicitly when you want
+    its RELAXED contract (only runs ≥ ``min_run`` removed), not for
+    speed.
 
-    ``density_cutoff`` defaults to 0.2 — between the measured 9%-wins
-    and 32%-loses operating points. The decision is logged
-    (``rehiver_spark.operators.textops`` logger, INFO).
-
-    Semantics follow the chosen branch: exact when density >
-    ``density_cutoff`` (the coarser guarantee would buy nothing),
-    pruned's ≥``min_run`` guarantee otherwise — crossover and
-    branch-equivalence are property-tested in tests/test_textops.py.
-
-    NOTE: unlike every other operator in this module, this call is
-    EAGER — the density probe runs two count() jobs (src rows,
-    candidate docs) before returning the still-lazy result plan.
-    When the exact branch wins, the probe's persisted stage-1
-    relations have no remaining consumer and are unpersisted here
-    immediately (not left to the session high-water eviction).
+    A numeric ``density_cutoff`` keeps the legacy measured dial:
+    candidate density is computed from the pruned form's own stage 1
+    (winnow fingerprints → docs holding a ≥2-site fingerprint), fully
+    reused when the decision is "pruned"; the decision is logged
+    (``rehiver_spark.operators.textops`` logger, INFO) and the legacy
+    path stays EAGER (two count() jobs before the lazy plan returns).
+    Semantics follow the chosen branch; forced-branch equivalence is
+    property-tested in tests/test_property.py.
     """
     import logging
 
+    if density_cutoff is None:
+        logging.getLogger(__name__).info(
+            "dedup_substrings_auto: exact branch (r12 default — pruned "
+            "measured dominated at every operating point, no probe run)"
+        )
+        return dedup_substrings(df, id_col, text_col, window_tokens)
     src, base, cand_docs, fp_occ = _winnow_candidates(
         df, id_col, text_col, window_tokens, min_run, impl
     )

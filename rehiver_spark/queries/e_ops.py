@@ -2222,60 +2222,31 @@ def x57b_substring_dedup_pruned(spark, sf_dir):
 
 
 def _x57c_sql() -> str:
-    """Oracle twin of the substring-dedup AUTO-DIAL: DuckDB recomputes
-    the dial's exact probe (winnow fingerprint candidate density from
-    the pruned form's own stage 1) and CASE-dispatches between the
-    EXISTING x57 and x57b bodies on the same 0.2 cutoff — the decision
-    is deterministic at a fixed corpus, so the twin is exact. The
-    density CTE mirrors fps/dupfp/cand from :func:`_x57b_sql` (names
-    prefixed d_ to avoid shadowing the branch subqueries' own CTEs);
-    n_docs is ALL document rows (src.count() in the operator counts
-    null-text rows too)."""
-    from rehiver_spark.functions.hashing import md5_hash60_sql
-
-    L, R = _SSD_L, _SSD_R
-    w = R - L + 1
-    h = md5_hash60_sql(f"array_to_string(t[i:i+{L - 1}], ' ')")
-    win = f"h[i:i+{w - 1}]"
-    return f"""
-    WITH d_base AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-    d_harr AS (
-      SELECT doc_id,
-        CASE WHEN len(t) >= {L}
-          THEN list_transform(range(1, len(t) - {L} + 2), i -> {h})
-          ELSE []::BIGINT[] END AS h
-      FROM d_base
-    ),
-    d_fps AS (
-      SELECT DISTINCT doc_id,
-        i + list_position({win}, list_min({win})) - 1 AS pos,
-        list_min({win}) AS fp
-      FROM d_harr, unnest(range(1, greatest(len(h) - {w} + 1, 1) + 1)) AS u(i)
-      WHERE len(h) > 0
-    ),
-    d_dup AS (SELECT fp FROM d_fps GROUP BY fp HAVING count(*) >= 2),
-    d_cand AS (
-      SELECT DISTINCT doc_id FROM d_fps WHERE fp IN (SELECT fp FROM d_dup)
-    ),
-    d_dens AS (
-      SELECT (SELECT count(*) FROM d_cand)::DOUBLE
-           / (SELECT count(*) FROM documents) AS dens
-    )
-    SELECT * FROM ({_x57_sql()}) WHERE (SELECT dens FROM d_dens) > 0.2
-    UNION ALL
-    SELECT * FROM ({_x57b_sql()}) WHERE (SELECT dens FROM d_dens) <= 0.2
-    """
+    """Oracle twin of the substring-dedup dial's r12 DEFAULT: the
+    exact branch, short-circuited with no probe. The r6-era density
+    dispatch was re-measured on the r12 tree and the pruned branch is
+    dominated at every operating point (BASELINE.md §Round 12), so
+    ``dedup_substrings_auto``'s default emits exactly the x57 body —
+    this oracle pins that short-circuit end-to-end; the legacy numeric
+    dial (probe + CASE dispatch) stays covered by the forced-branch
+    property tests and the crossover unit test."""
+    return _x57_sql()
 
 
 @query("x57c_substring_dedup_auto", _x57c_sql())
 def x57c_substring_dedup_auto(spark, sf_dir):
-    """X57auto as a declared query (r7 verdict task 2): the density
-    auto-dial between X57's exact stride-1 substring dedup and X57b's
-    winnow-pruned form. The probe is exact and reused when pruned wins
-    (see dedup_substrings_auto); semantics follow the chosen branch,
-    and the oracle twin re-derives the SAME dispatch in SQL, so the
-    hash certifies probe + both branch bodies end-to-end. Reference
-    parity: the pick-the-cheap-path-automatically pattern of
+    """X57auto as a declared query (r7 verdict task 2; re-dialed r12):
+    the dial between X57's exact stride-1 substring dedup and X57b's
+    winnow-pruned form. Since r12 the DEFAULT short-circuits to the
+    exact branch with no probe — the pruned branch measured dominated
+    at every operating point on the current tree (sf0.1 8.6% density:
+    2.34 vs 4.01 s; sf10 31%: 13.6 vs 18.6 s; synthetic 1-15%
+    short/long-doc corpora all the same way — receipts in BASELINE.md
+    §Round 12), so the probe would be pure overhead (~2/3 of the exact
+    pass at sf10). This query pins the short-circuit: auto's default
+    output must hash-match the exact body. A numeric density_cutoff
+    keeps the legacy measured dial (property- and unit-tested).
+    Reference parity: the pick-the-cheap-path-automatically pattern of
     findMatchingObjects (src/index.ts:1237-1366)."""
     from rehiver_spark.operators.textops import dedup_substrings_auto
 

@@ -886,8 +886,9 @@ def test_dedup_substrings_pruned_arrow_handles_string_ids(spark):
 
 
 def test_dedup_substrings_auto_crossover_decisions(spark, caplog):
-    """The auto-dial's decision logic on the two regimes it was built
-    for (r6 verdict task 3): sparse duplication → pruned branch (and
+    """The LEGACY numeric dial's decision logic on the two regimes it
+    was built for (r6 verdict task 3; since r12 reached only via an
+    explicit density_cutoff): sparse duplication → pruned branch (and
     on a corpus whose only duplication is SHORTER than min_run, that
     choice is visible in the output — the short dup survives, where
     exact would cut it); dense duplication → exact branch (logged),
@@ -916,7 +917,7 @@ def test_dedup_substrings_auto_crossover_decisions(spark, caplog):
         got = {
             r["doc_id"]: r["n_tokens_after"]
             for r in dedup_substrings_auto(
-                sparse, window_tokens=L, min_run=R
+                sparse, window_tokens=L, min_run=R, density_cutoff=0.2
             ).collect()
         }
         assert "-> pruned branch" in caplog.text
@@ -939,20 +940,37 @@ def test_dedup_substrings_auto_crossover_decisions(spark, caplog):
     )
     with caplog.at_level(logging.INFO, "rehiver_spark.operators.textops"):
         caplog.clear()
-        out = dedup_substrings_auto(dense, window_tokens=L, min_run=R)
+        out = dedup_substrings_auto(
+            dense, window_tokens=L, min_run=R, density_cutoff=0.2
+        )
         rows = {r["doc_id"]: r["n_tokens_after"] for r in out.collect()}
         assert "-> exact branch" in caplog.text  # density 3/4 > 0.2
     assert rows == {
         r["doc_id"]: r["n_tokens_after"]
         for r in dedup_substrings(dense, window_tokens=L).collect()
     }
+    # r12 default (density_cutoff=None): short-circuits to exact with
+    # NO probe — identical output to the exact form on BOTH corpora,
+    # including the sparse one where the legacy dial picks pruned
+    with caplog.at_level(logging.INFO, "rehiver_spark.operators.textops"):
+        caplog.clear()
+        short = {
+            r["doc_id"]: r["n_tokens_after"]
+            for r in dedup_substrings_auto(
+                sparse, window_tokens=L, min_run=R
+            ).collect()
+        }
+        assert "no probe run" in caplog.text
+    assert short == exact  # the default follows exact semantics now
 
 
 def test_x57c_query_matches_dispatched_branch(spark, caplog):
-    """The REGISTERED auto-dial query (x57c, round 8) must emit exactly
-    what the branch it dispatched to emits — the forced-branch
-    equivalence tests above, extended to the query shape the driver
-    actually runs (same L/R constants, same sha16 projection)."""
+    """The REGISTERED auto-dial query (x57c, round 8; re-dialed r12)
+    must emit exactly what the exact branch emits — since r12 the
+    default short-circuits to exact with no probe (the pruned branch
+    measured dominated at every operating point), so the query is
+    pinned against x57's output at the query shape the driver actually
+    runs (same L/R constants, same sha16 projection)."""
     import logging
 
     from rehiver_spark.queries import QUERIES, load_all
@@ -965,13 +983,8 @@ def test_x57c_query_matches_dispatched_branch(spark, caplog):
             map(tuple, QUERIES["x57c_substring_dedup_auto"](spark, sf).collect())
         )
         assert "dedup_substrings_auto" in caplog.text
-        branch = "exact" if "-> exact branch" in caplog.text else "pruned"
-    ref = (
-        "x57_substring_dedup"
-        if branch == "exact"
-        else "x57b_substring_dedup_pruned"
-    )
-    want = sorted(map(tuple, QUERIES[ref](spark, sf).collect()))
+        assert "no probe run" in caplog.text  # the r12 short-circuit
+    want = sorted(map(tuple, QUERIES["x57_substring_dedup"](spark, sf).collect()))
     assert got == want
 
 
