@@ -90,7 +90,10 @@ def query(name: str, oracle: str | None = None):
 _R13_COMMITTED = (
     # the 20 r10-row holders the r12 rotation could not fit (the core
     # relational c-block, one contiguous family) — they MUST enter the
-    # r13 window under rule 1
+    # r13 window under rule 1. ALSO committed to r13 under rule 2
+    # (touched in r12 AFTER this window was recorded): x57c (the dial
+    # re-default, f51d314), x9 + x9p (the exactness-guarded BLAS
+    # dispatch in _plane_buckets_udf, ff42aa0)
     "c1_projection", "c2_filter", "c3_join", "c4_range_join",
     "c5_asof_join", "c6_agg", "c6b_percentile", "c7_rollup", "c7b_cube",
     "c8_window", "c9_topk", "c10_setops", "c10b_except_all",
