@@ -363,6 +363,7 @@ def decode_jpeg(b: bytes, allow_progressive: bool = True):
             ah, al = ahal >> 4, ahal & 15
             if pstate is None:
                 pstate = _ProgressiveState(frame)
+            pstate.snapshot_qt(frame, scan, qt)
             i = _progressive_scan(
                 b, end, frame, scan, ss, se, ah, al,
                 huff_dc, huff_ac, dri, pstate,
@@ -370,7 +371,10 @@ def decode_jpeg(b: bytes, allow_progressive: bool = True):
             continue  # i already points at the terminating marker
         i += seglen
     if progressive and pstate is not None:
-        return _reconstruct(frame, pstate.blocks, qt, pstate.mcux, pstate.mcuy)
+        # scan-time snapshots win over later DQT segments (see snapshot_qt)
+        return _reconstruct(
+            frame, pstate.blocks, {**qt, **pstate.qt_snap}, pstate.mcux, pstate.mcuy
+        )
     raise ValueError("no SOS scan found")
 
 
@@ -480,7 +484,7 @@ class _ProgressiveState:
     coefficient store per component (same layout as the baseline
     path's) plus the MCU grid dims."""
 
-    __slots__ = ("blocks", "mcux", "mcuy", "hmax", "vmax")
+    __slots__ = ("blocks", "mcux", "mcuy", "hmax", "vmax", "qt_snap")
 
     def __init__(self, frame):
         import numpy as np
@@ -494,6 +498,28 @@ class _ProgressiveState:
             np.zeros((self.mcuy * c[2] * self.mcux * c[1], 8, 8), dtype=np.int64)
             for c in comps
         ]
+        # quant tables as of each table's FIRST scan use (T.81: tables
+        # in effect at scan time govern; we dequantize once at EOI, so
+        # snapshot here and reject mid-stream redefinitions — r12 ADVICE)
+        self.qt_snap: dict[int, "np.ndarray"] = {}
+
+    def snapshot_qt(self, frame, scan, qt):
+        import numpy as np
+
+        for ci, _tdc, _tac in scan:
+            tq = frame[3][ci][3]
+            if tq not in qt:
+                continue  # missing table surfaces at reconstruct time
+            if tq in self.qt_snap:
+                if not np.array_equal(self.qt_snap[tq], qt[tq]):
+                    raise ValueError(
+                        f"DQT {tq} redefined between progressive scans — "
+                        "dequantization happens once at EOI, so per-scan "
+                        "table changes are not supported (T.81 scan-time "
+                        "tables govern)"
+                    )
+            else:
+                self.qt_snap[tq] = qt[tq].copy()
 
 
 def _comp_block_dims(frame, ci, pstate):

@@ -37,6 +37,8 @@ data being deduped.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -579,7 +581,7 @@ def minhash_neardup_pairs(
     bands: int = 8,
     seed: int = 42,
     hash_fn: str = "xxhash64",
-    est_gate_margin: float | None = 0.25,
+    est_gate_margin: float | str | None = "auto",
 ) -> DataFrame:
     """LSH-blocked, exact-verified near-dup pairs: generate candidates by
     MinHash banding, then compute TRUE Jaccard on candidates only and
@@ -595,13 +597,26 @@ def minhash_neardup_pairs(
     two narrow sig joins and saves the per-pair ``array_intersect``
     for the banding false positives (bands=8/r=4 collides ~40% of
     J=0.5 pairs that the exact filter then discards). The margin is a
-    RECALL dial layered on the existing (num_hashes, bands) one: with
-    32 hashes the estimator's sd at J=0.8 is ~0.071, so 0.25 ≈ 3.5σ —
-    and the gate is deterministic given the sketch, so a portable-md5
-    oracle reproduces it exactly (x7p/x29 embed the same gate in SQL).
+    RECALL dial layered on the existing (num_hashes, bands) one, and it
+    DEPENDS ON ``num_hashes``: the estimator's sd at the threshold is
+    ~sqrt(t(1-t)/num_hashes) (binomial on matching components), so a
+    fixed margin that is 3.5σ at 32 hashes is only ~2.5σ at 16. The
+    default ``"auto"`` therefore scales: margin =
+    3.5·sqrt(threshold·(1-threshold)/num_hashes) — 0.2475 at the
+    (t=0.8, n=32) defaults. Because the estimate is always a multiple
+    of 1/num_hashes, the auto gate at those defaults admits exactly the
+    same signature-match counts as the r12 fixed 0.25 (both cut between
+    17/32 and 18/32), so the committed oracles' literal ``>= 0.55``
+    remains the bit-exact twin (pinned in tests/test_dedup.py). The
+    gate is deterministic given the sketch, so a portable-md5 oracle
+    reproduces it exactly (x7p/x29 embed the same gate in SQL).
     ``None`` disables the gate (bit-identical pair set whenever no true
     pair estimates below the margin — pinned on the driver testdata).
     """
+    if est_gate_margin == "auto":
+        est_gate_margin = 3.5 * math.sqrt(threshold * (1.0 - threshold) / num_hashes)
+    elif isinstance(est_gate_margin, str):
+        raise ValueError(f"est_gate_margin must be a float, None or 'auto', got {est_gate_margin!r}")
     sh = track_persist(
         ensure_parallelism(df).select(
             F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
@@ -1171,7 +1186,7 @@ def fuzzy_dedup(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     keep: str = "min_id",
-    est_gate_margin: float | None = 0.25,
+    est_gate_margin: float | str | None = "auto",
 ) -> DataFrame:
     """One-call fuzzy-dedup pipeline over a corpus — the composition a
     training-data run actually executes (NeMo-Curator-style):

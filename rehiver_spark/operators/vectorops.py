@@ -288,8 +288,21 @@ def _plane_buckets_udf(planes, input_dtype: str):
         if len(s) == 0:
             return pd.Series([], dtype=object)
         q = np.vstack(s.to_numpy()).astype(flat.dtype)
-        if flat.dtype == np.int64 and int(np.abs(q).max(initial=0)) * dim < (1 << 52):
-            dots = q.astype(np.float64) @ flat_f64  # exact: see docstring
+        if flat.dtype == np.int64:
+            # raw extremes, not abs(): np.abs(INT64_MIN) wraps negative
+            # and would sneak past both guards (ADVICE r12)
+            bound = max(int(q.max(initial=0)), -int(q.min(initial=0)))
+            if bound * dim < (1 << 52):
+                dots = q.astype(np.float64) @ flat_f64  # exact: see docstring
+            elif bound * dim >= (1 << 63):
+                # the int64 loop would ALSO overflow (partial sums are
+                # bounded by dim·max|q| with ±1 planes) — fail loud
+                raise OverflowError(
+                    f"sign-LSH dot products can overflow int64: max|q|={bound}, "
+                    f"dim={dim}; rescale or cast the embedding column to double"
+                )
+            else:
+                dots = q @ flat
         else:
             dots = q @ flat
         bits = (dots > 0).reshape(len(q), n_tables, n_planes)

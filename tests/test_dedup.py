@@ -815,3 +815,32 @@ def test_track_persist_high_water_mark_and_thread_safety(spark):
     finally:
         S._PERSISTED_HIGH_WATER = old_hw
         S.release_persisted()
+
+
+def test_minhash_est_gate_auto_margin(docs):
+    """r12 ADVICE: the default gate margin scales with num_hashes
+    (3.5·sqrt(t(1-t)/n) ≈ 3.5σ of the signature estimator at the
+    threshold). At the (t=0.8, n=32) defaults the auto margin (0.2475)
+    admits exactly the same signature-match counts as the r12 fixed
+    0.25 — both cut between 17/32 and 18/32 — so the committed oracles
+    stay bit-exact twins; at n=16 the auto margin is √2 wider."""
+    import math
+
+    from rehiver_spark.operators.dedup import minhash_neardup_pairs
+
+    auto32 = 3.5 * math.sqrt(0.8 * 0.2 / 32)
+    assert 0.2474 < auto32 < 0.2476
+    # granularity argument: no multiple of 1/32 separates the two gates
+    assert math.ceil((0.8 - auto32) * 32) == math.ceil((0.8 - 0.25) * 32) == 18
+    auto16 = 3.5 * math.sqrt(0.8 * 0.2 / 16)
+    assert abs(auto16 - auto32 * math.sqrt(2)) < 1e-12
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in minhash_neardup_pairs(docs, threshold=0.8, **kw).collect()
+        }
+
+    assert pairs(est_gate_margin="auto") == pairs(est_gate_margin=0.25)
+    with pytest.raises(ValueError, match="auto"):
+        minhash_neardup_pairs(docs, est_gate_margin="wide")

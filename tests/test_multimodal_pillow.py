@@ -332,3 +332,39 @@ def test_progressive_cross_validates_against_pillow():
     mine = encode_progressive(img, quality=100)
     ref2 = np.asarray(Image.open(io.BytesIO(mine)).convert("RGB"))
     assert np.abs(ref2.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_progressive_dqt_between_scans_snapshot_semantics():
+    """Dequantization happens once at EOI, so the decoder snapshots
+    each quant table at its first progressive SOS (r12 ADVICE): a DQT
+    segment between scans that REDEFINES a table in use raises loudly
+    instead of silently applying the final table retroactively, while
+    a bit-identical re-emission (some encoders repeat tables) still
+    decodes to the same pixels."""
+    import numpy as np
+
+    from rehiver_spark.functions.jpeg import decode_jpeg, encode_progressive
+
+    img = _gradient(40, 24)
+    stream = encode_progressive(img, quality=60)
+    # entropy data is byte-stuffed (FF -> FF 00 / RSTn), so every FF DA
+    # is a real SOS; splice in front of the SECOND scan
+    first = stream.index(b"\xff\xda")
+    second = stream.index(b"\xff\xda", first + 2)
+
+    redefined = (
+        b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + bytes([0x00]) + bytes([2] * 64)
+    )
+    with pytest.raises(ValueError, match="DQT 0 redefined"):
+        decode_jpeg(stream[:second] + redefined + stream[second:])
+
+    # re-emitting the ORIGINAL table 0 between scans is harmless
+    dqt_start = stream.index(b"\xff\xdb")
+    seglen = (stream[dqt_start + 2] << 8) | stream[dqt_start + 3]
+    table0 = stream[dqt_start : dqt_start + 2 + 2 + 1 + 64]
+    assert seglen >= 2 + 1 + 64
+    reemit = b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + table0[4 : 4 + 1 + 64]
+    w, h, nc, base = decode_jpeg(stream)
+    w2, h2, nc2, out = decode_jpeg(stream[:second] + reemit + stream[second:])
+    assert (w, h, nc) == (w2, h2, nc2)
+    assert np.array_equal(base, out)

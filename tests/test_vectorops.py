@@ -1115,3 +1115,23 @@ def test_plane_buckets_int64_blas_path_bit_equal(spark):
         }
         ref = reference(q)
         assert [got[i] for i in range(len(q))] == ref
+
+
+def test_plane_buckets_int64_min_overflow_is_loud(spark):
+    """r12 ADVICE: np.abs(INT64_MIN) wraps negative, so the old
+    abs()-based exactness guard let an INT64_MIN batch take the
+    inexact float64 path silently; the raw-extremes guard must instead
+    raise (the int64 loop would ALSO overflow at that magnitude)."""
+    import pytest as _pytest
+
+    import rehiver_spark.operators.vectorops as vo
+    from rehiver_spark.functions.hashing import rademacher_planes
+
+    dim, n_planes = 8, 6
+    planes = [rademacher_planes(dim, n_planes, 42)]
+    udf = vo._plane_buckets_udf(planes, input_dtype="int64")
+    df = spark.createDataFrame(
+        [(0, [-(1 << 63)] * dim)], "vec_id bigint, q array<bigint>"
+    )
+    with _pytest.raises(Exception, match="overflow int64"):
+        df.select(udf("q").alias("b")).collect()
