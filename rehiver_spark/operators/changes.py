@@ -15,11 +15,14 @@ Modes (reference hasObjectChanged, src/index.ts:499-522):
 - ``full``              size OR etag OR mtime differ
 - ``ignore_etag_on_size`` if sizes equal → mtime only, else size/mtime
 
-Scale posture: the join shuffles both snapshots on ``key`` — at 100 TB
-catalog scale both sides are hash-partitioned by Spark; no driver
-state. The state store is a versioned Parquet directory (atomic
-pointer file), replacing the reference's single JSON file
-(src/index.ts:444-459) which cannot exceed driver memory.
+Scale posture: the join hash-partitions both snapshots on ``key`` — no
+driver state. With a BUCKETED state store (``n_buckets``, r13) the
+previous side is already partitioned on disk and the join plans with
+zero Exchange on the state side; only the fresh listing shuffles,
+paid once per commit instead of once per detect. The state store is a
+versioned Parquet directory (atomic pointer file), replacing the
+reference's single JSON file (src/index.ts:444-459) which cannot
+exceed driver memory.
 """
 
 from __future__ import annotations
@@ -123,46 +126,119 @@ class SnapshotStore:
     """Versioned Parquet snapshot state (replaces the JSON state file,
     src/index.ts:412-459). Layout::
 
-        state_dir/_latest.json        -> {"version": N}
+        state_dir/_latest.json        -> {"version": N, ...}
         state_dir/v{N}/*.parquet      -> snapshot N
 
     Writes are atomic: data lands in a new version dir first, then the
     pointer file is swapped. Works on any Hadoop-visible FS; local FS
     here.
+
+    ``n_buckets`` (r13, the X28 bucketed-index pattern applied to
+    change detection): when set, versions are written as EXTERNAL
+    bucketed tables ``CLUSTERED BY (key) SORTED BY (key)`` — the diff
+    join in :func:`detect_changes` then reads the previous snapshot
+    pre-partitioned on the join key, so the full-outer join pays ZERO
+    Exchange on the state side (plan-tested); only the fresh listing
+    shuffles. At an 80M-row catalog the state-side exchange was the
+    dominant cost of every detect (BASELINE.md r12: 16-22 s/query at
+    sf10) and it repeats every run — bucketing moves that shuffle into
+    the once-per-commit write, exactly like a production state store.
+    Bucket metadata lives in the session catalog (a Spark constraint:
+    plain ``.parquet(path)`` reads ignore bucket files' layout), so
+    ``load`` re-registers the table from the pointer metadata when the
+    session is new — the files themselves are plain Parquet either way.
     """
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(
+        self, spark: SparkSession, state_dir: str, n_buckets: int | None = None
+    ):
         self.spark = spark
         self.state_dir = state_dir
+        self.n_buckets = n_buckets
         os.makedirs(state_dir, exist_ok=True)
 
     @property
     def _pointer(self) -> str:
         return os.path.join(self.state_dir, "_latest.json")
 
-    def latest_version(self) -> int | None:
+    def _meta(self) -> dict | None:
         try:
             with open(self._pointer) as f:
-                return json.load(f)["version"]
+                meta = json.load(f)
+            meta["version"]  # KeyError → corrupt
+            return meta
         except (FileNotFoundError, json.JSONDecodeError, KeyError):
             return None  # missing/corrupt state → empty (reference :429-438)
 
+    def latest_version(self) -> int | None:
+        meta = self._meta()
+        return None if meta is None else meta["version"]
+
+    def _table_name(self, v: int) -> str:
+        import hashlib
+
+        tag = hashlib.md5(os.path.abspath(self.state_dir).encode()).hexdigest()[:10]
+        return f"rehiver_snap_{tag}_v{v}"
+
     def load(self) -> DataFrame | None:
-        """Previous snapshot, or None when no state exists."""
-        v = self.latest_version()
-        if v is None:
+        """Previous snapshot, or None when no state exists. Bucketed
+        versions come back through the catalog table so the scan keeps
+        its ``HashPartitioning(key)`` — re-registered from the pointer
+        metadata if this session has never seen it."""
+        meta = self._meta()
+        if meta is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.state_dir, f"v{v}"))
+        v = meta["version"]
+        path = os.path.join(self.state_dir, f"v{v}")
+        n = meta.get("n_buckets")
+        if not n:
+            return self.spark.read.parquet(path)
+        table = meta.get("table") or self._table_name(v)
+        if not self.spark.catalog.tableExists(table):
+            # external bucketed table over the existing bucket files —
+            # schema from the files themselves, so it can never drift
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in self.spark.read.parquet(path).schema.fields
+            )
+            self.spark.sql(
+                f"CREATE TABLE {table} ({cols}) USING PARQUET "
+                f"CLUSTERED BY (key) SORTED BY (key) INTO {n} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        return self.spark.table(table)
 
     def save(self, snapshot: DataFrame) -> int:
         """Write a new snapshot version and swap the pointer (reference
         saveCurrentState, src/index.ts:444-459, made atomic/versioned)."""
         v = (self.latest_version() or 0) + 1
         path = os.path.join(self.state_dir, f"v{v}")
-        snapshot.write.mode("overwrite").parquet(path)
+        meta: dict = {"version": v}
+        if self.n_buckets:
+            table = self._table_name(v)
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+            (
+                # repartition on key first so every bucket is exactly ONE
+                # file: FileSourceScanExec only reports its sortBy order
+                # with single-file buckets, and that ordering is what lets
+                # the detect-side SMJ skip the state-side Sort entirely
+                # (measured sf10: r10 17.9 -> 12.1 s). Without it, each
+                # write task emits a file per bucket — n_tasks files per
+                # bucket and an unsorted scan.
+                snapshot.repartition(self.n_buckets, "key")
+                .write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(self.n_buckets, "key")
+                .sortBy("key")
+                .option("path", path)
+                .saveAsTable(table)
+            )
+            meta.update({"n_buckets": self.n_buckets, "table": table})
+        else:
+            snapshot.write.mode("overwrite").parquet(path)
         tmp = self._pointer + f".tmp.{time.monotonic_ns()}"
         with open(tmp, "w") as f:
-            json.dump({"version": v}, f)
+            json.dump(meta, f)
         os.replace(tmp, self._pointer)
         return v
 
@@ -185,14 +261,21 @@ class ChangeDetector:
     #: quadratically under many adds
     CHECKPOINT_EVERY = 50
 
-    def __init__(self, spark: SparkSession, state_dir: str, mode: str = "full"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        mode: str = "full",
+        n_buckets: int | None = None,
+    ):
         # ``mode`` is the construction-time default compare mode —
         # reference parity (ChangeDetectionEngine's compareMode config,
         # src/index.ts:499-522, examples/change-detection.ts);
-        # detect(mode=...) still overrides per call
+        # detect(mode=...) still overrides per call. ``n_buckets``
+        # passes through to the bucketed SnapshotStore (r13).
         self.mode = mode
         self.spark = spark
-        self.store = SnapshotStore(spark, state_dir)
+        self.store = SnapshotStore(spark, state_dir, n_buckets=n_buckets)
         self._parts: list[DataFrame] = []
 
     def add_objects(self, df: DataFrame) -> None:

