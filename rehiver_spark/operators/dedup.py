@@ -245,11 +245,28 @@ def _jaccard_pairs_prefix(
     # prefix length: n - ceil(t*n) + 1 (J>=t ⟹ |A∩B| >= t*|A|, so a
     # match must appear within the first n - ceil(t*n) + 1 elements)
     plen = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-    pref = ranked.filter(F.col("_pos") <= plen).select("_id", "_s")
+    pref = ranked.filter(F.col("_pos") <= plen).select("_id", "_n", "_s")
+    # PPJoin+ length filter (r13): J(A,B) >= t ⟹ |B| >= |A∩B| >= t·|A∪B|
+    # >= t·|A| (and symmetrically), so size-incompatible prefix
+    # collisions are dropped INSIDE the candidate join — before the
+    # distinct and before any shingle array moves. Exact: the bound is
+    # a necessary condition, so no true pair is lost (the 1e-6 slack
+    # absorbs float error in t·n in the lossless direction — ceil can
+    # only come out smaller, i.e. under-prune). Integer sizes make
+    # |B| >= t·|A| equivalent to |B| >= ceil(t·|A|).
+    min_b = F.ceil(F.lit(threshold) * F.col("_na") - F.lit(1e-6))
+    min_a = F.ceil(F.lit(threshold) * F.col("_nb") - F.lit(1e-6))
     cand = (
-        pref.select(F.col("_id").alias("id_a"), "_s")
-        .join(pref.select(F.col("_id").alias("id_b"), "_s"), "_s")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pref.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_s")
+        .join(
+            pref.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_s"),
+            "_s",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_nb") >= min_b)
+            & (F.col("_na") >= min_a)
+        )
         .select("id_a", "id_b")
         .distinct()
     )

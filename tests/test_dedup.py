@@ -844,3 +844,34 @@ def test_minhash_est_gate_auto_margin(docs):
     assert pairs(est_gate_margin="auto") == pairs(est_gate_margin=0.25)
     with pytest.raises(ValueError, match="auto"):
         minhash_neardup_pairs(docs, est_gate_margin="wide")
+
+
+def test_jaccard_prefix_length_filter_keeps_boundary_pairs(spark):
+    """r13 PPJoin+ length filter must be lossless at the exact
+    threshold boundary: |A|=5, |B|=4 sharing 4 shingles has
+    J = 4/5 = 0.8 — kept at t=0.8 (ceil(0.8*5)=4 <= |B|; a naive
+    float ceil of 0.8*5 drifting to 5 would wrongly prune it) — and
+    size-ratio-incompatible docs (|A|=10, |B|=4) can never pair."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.dedup import jaccard_pairs
+
+    rows = [
+        (1, ["a", "b", "c", "d", "e"]),            # |A|=5
+        (2, ["a", "b", "c", "d"]),                 # |B|=4, J(1,2)=4/5=0.8
+        (3, ["a", "b", "c", "d", "f", "g", "h", "i", "j", "k"]),  # |C|=10
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, shingles array<string>")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in jaccard_pairs(df, "doc_id", "shingles", threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 0.8}
+    # and the filter agrees with the blocking baseline on the same input
+    base = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in jaccard_pairs(
+            df, "doc_id", "shingles", threshold=0.8, method="blocking"
+        ).collect()
+    }
+    assert got == base
