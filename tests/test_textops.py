@@ -1076,3 +1076,33 @@ def test_charlm_score_arrow_model_guard_falls_back(spark):
     got = sorted(map(key, charlm_score(df, impl="arrow", max_model_rows=1).collect()))
     want = sorted(map(key, charlm_score(df, impl="join").collect()))
     assert got == want
+
+
+def test_x57b_demoted_oracle_pin(spark):
+    """x57b was demoted from the bench/driver registry in r13 (the
+    pruned branch measured dominated-or-tied at every operating point
+    — receipts in BASELINE.md §Round 13 and the query docstring), with
+    the verdict-agreed condition that the query + its DuckDB oracle
+    stay pinned HERE: same comparison the driver harness runs (row
+    count, columns, canonical value multiset) at sf0.01."""
+    import duckdb
+
+    from rehiver_spark.queries.e_ops import _x57b_sql, x57b_substring_dedup_pruned
+    from tools.check_oracle import canon_rows
+
+    sf_dir = "/root/testdata/sf0.01"
+    df = x57b_substring_dedup_pruned(spark, sf_dir)
+    scols = [c.lower() for c in df.columns]
+    srows = [tuple(r) for r in df.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rel = con.sql(_x57b_sql())
+    ocols = [c.lower() for c in rel.columns]
+    orows = rel.fetchall()
+
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows) > 0
+    assert canon_rows(srows, scols) == canon_rows(orows, ocols)
