@@ -602,30 +602,50 @@ def source_overlap_matrix(
     against each other before mixing.
 
     Per source, the distinct word-k-gram set; per source pair,
-    J = |A∩B| / |A∪B| — all exact integer counts. Plan: one
-    (source, gram) distinct aggregation (map-side combinable), one
-    self-join keyed on gram (each gram contributes its source-pair
-    combinations — bounded by sources-per-gram², and the number of
-    sources is small by definition), per-source gram counts joined
-    broadcast. No text leaves the gram aggregation; the matrix is
+    J = |A∩B| / |A∪B| — all exact integer counts. Plan (r13 rework):
+    ONE gram-keyed aggregation collects each gram's distinct source
+    set (map-side-combinable collect_set, bounded by |sources| per
+    row), then source PAIRS are generated per gram from that array —
+    pure projection, no self-join. The r12 shape self-joined the
+    (source, gram) distinct relation on gram, re-shuffling corpus-gram
+    rows a second time; the r13 stage profile at sf10 put that join at
+    ~12 s of the 17 s total (BASELINE §Round 13: 23.5-anchor → 10.0 s
+    dedicated). Per-source sizes re-read the same persisted gram-set
+    relation. No text leaves the gram aggregation; the matrix is
     |sources|² rows.
 
     Output: (source_a, source_b, common, n_a, n_b, jaccard), a < b.
     """
-    grams = (
+    from rehiver_spark.session import track_persist
+
+    per_gram = track_persist(
         df.select(
             F.col(source_col).alias("source"),
             F.explode(F.array_distinct(word_ngrams(F.col(text_col), k))).alias("g"),
         )
-        .distinct()
+        .groupBy("g")
+        # array_sort so pair generation yields a < b by construction
+        # (binary string order — the same ordering as Spark's `<`)
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .select("srcs")  # gram strings never leave the aggregation
+    )  # consumed by the pair rollup AND the per-source sizes
+    sizes = (
+        per_gram.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n"))
     )
-    sizes = grams.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
-    a = grams.select(F.col("source").alias("source_a"), "g")
-    b = grams.select(F.col("source").alias("source_b"), "g")
+    pairs = F.flatten(
+        F.transform(
+            "srcs",
+            lambda x, i: F.transform(
+                F.slice("srcs", i + F.lit(2), F.size("srcs")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, "g")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        per_gram.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
         .agg(F.count("*").cast("bigint").alias("common"))
     )
     return (

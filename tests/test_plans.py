@@ -319,6 +319,11 @@ def test_x40_source_overlap_sizes_broadcast(spark, queries):
     assert "CartesianProduct" not in p
     # the per-source sizes relation (|sources| rows) must broadcast
     assert "BroadcastHashJoin" in p
+    # r13 re-plan: pairs come from each gram's collect_set array as
+    # pure projection — the corpus-gram relation must never shuffle a
+    # second time through a gram-keyed self-join
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "partial_collect_set" in p or "collect_set" in p
 
 
 def test_x45_bpe_pairs_partial_topk(spark, queries):
