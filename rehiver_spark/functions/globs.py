@@ -203,6 +203,34 @@ def _scan_class_end(pattern: str, j: int) -> int:
     return j
 
 
+def _glob_fixed_width(s: str) -> int | None:
+    """Matched width of a brace-free glob fragment when every token is
+    fixed-width (literal char, ``?``, ``[...]`` class) — None as soon
+    as a variable-width construct appears (any ``*``, any extglob —
+    conservatively including ``@()`` of equal-width alts — or a
+    backslash, whose escape semantics we decline to reason about
+    here). Drives the r13 exact compilation of ``!(p)rest``: a
+    fixed-width *rest* makes the run|rest split unique, and fixed-width
+    *body alts* make "run matches p" decidable per split position."""
+    w = i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c in "@!+*?" and i + 1 < n and s[i + 1] == "(":
+            return None
+        if c in "*\\":
+            return None
+        if c == "[":
+            j = _scan_class_end(s, i + 1)
+            if j < n:  # terminated class: exactly one char
+                w += 1
+                i = j + 1
+                continue
+        w += 1
+        i += 1
+    return w
+
+
 def _parse_extglob_alts(pattern: str, i: int) -> tuple[list[str], int] | None:
     """Parse ``X(alt|alt)`` where pattern[i] is the prefix char and
     pattern[i+1] == '('. Returns (alts, index after ')') or None when
@@ -303,20 +331,68 @@ def _translate_one(
                         i = j + 1  # consume the trailing star too
                         seg_start = False
                         continue
+                    elif not nested and _glob_fixed_width(rest) is not None:
+                        # FIXED-WIDTH wildcard context (r13): rest
+                        # matches exactly w chars, so the run|rest
+                        # split is as unique as the literal case —
+                        # the same exclusion form works with rest
+                        # COMPILED instead of escaped ('!(foo)b?'
+                        # rejects 'foobx', accepts 'fooobx'). The
+                        # main loop still compiles rest itself.
+                        rest_re = _translate_one(
+                            rest, dot=True, nested=True, seg_start0=False
+                        )
+                        out.append(
+                            f"(?:(?!(?:{body}){rest_re}(?:/|$))[^/]*)"
+                        )
+                    elif not nested and all(
+                        _glob_fixed_width(a) is not None for a in alts
+                    ):
+                        # FIXED-WIDTH BODY alts (r13): "run matches p"
+                        # is decidable purely from the split position
+                        # i = |run| — only i ∈ {alt widths} can ever
+                        # match p, and there a fixed-width negative
+                        # lookahead checks the prefix. Enumerate the
+                        # ∃-splits as alternation over run lengths:
+                        # gaps between alt widths pass freely, each
+                        # alt width w gets (?!alts_w)[^/]{w}. Closes
+                        # the '!(foo)b*' divergence ('foob' now
+                        # rejected, 'foobb' kept — bash-pinned); rest
+                        # still compiles in the main loop, so nothing
+                        # downstream weakens.
+                        by_w: dict[int, list[str]] = {}
+                        for a in alts:
+                            by_w.setdefault(_glob_fixed_width(a), []).append(a)
+                        branches = []
+                        lo = 0
+                        for wv in sorted(by_w):
+                            if lo <= wv - 1:
+                                branches.append(f"[^/]{{{lo},{wv - 1}}}")
+                            aw = "|".join(
+                                _translate_one(a, dot=True, nested=True)
+                                for a in by_w[wv]
+                            )
+                            branches.append(f"(?!(?:{aw}))[^/]{{{wv}}}")
+                            lo = wv + 1
+                        branches.append(f"[^/]{{{lo},}}")
+                        out.append("(?:" + "|".join(branches) + ")")
                     else:
-                        # wildcard-bearing trailing context: the
-                        # split is ambiguous and per-split run≠p
-                        # checks are not expressible in a single
-                        # Java+Python-portable regex (variable-width
-                        # lookbehind), so the run is matched
-                        # PERMISSIVELY — only "p at end of segment"
-                        # is excluded. COLUMN-side-only divergence,
-                        # pinned vs bash in tests/test_globs.py
-                        # ('!(foo)b*' matches 'foob' here, bash
-                        # rejects); the driver-side PathMatcher
-                        # routes '!('-patterns through _exact_match,
-                        # which enumerates the bash splits and is
-                        # exact.
+                        # remaining fallback (r13: only VARIABLE-width
+                        # body AND variable-width rest together, or
+                        # any '!()' nested in an enclosing extglob):
+                        # per-split run≠p checks would need variable-
+                        # width lookbehind, which Java/Python regex
+                        # lack, so "p covering the whole segment" is
+                        # excluded and everything else passes. TWO-
+                        # SIDED divergence, pinned vs bash in
+                        # tests/test_globs.py: permissive for the
+                        # nested class, and able to OVER-reject when
+                        # a variable body can cover the segment
+                        # ('!(a|b*)b*' vs 'bb' — bash accepts via the
+                        # empty-run split). The driver-side
+                        # PathMatcher routes '!('-patterns through
+                        # _exact_match, which enumerates the bash
+                        # splits and is exact.
                         out.append(f"(?:(?!(?:{body})(?:/|$))[^/]*)")
                 i = j
                 seg_start = False
@@ -581,18 +657,26 @@ def segment_glob_to_regex(pattern: str) -> str:
 # ---------------------------------------------------------------------------
 # Exact driver-side matching for hard '!()' negation (round 8)
 #
-# The single-regex compilation stays deliberately permissive for TWO
-# classes (wildcard-bearing trailing context '!(foo)b*', and '!()'
-# nested inside another extglob with following context): bash's
-# ∃-split rule "some decomposition run·tail has run≁p and tail~rest"
-# needs variable-width lookbehind that neither Python `re` nor Java
-# regex has. Driver-side we are not limited to one regex: decompose
-# the pattern at the first hard '!()' occurrence, enumerate the
-# run·tail splits directly (paths are short strings), and verify the
-# simple chunks with the SAME translator — so every non-negation
-# feature behaves identically to the Column path by construction.
-# The Column-side `rlike` keeps the pinned-permissive form (documented
-# divergence, now Column-only; tests pin both behaviors vs real bash).
+# bash's ∃-split rule "some decomposition run·tail has run≁p and
+# tail~rest" needs variable-width lookbehind in general, which neither
+# Python `re` nor Java regex has. The single-regex compilation is
+# exact whenever the split set is tractable (narrowed in r13): literal
+# rest (unique split), '!(p)*' with non-empty p (≡ '*'), FIXED-WIDTH
+# rest (unique split — compiled, not escaped), and FIXED-WIDTH body
+# alts with ANY rest (only i ∈ {alt widths} can match p, so the
+# ∃-splits enumerate as run-length alternation with fixed-width
+# negative lookaheads). What remains divergent Column-side, pinned vs
+# real bash in tests/test_globs.py: '!()' nested inside another
+# extglob with following context (permissive — the segment-end anchor
+# cannot apply), and variable-width body TOGETHER WITH variable-width
+# rest ('!(a|b*)b*'), where the fallback's whole-segment exclusion can
+# also over-reject (bash accepts 'bb' via the empty-run split).
+# Driver-side we are not limited to one regex: decompose the pattern
+# at the first hard '!()' occurrence, enumerate the run·tail splits
+# directly (paths are short strings), and verify the simple chunks
+# with the SAME translator — so every non-negation feature behaves
+# identically to the Column path by construction, and match_exact is
+# bash-exact on every pinned row.
 # ---------------------------------------------------------------------------
 
 

@@ -236,17 +236,20 @@ def test_extglob_respects_dot_option():
 
 
 def test_negated_extglob_embedded_context_bash_parity():
-    """r6 verdict task: the last documented micromatch divergence was
-    '!(p)' with embedded trailing context. Two classes are EXACT in
-    the single regex (fixed-literal context — unique split; lone
-    trailing '*' with a non-empty-matching body); wildcard-bearing
-    context remains permissive THERE — but since round 8 the
-    DRIVER-SIDE matcher (match_exact / PathMatcher) enumerates the
-    bash ∃-splits directly and is exact on the ENTIRE table,
-    including the two regex-permissive rows. The whole matrix is
-    pinned against REAL bash extglob (the published semantics
-    micromatch tests itself against), run live when bash is
-    available."""
+    """r6 verdict task (narrowed again in r13): '!(p)' with embedded
+    trailing context. FOUR classes are now EXACT in the single regex:
+    fixed-literal context (unique split), lone trailing '*' with a
+    non-empty-matching body, fixed-width wildcard context (unique
+    split, r13), and fixed-width body alts with ANY context (∃-splits
+    enumerated as run-length alternation, r13). What remains
+    divergent Column-side: '!()' nested in another extglob with
+    following context (permissive), and variable-width body AND rest
+    together, where the fallback's whole-segment exclusion can
+    over-reject. Since round 8 the DRIVER-SIDE matcher (match_exact /
+    PathMatcher) enumerates the bash ∃-splits directly and is exact
+    on the ENTIRE table. The whole matrix is pinned against REAL bash
+    extglob (the published semantics micromatch tests itself
+    against), run live when bash is available."""
     import shutil
     import subprocess
 
@@ -284,28 +287,45 @@ def test_negated_extglob_embedded_context_bash_parity():
         ("fooa,b", "!(foo)a,b", False, True),
         ("xa,b", "!(foo)a,b", True, True),
         ("xbarbaz", "@(!(foo)bar)baz", True, True),
-        # the pinned Column-PERMISSIVE remainder: wildcard trailing
-        # context — bash rejects 'foob' ('foo' is the only split), the
-        # REGEX accepts — and '!()' nested inside another extglob with
-        # following context, where the segment-end anchor cannot
-        # apply. want=False is the bash verdict the driver-side exact
-        # matcher must reproduce.
-        ("foob", "!(foo)b*", False, False),
-        ("foobarbaz", "@(!(foo)bar)baz", False, False),
-        ("x/foob/y", "x/!(foo)b*/y", False, False),
+        # r13: wildcard trailing context with a FIXED-WIDTH body is now
+        # EXACT in the single regex (∃-splits enumerated as run-length
+        # alternation — only i ∈ {alt widths} can ever match p, checked
+        # there by a fixed-width negative lookahead); fixed-width REST
+        # (unique split) likewise. These rows were the pinned
+        # permissive class through r12.
+        ("foob", "!(foo)b*", False, True),
+        ("x/foob/y", "x/!(foo)b*/y", False, True),
         ("foobb", "!(foo)b*", True, True),
         ("fb", "!(foo)b*", True, True),
         ("x/foobb/y", "x/!(foo)b*/y", True, True),
+        ("foobx", "!(foo)b?", False, True),   # fixed-width rest: unique split
+        ("fooobx", "!(foo)b?", True, True),
+        ("abb", "!(a|ab)b*", False, True),    # multi-width alts enumerate
+        ("aabb", "!(a|ab)b*", True, True),
+        ("bb", "!(a|ab)b*", True, True),
+        # the REMAINING Column-side divergence classes (driver-side
+        # match_exact is bash-exact on every row): '!()' nested inside
+        # another extglob with following context (the segment-end
+        # anchor cannot apply there — permissive), and variable-width
+        # body + variable-width rest, where the fallback's whole-
+        # segment exclusion can also OVER-reject (pre-r13 behavior,
+        # now documented: bash accepts 'bb' via the run='' split, the
+        # regex excludes it because 'b*' covers the whole segment).
+        ("foobarbaz", "@(!(foo)bar)baz", False, False),
+        ("ab", "!(a*)b*", False, True),       # correct by the exclusion
+        ("bb", "!(a|b*)b*", True, None),      # fallback over-rejects: regex says False
         # two hard negations in one segment (exact matcher recursion)
         ("ab", "!(a)!(b)", True, True),
         ("b", "!(a)!(b)", True, True),
     ]
     for key, pat, want, exact in cases:
         got = _re.fullmatch(glob_to_regex(pat), key) is not None
-        if exact:
+        if exact is True:
             assert got is want, f"{key!r} ~ {pat!r}: got {got}, bash says {want}"
-        else:
+        elif exact is False:  # pinned permissive divergence (regex True)
             assert got is True, f"permissive pin changed: {key!r} ~ {pat!r}"
+        else:  # pinned over-reject divergence (regex False, bash True)
+            assert got is False, f"over-reject pin changed: {key!r} ~ {pat!r}"
         # the driver-side matcher is bash-exact on EVERY row
         assert match_exact(key, pat) is want, (
             f"match_exact({key!r}, {pat!r}) disagrees with bash ({want})"
@@ -321,12 +341,14 @@ def test_negated_extglob_embedded_context_bash_parity():
             ["bash", "-c", script], capture_output=True, text=True
         ).stdout.split()
         for (k, p, want, exact), bit in zip(cases, out):
-            if exact:
+            if exact is True:
                 assert (bit == "1") is want, (
                     f"bash disagrees with the pinned table on {k!r} ~ {p!r}"
                 )
-            else:
+            elif exact is False:
                 assert bit == "0", f"permissive-pin rationale stale: {k!r} ~ {p!r}"
+            else:
+                assert bit == "1", f"over-reject-pin rationale stale: {k!r} ~ {p!r}"
 
 
 def test_hard_negation_exhaustive_vs_live_bash():
@@ -379,3 +401,56 @@ def test_hard_negation_exhaustive_vs_live_bash():
         if got[(k, p)] is not (bit == "1")
     ]
     assert not bad, f"{len(bad)} disagreements with bash, first 10: {bad[:10]}"
+
+
+def test_column_regex_exact_classes_exhaustive_vs_live_bash():
+    """r13: the COLUMN-side single regex is now bash-exact for
+    fixed-width-body and fixed-width-rest negations (not just the
+    driver-side matcher). Every key over {a,b} up to length 6 × the
+    exact-class pattern zoo, cross-checked against real bash."""
+    import itertools
+    import re as _re
+    import shutil
+    import subprocess
+
+    from rehiver_spark.functions.globs import glob_to_regex
+
+    if not shutil.which("bash"):
+        import pytest
+
+        pytest.skip("bash unavailable — live extglob ground truth only")
+    keys = [
+        "".join(t)
+        for n in range(0, 7)
+        for t in itertools.product("ab", repeat=n)
+    ]
+    patterns = [
+        # fixed-width body, any rest (r13 split enumeration)
+        "!(a)b*", "!(ab)a*", "!(a|b)b*", "!(a|ab)b*", "!(aa|b)a*",
+        "!(a)*b", "!(ab)*", "!(a)[ab]*", "!(a)?b*", "!(a)a*b",
+        # fixed-width rest, any body (r13 unique split)
+        "!(a*)b?", "!(a*)?", "!(*b)a?", "!(a*)[ab]", "!(a*|b)??",
+        # both fixed
+        "!(ab)a?", "!(a)?",
+        # pre-r13 exact classes must stay exact
+        "!(a)", "!(ab)", "!(a|ab)", "!(a*)", "!(*b)", "!(a)b", "a!(b)",
+    ]
+    regs = {p: _re.compile(glob_to_regex(p)) for p in patterns}
+    script = "shopt -s extglob\n" + "\n".join(
+        f"[[ {k!r} == {p} ]] && echo 1 || echo 0"
+        for k in keys
+        for p in patterns
+    )
+    # via stdin: 6k+ lines exceed the argv limit for `bash -c`
+    out = subprocess.run(
+        ["bash", "-s"], input=script, capture_output=True, text=True, timeout=120
+    ).stdout.split()
+    assert len(out) == len(keys) * len(patterns)
+    bad = [
+        (k, p, regs[p].fullmatch(k) is not None, bit == "1")
+        for (k, p), bit in zip(
+            ((k, p) for k in keys for p in patterns), out
+        )
+        if (regs[p].fullmatch(k) is not None) is not (bit == "1")
+    ]
+    assert not bad, f"{len(bad)} regex/bash disagreements, first 10: {bad[:10]}"
