@@ -61,7 +61,7 @@ def query(name: str, oracle: str | None = None):
 #   3. brand-new queries enter the window of the round that adds them;
 #   4. remaining slots fill with the oldest-evidence names first.
 #
-# Round-12 window under that policy (history: r2-r3 recorded r/c; r4
+# Round-13 window under that policy (history: r2-r3 recorded r/c; r4
 # rotated x/e in; r5 rotated the 44 displaced r/c back + x40 + 5
 # touched; r6 recorded the 19 never-recorded r5 additions + x57b + 30
 # r4-stale; r7 recorded the 15 r4-stale + x22b + 2 touched + 6
@@ -70,82 +70,84 @@ def query(name: str, oracle: str | None = None):
 # the committed 21 sketch/stream/BPE names + 6 touched + mm_* + the
 # full r-surface; r10 recorded its committed 20 + 7 touched + the
 # c5-c18 block + x1-x5 + x10/x11; r11 recorded its committed 24 +
-# c17d2 + 5 touched + the x41-x57 sketch/stream/BPE block):
-#   - the committed 21 (pre-declared in round 11 as _R12_COMMITTED):
-#     the mm_* trio + full r-surface, whose r9 rows turn 3 rounds old
-#     here (rule 1) — FIRST;
-#   - touched this round (rule 2): x7/x7p/x29/x34 (the relational→
-#     Column JVM minhash signature swap + the est-Jaccard verify
-#     pre-filter) and c17e (natural-width staging + size-dialed
-#     broadcast);
-#   - 24 of the 47 r10-row holders (rule 4 — oldest evidence first,
-#     families contiguous): the full x/mm set (x1-x6b, x10/x11, x14,
-#     x18, x22, x30, x35, x46/x46b, mm_decode) + the c17 streaming
-#     family + c18b.
+# c17d2 + 5 touched + the x41-x57 sketch/stream/BPE block; r12
+# recorded its committed 21 + 5 touched + 24 r10-row holders):
+#   - the committed 23 (pre-declared in round 12 as _R13_COMMITTED):
+#     the core relational c-block whose r10 rows turn 3 rounds old
+#     here (rule 1) plus x57c/x9/x9p, touched in r12 AFTER that
+#     round's window was recorded (rule 2) — FIRST;
+#   - touched this round (rule 2): r1/r2/r3 (fixed-width '!(p)rest'
+#     exact classes in the Column glob compiler), r10/r11/r12 (the
+#     bucketed snapshot store), x2/x17 (PPJoin+ length filter in
+#     jaccard_pairs), x7/x7p/x29 (auto-scaled est-gate margin), x40
+#     (per-gram source-set re-plan);
+#   - 15 of the 42 remaining r11-row holders (rule 4 — oldest
+#     evidence first, families contiguous): x12-x28/x31 text/dedup
+#     block. (x57b was demoted from the registry this round —
+#     BASELINE §Round 13.)
 # OUTSIDE the window and why that is safe: every name not listed has
-# an r10 or r11 driver row on code untouched since — the r11 window's
-# 50 names hold fresh r11 rows; the 20 leftover r10-row holders (the
-# core relational c-block) are the committed r13 window under rule 1
-# (_R13_COMMITTED below).
+# an r11 or r12 driver row on code untouched since; the 27 leftover
+# r11-row holders are the committed r14 window under rule 1
+# (_R14_COMMITTED below).
+_R14_COMMITTED = (
+    # the 27 r11-row holders the r13 rotation could not fit — their
+    # rows turn 3 rounds old in r14, so they MUST enter that window
+    # (rule 1), plus whatever r14 touches (rule 2)
+    "c17d2_stream_join_linear", "x22b_semdedup_scaled",
+    "x32_corpus_report", "x33_quality_select", "x36_vocab_topk",
+    "x37_chunk_reassembly", "x38_corpus_drift", "x39_hybrid_search",
+    "x41_count_min", "x42_hll_distinct", "x43_bloom_dedup",
+    "x44_stream_hll", "x45_bpe_pairs", "x47_hdr_quantiles",
+    "x48_weighted_sample", "x49_dsir_scores", "x50_jl_project",
+    "x51_kmeans", "x52_stream_cm", "x53_ann_recall",
+    "x54_pipeline_yield", "x55_sketch_filter", "x56_stream_hdr",
+    "x57_substring_dedup", "x6c_portable_sample", "x8_simhash_pairs",
+    "x8p_simhash",
+)
 _R13_COMMITTED = (
-    # the 20 r10-row holders the r12 rotation could not fit (the core
-    # relational c-block, one contiguous family) — they MUST enter the
-    # r13 window under rule 1. ALSO committed to r13 under rule 2
-    # (touched in r12 AFTER this window was recorded): x57c (the dial
-    # re-default, f51d314), x9 + x9p (the exactness-guarded BLAS
-    # dispatch in _plane_buckets_udf, ff42aa0)
+    # kept for the r12→r13 audit trail (test_engine pins the r13
+    # window starts with exactly these 23)
     "c1_projection", "c2_filter", "c3_join", "c4_range_join",
     "c5_asof_join", "c6_agg", "c6b_percentile", "c7_rollup", "c7b_cube",
     "c8_window", "c9_topk", "c10_setops", "c10b_except_all",
     "c11_string", "c12_datetime", "c13_math", "c14_array", "c15_json",
     "c16_dedup", "c18_pandas_udf",
+    "x57c_substring_dedup_auto", "x9_lsh_cosine_neardup", "x9p_lsh_cosine",
 )
 _DRIVER_WINDOW = (
-    # the committed r12 window (rule 1: the mm_* trio + full r-surface
-    # held the last r9 rows; pre-declared last round as _R12_COMMITTED)
-    # — FIRST
-    "mm_resize", "mm_features", "mm_frame_plan",
-    "r1_glob_match", "r2_glob_filter", "r3_path_capture",
-    "r4_partition_parse", "r5_partition_format", "r6_partition_prune",
-    "r7_missing_keys", "r8_time_partition_path", "r8b_time_path_tz",
-    "r9_time_range_paths", "r10_detect_changes", "r11_changes_filter",
-    "r12_snapshot_commit", "r13_s3key_codec", "r14_valid_bucket_name",
-    "r15_content_type", "r16_object_catalog", "r17_stream_process",
-    # touched this round (rule 2): the relational→Column minhash
-    # signature swap + est-gate (x7/x7p/x29/x34) and the c17e
-    # stream-static scale fix
+    # the committed 23 (rule 1: the core c-block held the last r10
+    # rows; rule 2: x57c/x9/x9p touched post-window in r12) — FIRST
+    *_R13_COMMITTED,
+    # touched this round (rule 2)
+    "r1_glob_match",
+    "r2_glob_filter",
+    "r3_path_capture",
+    "r10_detect_changes",
+    "r11_changes_filter",
+    "r12_snapshot_commit",
+    "x2_jaccard_pairs",
     "x7_minhash_pairs",
     "x7p_minhash_lsh",
+    "x17_dedup_clusters",
     "x29_fuzzy_dedup",
-    "x34_incremental_neardup",
-    "c17e_stream_static_join",
-    # r10-row holders, oldest evidence first, families contiguous
-    # (rule 4): the full x/mm set + the c17 streaming family + c18b;
-    # the remaining 20 (the core c-block) are _R13_COMMITTED above
-    "x1_exact_dedup",
-    "x2_jaccard_pairs",
-    "x3_cosine_topk",
-    "x4_text_stats",
-    "x5_tf_idf",
-    "x6_approx",
-    "x6b_sampling",
-    "x10_ivf_topk",
-    "x11_chunking",
-    "x14_winnow_fingerprints",
-    "x18_sequence_packing",
-    "x22_semdedup",
-    "x30_zorder_layout",
-    "x35_epoch_shuffle",
-    "x46_bpe_learn",
-    "x46b_bpe_apply",
-    "mm_decode",
-    "c17_tumbling_window",
-    "c17_session_window",
-    "c17c_streaming_exec",
-    "c17d_stream_join",
-    "c17f_stream_dedup",
-    "c17g_sliding_window",
-    "c18b_python_udtf",
+    "x40_source_overlap",
+    # r11-row holders, oldest evidence first, families contiguous
+    # (rule 4); the remaining 27 are _R14_COMMITTED above
+    "x12_redact_pii",
+    "x13_stratified_sample",
+    "x15_contamination",
+    "x16_repetition",
+    "x19_pipeline",
+    "x20_training_mix",
+    "x21_winnow_contamination",
+    "x21f_winnow_fast",
+    "x23_span_dedup",
+    "x24_url_dedup",
+    "x25_charlm_quality",
+    "x26_quantize_int8",
+    "x27_line_dedup",
+    "x28_incremental_dedup",
+    "x31_semantic_decontamination",
 )
 
 
@@ -154,10 +156,10 @@ def load_all() -> None:
 
     Import order alone does not control the driver window: after the
     imports, the registry is reordered to the explicit 50-name
-    ``_DRIVER_WINDOW`` (round-12 rotation under the standing policy —
+    ``_DRIVER_WINDOW`` (round-13 rotation under the standing policy —
     see the note above), with everything else after in import order.
-    Every query outside the window keeps its r10/r11 driver row on
-    untouched code (the leftover r10-row holders are the committed r13
+    Every query outside the window keeps its r11/r12 driver row on
+    untouched code (the leftover r11-row holders are the committed r14
     window), and all are re-verified locally by tools/check_oracle.py
     (the identical gate). Do not change ``_DRIVER_WINDOW`` without
     checking driver-window coverage (tests/test_engine.py pins it).

@@ -110,19 +110,19 @@ def test_metadata_cache_rejects_reconfigure(spark):
     assert c2 is not c1 and c2.ttl == 10
 
 
-def test_driver_window_round11_rotation():
+def test_driver_window_round13_rotation():
     """The correctness harness records only the FIRST 50 registered
     queries. Round 7 adopted the standing rotation policy (every query
-    a driver row ≥ every 3 rounds; touched/new queries enter the next
+    a driver row >= every 3 rounds; touched/new queries enter the next
     window) — see queries/__init__.py. Pins the window AND the exact
-    outside set: the r6 advisor flagged the old families-prefix
-    assertion as vacuous (every name starts with r/c/x/mm_), so any
-    new registration must now be explicitly classified into the
-    window, the committed r12 window, or the has-r10-row remainder."""
+    outside set, so any new registration must be explicitly classified
+    into the window, the committed r14 window, or the fresh-row
+    remainder."""
     from rehiver_spark.queries import (
         QUERIES,
         _DRIVER_WINDOW,
         _R13_COMMITTED,
+        _R14_COMMITTED,
         load_all,
     )
 
@@ -130,55 +130,44 @@ def test_driver_window_round11_rotation():
     first50 = list(QUERIES)[:50]
     assert first50 == list(_DRIVER_WINDOW)
     assert len(first50) == 50 and len(set(first50)) == 50
-    # the round-11-committed r12 window (rule 1: the mm_* trio + full
-    # r-surface held the last r9 rows — MUST all be inside)
-    r12_committed = {
-        "mm_resize", "mm_features", "mm_frame_plan",
-        "r1_glob_match", "r2_glob_filter", "r3_path_capture",
-        "r4_partition_parse", "r5_partition_format",
-        "r6_partition_prune", "r7_missing_keys",
-        "r8_time_partition_path", "r8b_time_path_tz",
-        "r9_time_range_paths", "r10_detect_changes",
-        "r11_changes_filter", "r12_snapshot_commit", "r13_s3key_codec",
-        "r14_valid_bucket_name", "r15_content_type",
-        "r16_object_catalog", "r17_stream_process",
-    }
-    assert not r12_committed - set(first50)
-    # touched this round (rule 2): the relational→Column JVM minhash
-    # signature swap + the est-Jaccard verify pre-filter (x7/x7p/x29/
-    # x34) and the c17e staging/broadcast scale fix
+    # the round-12-committed r13 window MUST lead (rule 1: the core
+    # c-block held the last r10 rows; rule 2: x57c/x9/x9p were touched
+    # in r12 after its window was recorded)
+    assert first50[: len(_R13_COMMITTED)] == list(_R13_COMMITTED)
+    # touched this round (rule 2): glob-compiler exact classes
+    # (r1-r3), the bucketed snapshot store (r10-r12), the PPJoin+
+    # length filter (x2/x17), the auto-scaled est-gate (x7/x7p/x29),
+    # and the per-gram source-set re-plan (x40)
     assert {
-        "x7_minhash_pairs", "x7p_minhash_lsh", "x29_fuzzy_dedup",
-        "x34_incremental_neardup", "c17e_stream_static_join",
+        "r1_glob_match", "r2_glob_filter", "r3_path_capture",
+        "r10_detect_changes", "r11_changes_filter", "r12_snapshot_commit",
+        "x2_jaccard_pairs", "x7_minhash_pairs", "x7p_minhash_lsh",
+        "x17_dedup_clusters", "x29_fuzzy_dedup", "x40_source_overlap",
     } <= set(first50)
-    # EXACT outside set: the committed r13 window (the core c-block,
-    # r10 rows turning 3 rounds old there) + the r11-row holders on
-    # unchanged code (the r11 window minus the names rotated back in)
+    # EXACT outside set: the committed r14 window (r11-row holders the
+    # r13 rotation could not fit) + names with fresh r12 rows on code
+    # untouched since. x57b_substring_dedup_pruned was DEMOTED from the
+    # registry in r13 (dominated branch; pytest oracle pin in
+    # test_textops.py).
     outside = set(QUERIES) - set(first50)
-    has_r11_row = {
-        "x6c_portable_sample", "x8p_simhash", "x12_redact_pii",
-        "x13_stratified_sample", "x15_contamination", "x16_repetition",
-        "x19_pipeline", "x20_training_mix", "x21_winnow_contamination",
-        "x23_span_dedup", "x24_url_dedup", "x25_charlm_quality",
-        "x26_quantize_int8", "x27_line_dedup", "x28_incremental_dedup",
-        "x31_semantic_decontamination", "x32_corpus_report",
-        "x33_quality_select", "x36_vocab_topk", "x39_hybrid_search",
-        "x40_source_overlap",
-        # x57b_substring_dedup_pruned: DEMOTED r13 (dominated branch;
-        # pytest oracle pin in test_textops.py) — no longer registered
-        "x57c_substring_dedup_auto", "c17d2_stream_join_linear",
-        "x17_dedup_clusters", "x9_lsh_cosine_neardup", "x9p_lsh_cosine",
-        "x8_simhash_pairs", "x21f_winnow_fast", "x37_chunk_reassembly",
-        "x38_corpus_drift", "x22b_semdedup_scaled", "x41_count_min",
-        "x42_hll_distinct", "x43_bloom_dedup", "x44_stream_hll",
-        "x45_bpe_pairs", "x47_hdr_quantiles", "x48_weighted_sample",
-        "x49_dsir_scores", "x50_jl_project", "x51_kmeans",
-        "x52_stream_cm", "x53_ann_recall", "x54_pipeline_yield",
-        "x55_sketch_filter", "x56_stream_hdr", "x57_substring_dedup",
+    has_r12_row = {
+        "mm_resize", "mm_features", "mm_frame_plan", "mm_decode",
+        "r4_partition_parse", "r5_partition_format", "r6_partition_prune",
+        "r7_missing_keys", "r8_time_partition_path", "r8b_time_path_tz",
+        "r9_time_range_paths", "r13_s3key_codec", "r14_valid_bucket_name",
+        "r15_content_type", "r16_object_catalog", "r17_stream_process",
+        "x1_exact_dedup", "x3_cosine_topk", "x4_text_stats", "x5_tf_idf",
+        "x6_approx", "x6b_sampling", "x10_ivf_topk", "x11_chunking",
+        "x14_winnow_fingerprints", "x18_sequence_packing", "x22_semdedup",
+        "x30_zorder_layout", "x34_incremental_neardup", "x35_epoch_shuffle",
+        "x46_bpe_learn", "x46b_bpe_apply",
+        "c17_tumbling_window", "c17_session_window", "c17c_streaming_exec",
+        "c17d_stream_join", "c17e_stream_static_join", "c17f_stream_dedup",
+        "c17g_sliding_window", "c18b_python_udtf",
     }
-    assert outside == set(_R13_COMMITTED) | has_r11_row, (
+    assert outside == set(_R14_COMMITTED) | has_r12_row, (
         f"unclassified registrations: "
-        f"{sorted(outside ^ (set(_R13_COMMITTED) | has_r11_row))}"
+        f"{sorted(outside ^ (set(_R14_COMMITTED) | has_r12_row))}"
     )
 
 
