@@ -247,15 +247,16 @@ def decode_baseline(b: bytes):
 
 
 def decode_jpeg(b: bytes, allow_progressive: bool = True):
-    """Decode a baseline (SOF0/SOF1) or progressive (SOF2, r12) 8-bit
-    JPEG to ``(width, height, ncomp, numpy uint8 array (h, w[, 3]))``.
+    """Decode a baseline (SOF0/SOF1), progressive (SOF2, r12) or
+    arithmetic-coded sequential (SOF9, r13 — functions/jpeg_arith.py)
+    8-bit JPEG to ``(width, height, ncomp, numpy uint8 array)``.
 
     Progressive streams are accumulated scan by scan into per-component
     coefficient stores (DC/AC first scans and both successive-
     approximation refinement protocols, T.81 G.1.2), then reconstructed
     through the same dequantize→IDCT→upsample→color path as baseline.
-    Arithmetic coding, 12-bit precision, lossless, hierarchical and
-    CMYK still raise informative errors."""
+    Arithmetic PROGRESSIVE (SOF10), 12-bit precision, lossless,
+    hierarchical and CMYK still raise informative errors."""
     import numpy as np
 
     if not is_jpeg(b):
@@ -265,6 +266,9 @@ def decode_jpeg(b: bytes, allow_progressive: bool = True):
     huff_ac: dict[int, dict] = {}
     frame = None  # (precision, h, w, [(cid, hs, vs, tq)])
     progressive = False
+    arithmetic = False
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: DC table -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: AC table -> Kx
     pstate = None  # progressive accumulation state (set at first SOS)
     dri = 0
     i, n = 2, len(b)
@@ -315,13 +319,29 @@ def decode_jpeg(b: bytes, allow_progressive: bool = True):
                     raise ValueError("truncated DHT")
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(counts, vals)
                 p += 17 + nv
+        elif m == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            while p < end - 1:
+                tc, tb = b[p] >> 4, b[p] & 15
+                cs = b[p + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 15, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs  # Kx
+                p += 2
         elif m in _SOF_MARKERS:
             if m == 0xC2 and allow_progressive:
                 progressive = True
+            elif m == 0xC9 and allow_progressive:
+                # arithmetic sequential (jpeg_arith, r13); gated with
+                # progressive so decode_baseline keeps its contract
+                arithmetic = True
             elif m != 0xC0 and m != 0xC1:  # extended sequential C1 is ok
-                kind = {0xC2: "progressive", 0xC3: "lossless"}.get(
-                    m, f"SOF{m - 0xC0}"
-                )
+                kind = {
+                    0xC2: "progressive",
+                    0xC3: "lossless",
+                    0xC9: "arithmetic",
+                    0xCA: "arithmetic progressive",
+                }.get(m, f"SOF{m - 0xC0}")
                 raise ValueError(f"{kind} JPEG not supported (baseline only)")
             prec, hh, ww, nc = b[p], (b[p + 1] << 8) | b[p + 2], (
                 b[p + 3] << 8
@@ -352,6 +372,16 @@ def decode_jpeg(b: bytes, allow_progressive: bool = True):
                 if idx is None:
                     raise ValueError(f"SOS names unknown component {cs}")
                 scan.append((idx, tt >> 4, tt & 15))
+            if arithmetic:
+                if len(scan) != len(frame[3]):
+                    raise ValueError("non-interleaved scans not supported")
+                from rehiver_spark.functions.jpeg_arith import (
+                    decode_scan_arith,
+                )
+
+                return decode_scan_arith(
+                    b, end, frame, scan, qt, dri, dc_cond, ac_cond
+                )
             if not progressive:
                 if len(scan) != len(frame[3]):
                     raise ValueError("non-interleaved scans not supported")
@@ -1086,11 +1116,11 @@ def encode_progressive(arr, quality: int = 92) -> bytes:
 
 
 def jpeg_resize(b: bytes, max_side: int):
-    """Decode (baseline OR progressive, r12) → aspect-preserving
-    nearest-neighbor resample (shared ``png.fit_dims`` integer math,
-    never upscales) → deterministic baseline re-encode. Returns
-    ``(src_w, src_h, w, h, jpeg_bytes)`` — the JPEG twin of
-    ``png.png_resize``."""
+    """Decode (baseline, progressive r12, OR arithmetic sequential
+    r13) → aspect-preserving nearest-neighbor resample (shared
+    ``png.fit_dims`` integer math, never upscales) → deterministic
+    baseline re-encode. Returns ``(src_w, src_h, w, h, jpeg_bytes)`` —
+    the JPEG twin of ``png.png_resize``."""
     import numpy as np
 
     from rehiver_spark.functions.png import fit_dims

@@ -269,8 +269,10 @@ def resize_media(df: DataFrame, max_side: int = 256, fake: bool = True) -> DataF
                         w, h, tw, th, out = _png.png_resize(b, max_side)
                     elif _jpeg.is_jpeg(b):
                         # lib-free JPEG codec (functions/jpeg.py): baseline
-                        # since r11, progressive since r12; anything still
-                        # outside scope (12-bit/CMYK/arithmetic) raises
+                        # since r11, progressive since r12, arithmetic
+                        # sequential since r13 (jpeg_arith.py); anything
+                        # still outside scope (12-bit/CMYK/arith-
+                        # progressive/lossless) raises
                         # ValueError — fall through to Pillow when present,
                         # else surface the codec's reason.
                         try:
