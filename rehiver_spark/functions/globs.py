@@ -4,7 +4,9 @@ Re-expresses the reference's PathMatcher surface
 (reference: src/index.ts:613-765) as pure-Python compilation plus
 Spark ``Column`` predicates, so pattern filtering runs JVM-side via
 ``rlike`` (whole-stage codegen, no Python UDF) and can be applied to
-billions of keys.
+billions of keys. The single exception is the rare ``!()`` class no
+one-shot regex can express, which routes through an Arrow-batched
+exact matcher (see the extglob bullet below).
 
 Supported subset (everything exercised by the reference's tests and
 README — tests/index.test.ts:25-126, README.md:66-81):
@@ -28,12 +30,19 @@ README — tests/index.test.ts:25-126, README.md:66-81):
   exact; bare ``+``/``@``/``!``/``,`` count as literal since they only
   open constructs before ``(``), and for a lone trailing ``*``
   (``!(p)*`` ≡ ``*`` whenever p cannot match empty — the empty run
-  always refutes p, in any context). Remaining PERMISSIVE cases, both
-  pinned against real bash in tests/test_globs.py: wildcard-bearing
-  trailing context (``!(foo)b*`` — bash's per-split run≠p check needs
-  variable-width lookbehind that Python ``re`` lacks) and ``!()``
-  nested inside another extglob with following context
-  (``@(!(foo)bar)baz`` — the segment-end anchor is meaningless there).
+  always refutes p, in any context). The RAW REGEX stays permissive
+  for two classes, both pinned against real bash in
+  tests/test_globs.py: variable-width body together with
+  variable-width trailing context (``!(a|b*)b*`` — bash's per-split
+  run≠p check needs variable-width lookbehind that Python ``re``
+  lacks) and ``!()`` nested inside another extglob with following
+  context (``@(!(foo)bar)baz`` — the segment-end anchor is
+  meaningless there). Since r13 the COLUMN surface (``glob_match`` /
+  ``glob_all``) is bash-exact for every pattern regardless: those two
+  shapes are detected at compile time (:func:`glob_regex_is_exact`)
+  and routed through an Arrow-batched pandas UDF over the exact
+  split-enumerating matcher; every other shape keeps the JVM ``rlike``
+  fast path.
 - POSIX classes ``[[:alpha:]]`` etc. inside bracket expressions
 - options: ``dot`` (match dotfiles), ``nocase``
 
@@ -262,13 +271,23 @@ def _parse_extglob_alts(pattern: str, i: int) -> tuple[list[str], int] | None:
 
 
 def _translate_one(
-    pattern: str, dot: bool, nested: bool = False, seg_start0: bool = True
+    pattern: str,
+    dot: bool,
+    nested: bool = False,
+    seg_start0: bool = True,
+    inexact: list | None = None,
 ) -> str:
     """Translate a single brace-free glob into an (unanchored) regex
     body. ``seg_start0`` seeds the segment-start state — the exact
     driver-side matcher (:func:`_exact_match`) translates pattern
     SUFFIXES that resume mid-segment, where leading-dot guards and
-    globstar segment-ownership must not re-arm."""
+    globstar segment-ownership must not re-arm.
+
+    ``inexact``, when passed, collects a marker every time translation
+    falls back to the permissive/two-sided ``!()`` form — i.e. exactly
+    when the produced regex is NOT bash-exact.  Callers that need an
+    exactness verdict (``glob_match``'s UDF routing) pass a list and
+    test its truthiness; the regex text itself is unchanged."""
     out: list[str] = []
     i = 0
     n = len(pattern)
@@ -284,7 +303,8 @@ def _translate_one(
                 # leading-dot guard applies to the segment as a whole
                 # (emitted below), not inside a nested alternate
                 body = "|".join(
-                    _translate_one(a, dot=True, nested=True) for a in alts
+                    _translate_one(a, dot=True, nested=True, inexact=inexact)
+                    for a in alts
                 )
                 if seg_start and not dot:
                     # bash/micromatch with dotglob off: an extglob at
@@ -340,7 +360,8 @@ def _translate_one(
                         # rejects 'foobx', accepts 'fooobx'). The
                         # main loop still compiles rest itself.
                         rest_re = _translate_one(
-                            rest, dot=True, nested=True, seg_start0=False
+                            rest, dot=True, nested=True, seg_start0=False,
+                            inexact=inexact,
                         )
                         out.append(
                             f"(?:(?!(?:{body}){rest_re}(?:/|$))[^/]*)"
@@ -369,7 +390,9 @@ def _translate_one(
                             if lo <= wv - 1:
                                 branches.append(f"[^/]{{{lo},{wv - 1}}}")
                             aw = "|".join(
-                                _translate_one(a, dot=True, nested=True)
+                                _translate_one(
+                                    a, dot=True, nested=True, inexact=inexact
+                                )
                                 for a in by_w[wv]
                             )
                             branches.append(f"(?!(?:{aw}))[^/]{{{wv}}}")
@@ -392,7 +415,11 @@ def _translate_one(
                         # empty-run split). The driver-side
                         # PathMatcher routes '!('-patterns through
                         # _exact_match, which enumerates the bash
-                        # splits and is exact.
+                        # splits and is exact; glob_match routes this
+                        # class (flagged via ``inexact``) through the
+                        # Arrow-batched exact matcher the same way.
+                        if inexact is not None:
+                            inexact.append(pattern)
                         out.append(f"(?:(?!(?:{body})(?:/|$))[^/]*)")
                 i = j
                 seg_start = False
@@ -470,6 +497,19 @@ def _translate_one(
 
 
 @lru_cache(maxsize=4096)
+def _compile_flagged(pattern: str, dot: bool) -> tuple[str, bool]:
+    """(regex body, is_bash_exact) for one pattern: translation runs
+    once with the ``inexact`` collector; the boolean is True unless
+    some expansion hit the permissive ``!()`` fallback."""
+    flags: list = []
+    bodies = [
+        _translate_one(p, dot, inexact=flags) for p in expand_braces(pattern)
+    ]
+    body = bodies[0] if len(bodies) == 1 else "(?:" + "|".join(bodies) + ")"
+    return body, not flags
+
+
+@lru_cache(maxsize=4096)
 def glob_to_regex(pattern: str, dot: bool = False, nocase: bool = False) -> str:
     """Compile one glob pattern to an anchored, Java-safe regex string.
 
@@ -477,10 +517,18 @@ def glob_to_regex(pattern: str, dot: bool = False, nocase: bool = False) -> str:
     here the cache amortizes driver-side compile; executors JIT the
     ``rlike`` pattern once per task anyway).
     """
-    bodies = [_translate_one(p, dot) for p in expand_braces(pattern)]
-    body = bodies[0] if len(bodies) == 1 else "(?:" + "|".join(bodies) + ")"
+    body, _ = _compile_flagged(pattern, dot)
     prefix = "(?i)" if nocase else ""
     return f"{prefix}^{body}$"
+
+
+def glob_regex_is_exact(pattern: str, dot: bool = False) -> bool:
+    """True iff :func:`glob_to_regex`'s single-regex translation of
+    ``pattern`` is bash-exact — i.e. no brace expansion fell back to
+    the permissive ``!()`` form (variable-width body together with
+    variable-width trailing context, or ``!()`` nested inside another
+    extglob with following context)."""
+    return _compile_flagged(pattern, dot)[1]
 
 
 @lru_cache(maxsize=4096)
@@ -581,13 +629,22 @@ def glob_match(col: Column | str, patterns: str | list[str], *, dot: bool = Fals
     ``prefix/**/*.ext`` forms compile to startswith/endswith string
     predicates (the reference's matchFast idea); everything else is
     ``rlike`` — either way codegen'd, pushdown-friendly, no Python on
-    executors.
+    executors. The one exception (r13): the ``!()`` pattern class no
+    single Java regex can express (variable-width body + variable-width
+    trailing context, or nested ``!()``) routes through an
+    Arrow-batched pandas UDF over the bash-exact split-enumerating
+    matcher, so the Column surface is exact for EVERY pattern; the
+    regex fast path keeps every other shape.
     """
     c = F.col(col) if isinstance(col, str) else col
 
     def one(p: str) -> Column:
         fast = _fast_predicate(c, p, dot, nocase)
-        return fast if fast is not None else c.rlike(glob_to_regex(p, dot=dot, nocase=nocase))
+        if fast is not None:
+            return fast
+        if glob_regex_is_exact(p, dot):
+            return c.rlike(glob_to_regex(p, dot=dot, nocase=nocase))
+        return _exact_match_column(c, p, dot, nocase)
 
     pos, neg = split_patterns(patterns)
     if pos:
@@ -602,13 +659,52 @@ def glob_match(col: Column | str, patterns: str | list[str], *, dot: bool = Fals
     return cond
 
 
+def _exact_match_column(c: Column, pattern: str, dot: bool, nocase: bool) -> Column:
+    """Arrow-batched exact matcher for the ``!()`` class the single
+    regex cannot express (see :func:`glob_regex_is_exact`). Pure
+    per-row string work over Arrow batches — no state, no shuffle —
+    and it engages only for this rare pattern class, so the 100 TB
+    posture is unchanged: every other pattern stays JVM-side."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    # the closure references match_exact by module reference — make the
+    # package importable on executor workers even when the driver was
+    # launched without the repo on PYTHONPATH (same contract as every
+    # mapInPandas kernel in this package)
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        from rehiver_spark.session import ship_package
+
+        ship_package(active)
+
+    def _batch(s):
+        return s.map(
+            lambda x: None
+            if x is None
+            else match_exact(x, pattern, dot=dot, nocase=nocase)
+        )
+
+    # real type objects, not strings: this module uses
+    # ``from __future__ import annotations`` and pandas is imported
+    # locally, so inline hints would stringize and fail to resolve in
+    # pyspark's signature inference
+    _batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_batch, "boolean")(c)
+
+
 def glob_all(col: Column | str, patterns: list[str], *, dot: bool = False, nocase: bool = False) -> Column:
     """True iff EVERY pattern matches (reference PathMatcher.all,
-    src/index.ts:718-724)."""
+    src/index.ts:718-724). Inexpressible ``!()`` shapes route through
+    the exact Arrow-batched matcher, same as :func:`glob_match`."""
     c = F.col(col) if isinstance(col, str) else col
     cond = F.lit(True)
     for p in patterns:
-        cond = cond & c.rlike(glob_to_regex(p, dot=dot, nocase=nocase))
+        if glob_regex_is_exact(p, dot):
+            cond = cond & c.rlike(glob_to_regex(p, dot=dot, nocase=nocase))
+        else:
+            cond = cond & _exact_match_column(c, p, dot, nocase)
     return cond
 
 

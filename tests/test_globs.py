@@ -351,6 +351,90 @@ def test_negated_extglob_embedded_context_bash_parity():
                 assert bit == "1", f"over-reject-pin rationale stale: {k!r} ~ {p!r}"
 
 
+def test_column_side_exact_routing(spark):
+    """r13 close-out of the last Column-side divergence: glob_match /
+    glob_all are bash-exact for EVERY pattern. The two classes no
+    single Java regex can express (variable-width body AND
+    variable-width trailing context; '!()' nested inside another
+    extglob with following context) route through an Arrow-batched
+    pandas UDF over match_exact; every other shape keeps the rlike
+    fast path. Pins both the routing flag and the Column results on
+    the exact rows the raw regex diverges on."""
+    from rehiver_spark.functions.globs import (
+        glob_all,
+        glob_match,
+        glob_regex_is_exact,
+    )
+
+    # the flag is False ONLY for the two inexpressible classes
+    assert not glob_regex_is_exact("@(!(foo)bar)baz")
+    assert not glob_regex_is_exact("!(a|b*)b*")
+    assert not glob_regex_is_exact("{x,!(y|z*)w*}")  # via one expansion
+    for p in [
+        "!(foo)bar",     # literal rest: unique split, exact
+        "!(foo)b*",      # fixed-width body + trailing '*': enumerated
+        "!(foo)b?",      # fixed-width rest: unique split
+        "!(a|ab)b*",     # multi-width fixed alts: enumerated
+        "!(foo)*",       # '!(p)*' ≡ '*'
+        "!(foo)",        # segment-final
+        "@(a|b)c",
+        "a/**/*.txt",
+        "{x,y*}/z",
+    ]:
+        assert glob_regex_is_exact(p), p
+
+    # Column results agree with bash on the former divergence rows
+    # (expected values verified against live bash: shopt -s extglob;
+    # [[ $k == !(a|b*)b* ]])
+    rows = [
+        ("bb", True),          # the raw regex over-rejected this row
+        ("ab", False),
+        ("abb", True),
+        ("cbb", True),
+        (None, None),          # NULL stays NULL through the UDF route
+    ]
+    df = spark.createDataFrame([(k,) for k, _ in rows], "key string")
+    got = {
+        r["key"]: r["m"]
+        for r in df.select(
+            "key", glob_match("key", "!(a|b*)b*").alias("m")
+        ).collect()
+    }
+    for k, want in rows:
+        assert got[k] is want, (k, want, got[k])
+
+    nested = [
+        ("foobarbaz", False),  # '@(!(foo)bar)baz': regex was permissive
+        ("xbarbaz", True),
+        ("barbaz", True),
+    ]
+    df2 = spark.createDataFrame([(k,) for k, _ in nested], "key string")
+    got2 = {
+        r["key"]: r["m"]
+        for r in df2.select(
+            "key", glob_match("key", "@(!(foo)bar)baz").alias("m")
+        ).collect()
+    }
+    for k, want in nested:
+        assert got2[k] is want, (k, want, got2[k])
+
+    # negated-list form and glob_all route the same way
+    got3 = {
+        r["key"]: r["m"]
+        for r in df.na.drop().select(
+            "key", glob_match("key", ["**", "!!(a|b*)b*"]).alias("m")
+        ).collect()
+    }
+    assert got3["bb"] is False and got3["ab"] is True
+    got4 = {
+        r["key"]: r["m"]
+        for r in df.na.drop().select(
+            "key", glob_all("key", ["*b", "!(a|b*)b*"]).alias("m")
+        ).collect()
+    }
+    assert got4["bb"] is True and got4["ab"] is False
+
+
 def test_hard_negation_exhaustive_vs_live_bash():
     """Exhaustive mini-matrix for the round-8 exact matcher: every key
     over {a,b} up to length 5 × a hard-negation pattern zoo (wildcard
