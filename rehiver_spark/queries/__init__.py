@@ -83,7 +83,9 @@ def query(name: str, oracle: str | None = None):
 #     (per-gram source-set re-plan);
 #   - 15 of the 42 remaining r11-row holders (rule 4 — oldest
 #     evidence first, families contiguous): x12-x28/x31 text/dedup
-#     block. (x57b was demoted from the registry this round —
+#     block. (x57b was demoted from the registry mid-round and then
+#     restored — the optimization-phase contract freezes the declared
+#     set; it sits outside the window on its r11 row + pytest pin —
 #     BASELINE §Round 13.)
 # OUTSIDE the window and why that is safe: every name not listed has
 # an r11 or r12 driver row on code untouched since; the 27 leftover

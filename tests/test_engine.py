@@ -146,9 +146,10 @@ def test_driver_window_round13_rotation():
     } <= set(first50)
     # EXACT outside set: the committed r14 window (r11-row holders the
     # r13 rotation could not fit) + names with fresh r12 rows on code
-    # untouched since. x57b_substring_dedup_pruned was DEMOTED from the
-    # registry in r13 (dominated branch; pytest oracle pin in
-    # test_textops.py).
+    # untouched since. x57b_substring_dedup_pruned carries its r11 row
+    # on an unchanged query body (its mid-r13 demotion was reversed —
+    # the optimization-phase contract freezes the declared set; pytest
+    # oracle pin in test_textops.py doubles the evidence).
     outside = set(QUERIES) - set(first50)
     has_r12_row = {
         "mm_resize", "mm_features", "mm_frame_plan", "mm_decode",
@@ -160,7 +161,7 @@ def test_driver_window_round13_rotation():
         "x6_approx", "x6b_sampling", "x10_ivf_topk", "x11_chunking",
         "x14_winnow_fingerprints", "x18_sequence_packing", "x22_semdedup",
         "x30_zorder_layout", "x34_incremental_neardup", "x35_epoch_shuffle",
-        "x46_bpe_learn", "x46b_bpe_apply",
+        "x46_bpe_learn", "x46b_bpe_apply", "x57b_substring_dedup_pruned",
         "c17_tumbling_window", "c17_session_window", "c17c_streaming_exec",
         "c17d_stream_join", "c17e_stream_static_join", "c17f_stream_dedup",
         "c17g_sliding_window", "c18b_python_udtf",

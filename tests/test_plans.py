@@ -380,9 +380,7 @@ def test_x57b_pruned_fingerprint_phase_shape(spark, queries):
     fingerprint relation is the only thing shuffled), and the gram
     hash array must materialize behind the projection barrier (the
     X14 lesson: inlined, it re-hashes per window)."""
-    from rehiver_spark.queries.e_ops import x57b_substring_dedup_pruned
-
-    p = plan_of(x57b_substring_dedup_pruned(spark, SF))
+    p = plan_of(queries["x57b_substring_dedup_pruned"](spark, SF))
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p and "LeftAnti" in p
 

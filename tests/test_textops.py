@@ -1079,12 +1079,13 @@ def test_charlm_score_arrow_model_guard_falls_back(spark):
 
 
 def test_x57b_demoted_oracle_pin(spark):
-    """x57b was demoted from the bench/driver registry in r13 (the
+    """x57b's mid-r13 demotion was reversed (the optimization-phase
+    contract freezes the declared query set), but this pin stays: the
     pruned branch measured dominated-or-tied at every operating point
-    — receipts in BASELINE.md §Round 13 and the query docstring), with
-    the verdict-agreed condition that the query + its DuckDB oracle
-    stay pinned HERE: same comparison the driver harness runs (row
-    count, columns, canonical value multiset) at sf0.01."""
+    (receipts in BASELINE.md §Round 13 and the query docstring), and
+    the pin keeps the query + its DuckDB oracle verified every pytest
+    run with the same comparison the driver harness uses (row count,
+    columns, canonical value multiset) at sf0.01."""
     import duckdb
 
     from rehiver_spark.queries.e_ops import _x57b_sql, x57b_substring_dedup_pruned
