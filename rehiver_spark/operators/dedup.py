@@ -959,21 +959,39 @@ def simhash_signatures(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_tok")
     )
     if hash_fn == "md5":
+        # concat(NULL) → NULL → md5 NULL: empty-doc rows drop out of
+        # the sums naturally
         ex = ex.withColumn("_h", md5_hash60(F.concat(F.lit(f"{seed}:"), F.col("_tok"))))
     else:
-        ex = ex.withColumn("_h", F.xxhash64(F.lit(seed), F.col("_tok")))
-    aggs = []
-    for b in range(64):
-        contrib = F.when(F.col("_tok").isNull(), 0).otherwise(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        # xxhash64 SKIPS null inputs (hashes the seed alone, non-NULL),
+        # so the empty-doc explode_outer row must be masked explicitly
+        ex = ex.withColumn(
+            "_h",
+            F.when(
+                F.col("_tok").isNotNull(), F.xxhash64(F.lit(seed), F.col("_tok"))
+            ),
         )
-        aggs.append(F.sum(contrib).alias(f"_s{b}"))
+    # r13 per-task-work trim (guide §1.2 step 2): the ±1 contribution
+    # per (token, bit) was when(isNull, 0).otherwise(when(bit==1, 1)
+    # .otherwise(-1)) — two branches per bit per token. The identity
+    # sum(±1) = 2·ones_b − n (ones_b = popcount of bit b over tokens,
+    # n = token count) needs only shift+mask per bit: NULL hashes
+    # (explode_outer's empty-doc row) drop out of sum() and count()
+    # automatically, so the null guard goes too. Bit b is set iff
+    # 2·ones_b > n; empty docs have count 0 and all-NULL sums → sig 0,
+    # exactly as before (equivalence pinned in tests).
+    aggs = [
+        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_s{b}")
+        for b in range(64)
+    ]
+    aggs.append(F.count(F.col("_h")).alias("_n"))
     sums = ex.groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("bigint")
     for b in range(64):
         sig = sig.bitwiseXOR(
             F.when(
-                F.col(f"_s{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+                F.col(f"_s{b}") * 2 > F.col("_n"),
+                F.shiftleft(F.lit(1).cast("bigint"), b),
             ).otherwise(F.lit(0).cast("bigint"))
         )
     return sums.select(F.col(id_col), sig.alias("sig"))

@@ -223,13 +223,49 @@ def c6_agg(spark, sf_dir):
 )
 def c6b_percentile(spark, sf_dir):
     """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
-    ``quantile_cont``, both linear interpolation)."""
+    ``quantile_cont``, both linear interpolation).
+
+    r13 shape fix (guide §2.3 "aggregate before you shuffle"): the
+    naive ``percentile`` over raw rows partial-aggregates a
+    value→count map per map task, then merges EVERY task's map
+    single-threaded inside each of the |l_returnflag| = 3 reduce
+    groups — a 3-way fan-in that serializes ~Σ(per-task distincts)
+    map-entry merges on 3 cores regardless of cluster width. Instead,
+    collapse duplicates FIRST with a well-distributed
+    ``groupBy(flag, value).count()`` (hash-partitioned over the full
+    shuffle width), then feed ``percentile(value, p, count)`` — the
+    frequency-weighted form is defined as the percentile of each value
+    repeated count times, so the result is the exact same multiset
+    percentile, while the 3-group merge now sees one entry per
+    DISTINCT (flag, value) instead of one per (task, distinct).
+    Receipts in OPTIMIZATION_r13.md; the two value columns pre-reduce
+    independently (quantity has ~50 distincts, extendedprice ~1M) and
+    rejoin on the 3-row flag key (broadcast)."""
     li = tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("med"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
-        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q1_qty"),
+    ep = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.percentile("l_extendedprice", F.lit(0.5), F.col("_f")), 6
+            ).alias("med"),
+            F.round(
+                F.percentile("l_extendedprice", F.lit(0.95), F.col("_f")), 6
+            ).alias("p95"),
+        )
     )
+    qt = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.percentile("l_quantity", F.lit(0.25), F.col("_f")), 6
+            ).alias("q1_qty")
+        )
+    )
+    return ep.join(F.broadcast(qt), "l_returnflag")
 
 
 @query(
@@ -648,12 +684,12 @@ def c17c_streaming_exec(spark, sf_dir):
     tumbling window agg → Trigger.AvailableNow → memory sink. The
     returned DataFrame is the sink table, so the oracle verifies the
     streaming execution itself, not just a batch replay."""
-    import os as _os
 
     from rehiver_spark.queries import scratch_dir
     from rehiver_spark.streaming.windows import (
         read_file_stream,
         run_available_now,
+        stage_stream_source,
         suggest_state_partitions,
         tumbling_counts,
     )
@@ -661,14 +697,16 @@ def c17c_streaming_exec(spark, sf_dir):
     ev = tables(spark, sf_dir, ["events"])["events"]
     scratch = scratch_dir("c17c", sf_dir)
     src = f"{scratch}/src"
-    ev.withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
-    schema = spark.read.parquet(src).schema
-    src_bytes = sum(
-        e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")
+    # r13: natural-width staging (the c17e pattern), projected to the
+    # two columns the hourly aggregate reads — the old full-width
+    # repartition(4) staged the wide ``props`` varchar for nothing AND
+    # capped both the write and the stream scan at 4 tasks. 2-trigger
+    # cadence preserved via stage_stream_source.
+    _, src_bytes, mfpt = stage_stream_source(
+        ev.select(F.col("ts").cast("timestamp").alias("ts"), "value"), src
     )
-    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
+    schema = spark.read.parquet(src).schema
+    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=mfpt)
     # hourly-window agg state is |windows| rows — sized store count
     # (the x44/c17d measured class), not the session shuffle width
     res = run_available_now(
@@ -755,12 +793,16 @@ def c17d_stream_join(spark, sf_dir):
     # real clickstreams grow the key space with the data.
     src_c, src_p = f"{scratch}/clicks", f"{scratch}/purchases"
     evt = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    # r13: natural-width staging writes (the c17e pattern; the old
+    # repartition(4) funneled each side's write through 4 tasks and
+    # capped the stream scan width). Single AvailableNow batch, so
+    # file count never affects the inner interval join's result.
     evt.filter(F.col("event_type") == "click").selectExpr(
         "user_id AS c_user", "ts AS c_ts"
-    ).repartition(4).write.mode("overwrite").parquet(src_c)
+    ).write.mode("overwrite").parquet(src_c)
     evt.filter(F.col("event_type") == "purchase").selectExpr(
         "user_id AS p_user", "ts AS p_ts", "value AS p_value"
-    ).repartition(4).write.mode("overwrite").parquet(src_p)
+    ).write.mode("overwrite").parquet(src_p)
     # state partitions are sized from the SOURCE table bytes, not the
     # narrow staged slices: the 2 MB ramp was calibrated on full-width
     # parquet (windows.py), and the pre-projected slices undershoot it
@@ -859,12 +901,13 @@ def c17d2_stream_join_linear(spark, sf_dir):
         "user_key",
         F.col("user_id") + F.lit(10_000) * F.expr("event_id div 10000000"),
     )
+    # r13: natural-width staging (see c17d_stream_join)
     evt.filter(F.col("event_type") == "click").selectExpr(
         "user_key AS c_user", "ts AS c_ts"
-    ).repartition(4).write.mode("overwrite").parquet(src_c)
+    ).write.mode("overwrite").parquet(src_c)
     evt.filter(F.col("event_type") == "purchase").selectExpr(
         "user_key AS p_user", "ts AS p_ts", "value AS p_value"
-    ).repartition(4).write.mode("overwrite").parquet(src_p)
+    ).write.mode("overwrite").parquet(src_p)
     ev_src = f"{sf_dir}/events.parquet"
     src_bytes = (
         sum(
@@ -1005,9 +1048,11 @@ def c17f_stream_dedup(spark, sf_dir):
     ev = tables(spark, sf_dir, ["events"])["events"]
     scratch = scratch_dir("c17f", sf_dir)
     src = f"{scratch}/src"
+    # r13: natural-width staging (the c17e pattern); single AvailableNow
+    # batch, and the emitted KEY SET is file-count-invariant by contract
     ev.select(
         F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
-    ).repartition(4).write.mode("overwrite").parquet(src)
+    ).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     src_bytes = sum(
         e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")

@@ -1180,25 +1180,26 @@ def x44_stream_hll(spark, sf_dir):
     register math is the portable md5-60 form, and max is
     order-insensitive, so the BATCH SQL twin reproduces the streamed
     registers — and therefore the estimate — exactly."""
-    import os as _os
 
     from rehiver_spark.operators.sketches import hll_estimate, hll_registers
     from rehiver_spark.queries import scratch_dir
     from rehiver_spark.streaming.windows import (
         read_file_stream,
         run_available_now,
+        stage_stream_source,
         suggest_state_partitions,
     )
 
     ev = tables(spark, sf_dir, ["events"])["events"]
     scratch = scratch_dir("x44", sf_dir)
     src = f"{scratch}/src"
-    ev.select("event_type", "user_id").repartition(4).write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-    src_bytes = sum(
-        e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")
+    # natural-width staging, 2-trigger cadence preserved (r13, the
+    # c17e pattern — receipts in OPTIMIZATION_r13.md)
+    _, src_bytes, mfpt = stage_stream_source(
+        ev.select("event_type", "user_id"), src
     )
-    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
+    schema = spark.read.parquet(src).schema
+    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=mfpt)
     regs = hll_registers(sdf, item_col="user_id", p=_HLL_P, group_cols=["event_type"])
     # state is |types|·2^p register rows — letting the session's full
     # shuffle width create a state store apiece costs pure setup/commit
@@ -1676,7 +1677,6 @@ def x52_stream_cm(spark, sf_dir):
     regardless of stream volume; counters merge across streams by sum.
     Counting is order-insensitive, so the batch SQL twin reproduces
     the STREAMED counters — and every estimate — exactly."""
-    import os as _os
 
     from rehiver_spark.operators.sketches import cm_estimate, cm_sketch
     from rehiver_spark.queries import scratch_dir
@@ -1684,18 +1684,18 @@ def x52_stream_cm(spark, sf_dir):
     from rehiver_spark.streaming.windows import (
         read_file_stream,
         run_available_now,
+        stage_stream_source,
         suggest_state_partitions,
     )
 
     ev = read_events(spark, sf_dir)
     scratch = scratch_dir("x52", sf_dir)
     src = f"{scratch}/src"
-    ev.select("user_id").repartition(4).write.mode("overwrite").parquet(src)
+    # natural-width staging, 2-trigger cadence preserved (r13, the
+    # c17e pattern — receipts in OPTIMIZATION_r13.md)
+    _, src_bytes, mfpt = stage_stream_source(ev.select("user_id"), src)
     schema = spark.read.parquet(src).schema
-    src_bytes = sum(
-        e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")
-    )
-    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
+    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=mfpt)
     uid = F.col("user_id").cast("string")
     # the SAME cm_sketch the batch path certifies — its explode+groupBy
     # body is stateless-transform + aggregation, streaming-legal as-is
@@ -1991,27 +1991,26 @@ def x56_stream_hdr(spark, sf_dir):
     S·50 bucket rows regardless of stream volume; counting is
     order-insensitive, so the batch SQL twin reproduces the STREAMED
     counters — and the quantile estimates — exactly."""
-    import os as _os
 
     from rehiver_spark.operators.sketches import hdr_quantiles, hdr_sketch
     from rehiver_spark.queries import scratch_dir
     from rehiver_spark.streaming.windows import (
         read_file_stream,
         run_available_now,
+        stage_stream_source,
         suggest_state_partitions,
     )
 
     d = tables(spark, sf_dir, ["documents"])["documents"]
     scratch = scratch_dir("x56", sf_dir)
     src = f"{scratch}/src"
-    d.select(F.length("text").alias("v")).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
-    schema = spark.read.parquet(src).schema
-    src_bytes = sum(
-        e.stat().st_size for e in _os.scandir(src) if e.name.endswith(".parquet")
+    # natural-width staging, 2-trigger cadence preserved (r13, the
+    # c17e pattern — receipts in OPTIMIZATION_r13.md)
+    _, src_bytes, mfpt = stage_stream_source(
+        d.select(F.length("text").alias("v")), src
     )
-    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=2)
+    schema = spark.read.parquet(src).schema
+    sdf = read_file_stream(spark, src, schema, max_files_per_trigger=mfpt)
     counters = hdr_sketch(sdf, "v", sub=_HDR_SUB)
     # S·50 bucket rows of state — sized store count (the x44 win)
     sink = run_available_now(

@@ -231,6 +231,43 @@ def test_simhash_signatures_matches_column_form(spark):
     assert rows[1] == rows[2] and rows[1] != rows[3] and rows[4] == 0
 
 
+def test_simhash_signatures_tie_bits_match_column_form(spark):
+    """r13 internals change: the relational form now sets bit b iff
+    2·ones_b > n (popcount identity) instead of summing ±1 per token.
+    The decision boundary is the TIE (ones == zeros): a 2-token doc
+    ties on every bit where the two token hashes differ, so pin that
+    regime explicitly against the Column fold's sum>0 semantics."""
+    from pyspark.sql import functions as F
+
+    from rehiver_spark.operators.dedup import simhash, simhash_signatures
+
+    # two distinct tokens → their xxhash64 values differ in >=1 bit,
+    # and every differing bit is an exact tie (ones_b == 1 == n/2)
+    h = spark.createDataFrame([("alpha",), ("omega",)], "t string").select(
+        F.xxhash64(F.lit(42), F.col("t")).alias("h")
+    )
+    ha, hb = [r["h"] for r in h.collect()]
+    assert ha != hb, "fixture must exercise tie bits"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha omega"),  # 2 tokens: every differing bit ties
+            (2, "alpha alpha omega"),  # odd multiset: no ties possible
+            (3, "alpha omega alpha omega"),  # duplicated multiset, same ties
+        ],
+        "doc_id bigint, text string",
+    )
+    rel = {r["doc_id"]: r["sig"] for r in simhash_signatures(df).collect()}
+    col = {
+        r["doc_id"]: r["sig"]
+        for r in df.select("doc_id", simhash("text").alias("sig")).collect()
+    }
+    assert rel == col
+    # tie bits resolve to 0: the 2-token sig keeps only the AND of the
+    # two hashes' set bits (ones_b == 2 strictly beats n == 2)
+    assert rel[1] == ha & hb
+    assert rel[3] == rel[1]  # doubling the multiset doubles ones and n
+
+
 def test_jaccard_prefix_equals_blocking(spark):
     from pyspark.sql import functions as F
 

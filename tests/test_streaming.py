@@ -425,3 +425,25 @@ def test_sliding_window_streaming_matches_batch(spark, events, tmp_path):
         for r in sliding_counts(batch_df, "ts", "1 hour", "15 minutes").collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stage_stream_source_widths_and_trigger_dial(spark, tmp_path):
+    """r13 natural-width staging helper: a frame whose natural width is
+    a single split gets rewritten at n_triggers files (tiny scales keep
+    the multi-trigger incremental-merge exercise); a wider frame keeps
+    its natural file count and mfpt = ceil(files / n_triggers)."""
+    import os
+
+    from rehiver_spark.streaming.windows import stage_stream_source
+
+    tiny = spark.range(10).toDF("v").coalesce(1)
+    src1 = str(tmp_path / "tiny")
+    n, nbytes, mfpt = stage_stream_source(tiny, src1, n_triggers=2)
+    files = [e for e in os.scandir(src1) if e.name.endswith(".parquet")]
+    assert n == len(files) == 2 and mfpt == 1 and nbytes > 0
+    assert {r["v"] for r in spark.read.parquet(src1).collect()} == set(range(10))
+
+    wide = spark.range(1000).toDF("v").repartition(5)
+    src2 = str(tmp_path / "wide")
+    n, nbytes, mfpt = stage_stream_source(wide, src2, n_triggers=2)
+    assert n == 5 and mfpt == 3 and nbytes > 0  # 2 triggers: 3 files + 2 files
