@@ -1641,14 +1641,16 @@ def dedup_substrings(
     starts, which is the published suffix-array semantics restricted
     to runs ≥ L (keep-one, greedy).
 
-    Plan (100 TB posture — the honest Lee-et-al cost profile, two
-    corpus-token-sized shuffles and nothing worse):
+    Plan (100 TB posture — ONE corpus-token-sized shuffle since r13,
+    the keep-first pass; reconstruction is shuffle-free):
     1. positions + window hashes are pure array arithmetic per doc;
     2. keep-first = ONE shuffle on the window hash (row_number);
     3. excised positions merge into maximal intervals RELATIONALLY
        (gaps-and-islands over (doc, pos) — no array folds);
-    4. reconstruction = token rows anti-joined against the (few)
-       per-doc intervals, then one ordered per-doc assembly.
+    4. reconstruction = the (few) per-doc intervals join back to the
+       token arrays on the doc key, excision is an indexed array
+       filter — no token explode, no per-doc object aggregate
+       (r13: was a second corpus-token shuffle, 6.0 of 14.8 s sf10).
 
     Overlap subtlety (documented, standard greedy): a later occurrence
     is excised even when the first occurrence itself partially
@@ -1707,48 +1709,47 @@ def dedup_substrings(
         .groupBy(id_col, "_isl")
         .agg(F.min("pos").alias("_s"), (F.max("pos") + L).alias("_e"))
     )
-    tok_rows = base.select(
-        id_col, F.posexplode("_t").alias("_i0", "_tok")
-    ).select(id_col, (F.col("_i0") + 1).alias("idx"), "_tok")
-    kept = tok_rows.alias("t").join(
-        islands.alias("iv"),
-        (F.col(f"t.{id_col}") == F.col(f"iv.{id_col}"))
-        & (F.col("t.idx") >= F.col("iv._s"))
-        & (F.col("t.idx") < F.col("iv._e")),
-        "left_anti",
+    # r13 reconstruction rewrite (guide §2.4 — remove shuffles
+    # outright): the old tail exploded EVERY token into rows, anti-
+    # joined them against the intervals, and re-collected each doc
+    # with collect_list + array_sort — a second corpus-token shuffle
+    # plus a per-doc object aggregate, measured as 6.0 s of the 14.8 s
+    # sf10 query (stage split in OPTIMIZATION_r13.md). But the merged
+    # intervals are TINY (sf10 fixture: 298k intervals across 243k of
+    # 500k docs), so excision is cheaper as pure array arithmetic:
+    # collect each doc's intervals (small shuffle on cut rows only),
+    # join them back to the token arrays on the doc key, and drop
+    # excised positions with an indexed array filter — zero additional
+    # corpus-sized shuffle, no object agg, and n_tokens_after /
+    # cleaned_text fall out of the same filtered array. Token order is
+    # positional by construction (no re-sort needed). Equivalence:
+    # identical excision predicate (_s <= idx < _e per doc), pinned
+    # against the pure-Python reference and the DuckDB oracle.
+    ivs = islands.groupBy(id_col).agg(
+        F.collect_list(F.struct("_s", "_e")).alias("_ivs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cut_spans"),
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "_tok"))),
-                lambda s: s["_tok"],
+    joined = base.join(ivs, id_col, "left")
+    # docs with no cuts carry NULL _ivs: keep the array as-is (a bare
+    # filter would drop every token on the NULL predicate)
+    cleaned = F.when(F.col("_ivs").isNull(), F.col("_t")).otherwise(
+        F.filter(
+            F.col("_t"),
+            lambda _tok, i: ~F.exists(
+                F.col("_ivs"),
+                lambda iv: (i + 1 >= iv["_s"]) & (i + 1 < iv["_e"]),
             ),
-            " ",
-        ).alias("cleaned_text"),
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens_after"),
-    )
-    spans = islands.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cut_spans")
-    )
-    totals = base.select(
-        id_col,
-        # NULL text → NULL token array → size NULL; report 0 tokens
-        F.coalesce(F.size("_t"), F.lit(0)).cast("bigint").alias("n_tokens_before"),
-    )
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .join(spans, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
-            "n_tokens_before",
-            F.coalesce(F.col("n_tokens_after"), F.lit(0))
-            .cast("bigint")
-            .alias("n_tokens_after"),
-            F.coalesce(F.col("n_cut_spans"), F.lit(0))
-            .cast("bigint")
-            .alias("n_cut_spans"),
         )
+    )
+    return joined.select(
+        id_col,
+        # NULL text → NULL token array → NULL cleaned; report ""
+        F.coalesce(F.array_join(cleaned, " "), F.lit("")).alias("cleaned_text"),
+        F.coalesce(F.size("_t"), F.lit(0)).cast("bigint").alias("n_tokens_before"),
+        F.coalesce(F.size(cleaned), F.lit(0)).cast("bigint").alias("n_tokens_after"),
+        F.coalesce(F.col("n_cut_spans"), F.lit(0))
+        .cast("bigint")
+        .alias("n_cut_spans"),
     )
 
 

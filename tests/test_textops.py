@@ -667,6 +667,12 @@ def test_dedup_substrings_matches_reference_any_alignment(spark):
         # their excised intervals touch and must merge into ONE
         # maximal span (the gaps-and-islands condition), not two
         (6, core + " " + core2),
+        # doc 7: two previously-seen windows SEPARATED by fresh text —
+        # two DISJOINT excision intervals in one doc (pins the r13
+        # indexed-array-filter reconstruction against a multi-interval
+        # _ivs list, where interval order in the collected array is
+        # arbitrary)
+        (7, core + " fresh unseen middle tokens here " + core2),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {
@@ -685,6 +691,9 @@ def test_dedup_substrings_matches_reference_any_alignment(spark):
     assert n_core == 1
     # doc 6's two back-to-back excisions merged into ONE maximal span
     assert got[6] == ("", 24, 0, 1), got[6]
+    # doc 7's two excisions stay DISJOINT: 2 spans, the fresh middle
+    # survives
+    assert got[7][3] == 2 and "fresh unseen middle tokens here" in got[7][0]
 
 
 def test_dedup_substrings_on_real_corpus_matches_reference(spark):
