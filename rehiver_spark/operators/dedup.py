@@ -38,6 +38,7 @@ data being deduped.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -46,6 +47,39 @@ from pyspark.sql import types as T
 from rehiver_spark.functions.hashing import md5_hash60, md5_hash60_py
 from rehiver_spark.operators.textops import normalize_text, tokens, word_ngrams
 from rehiver_spark.session import ensure_parallelism, track_persist
+
+# Scale gate for the pair operators' bucket self-joins (r13, guide §3.1):
+# at corpus scale Catalyst's size estimate for the exploded key relation
+# (prefix hashes / LSH bands / SimHash block keys) undershoots the
+# autoBroadcast threshold ~10x, so the planner builds a BroadcastHashJoin
+# whose hash map is hundreds of MiB — and the collision enumeration
+# (sf10: ~5e8 probes for x8) becomes cache-miss-bound. Forcing sort-merge
+# for the SAME join enumerates collisions from sorted runs sequentially:
+# measured 13.8 s → 4.1 s (x8 blocking phase, sf10). At small scale the
+# broadcast IS faster (no exchange at all; forcing merge cost x8 +1.2 s
+# at sf0.1), so the hint is gated on the BASE corpus relation's estimate
+# — which comes from parquet scan sizes and tracks scale faithfully,
+# unlike the derived subtree's. Threshold: measured estimates are 0.5 MiB
+# (sf0.1) / 6 MiB (sf1) / 65 MiB (sf10); 32 MiB puts only sf10-class
+# corpora on the merge path. Env-overridable for other deployments.
+_SELFJOIN_MERGE_MIN_EST_BYTES = int(
+    os.environ.get("REHIVER_SELFJOIN_MERGE_MIN_EST_BYTES", str(32 << 20))
+)
+
+
+def _big_corpus(df: DataFrame) -> bool:
+    """True when ``df``'s Catalyst size estimate says the corpus is big
+    enough that the pair operators' bucket self-joins must be planned
+    sort-merge (see module comment above). Runs no job; on any
+    estimate failure assumes BIG — the scale-safe default (a forced
+    sort-merge on a small corpus costs ~a second; a misplanned
+    broadcast on a big one costs 3x the join, or an OOM at real scale).
+    """
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return True
+    return est >= _SELFJOIN_MERGE_MIN_EST_BYTES
 
 
 # ---------------------------------------------------------------------------
@@ -256,10 +290,17 @@ def _jaccard_pairs_prefix(
     # |B| >= t·|A| equivalent to |B| >= ceil(t·|A|).
     min_b = F.ceil(F.lit(threshold) * F.col("_na") - F.lit(1e-6))
     min_a = F.ceil(F.lit(threshold) * F.col("_nb") - F.lit(1e-6))
+    # r13: big corpora force sort-merge for the prefix self-join — same
+    # misestimated-broadcast finding as _lsh_band_candidates (sf10: 7M
+    # prefix rows, 768 MiB actually built and probed ~1e9 times;
+    # receipts in OPTIMIZATION_r13.md). See _big_corpus.
+    pref_b = pref.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_s")
+    if _big_corpus(df):
+        pref_b = pref_b.hint("merge")
     cand = (
         pref.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_s")
         .join(
-            pref.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_s"),
+            pref_b,
             "_s",
         )
         .filter(
@@ -554,11 +595,14 @@ def lsh_candidates(
     # map-only JVM Column signatures (r12): no signature-stage shuffle
     # at all — the only Exchange left is the band-bucket self-join's
     sigs = minhash_signatures(df, id_col, shingle_col, num_hashes, seed, hash_fn)
-    return _lsh_band_candidates(sigs, id_col, num_hashes, bands)
+    return _lsh_band_candidates(
+        sigs, id_col, num_hashes, bands, prefer_merge=_big_corpus(df)
+    )
 
 
 def _lsh_band_candidates(
-    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int,
+    prefer_merge: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs from a precomputed ``(id, sig)``
     relation — the banding half of :func:`lsh_candidates`, split out so
@@ -570,6 +614,11 @@ def _lsh_band_candidates(
     ).select("_id", "b.band", "b.bh")
     a = banded.withColumnRenamed("_id", "id_a")
     b = banded.withColumnRenamed("_id", "id_b")
+    # prefer_merge (r13): the banded relation is corpus-sized × bands
+    # (sf10: 5M rows, 472 MiB actually built) — see the _big_corpus
+    # module comment for why big corpora must force sort-merge here.
+    if prefer_merge:
+        b = b.hint("merge")
     return (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -644,7 +693,9 @@ def minhash_neardup_pairs(
     sigs = track_persist(
         minhash_signatures(sh, "_id", "_sh", num_hashes, seed, hash_fn)
     )  # read by banding and (gated) both estimate sides
-    cand = _lsh_band_candidates(sigs, "_id", num_hashes, bands)
+    cand = _lsh_band_candidates(
+        sigs, "_id", num_hashes, bands, prefer_merge=_big_corpus(df)
+    )
     if est_gate_margin is not None:
         sa = sigs.select(F.col("_id").alias("id_a"), F.col("sig").alias("_siga"))
         sb = sigs.select(F.col("_id").alias("id_b"), F.col("sig").alias("_sigb"))
@@ -1061,6 +1112,7 @@ def simhash_neardup_pairs(
     """
     if not 0 <= max_hamming <= 31:
         raise ValueError("max_hamming must be in [0, 31]")
+    big = _big_corpus(df)
     sig_bits = 60 if hash_fn == "md5" else 64
     sigs = track_persist(
         simhash_signatures(df, id_col, text_col, seed, hash_fn).select(
@@ -1108,6 +1160,15 @@ def simhash_neardup_pairs(
     ).select("_id", "_sig", "c.ci", "c.cv")
     a = chunks.withColumnsRenamed({"_id": "id_a", "_sig": "sig_a"})
     b = chunks.withColumnsRenamed({"_id": "id_b", "_sig": "sig_b"})
+    # r13: big corpora force sort-merge for the block-key self-join —
+    # the exploded chunk table's size estimate undershoots the
+    # autoBroadcast threshold and the planner builds a ~350 MiB
+    # broadcast map that every one of the ~5e8 sf10 collision probes
+    # cache-misses into (measured 13.8 s BHJ → 4.1 s SMJ at sf10/k=2
+    # for identical output; under SMJ k=2 still beats k=3/k=4, so the
+    # adaptive k dial needs no re-tuning). See _big_corpus.
+    if big:
+        b = b.hint("merge")
     return (
         a.join(b, ["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))

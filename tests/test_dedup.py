@@ -912,3 +912,50 @@ def test_jaccard_prefix_length_filter_keeps_boundary_pairs(spark):
         ).collect()
     }
     assert got == base
+
+
+def test_selfjoin_merge_gate_equivalence_and_plan(docs, monkeypatch):
+    """r13: the _big_corpus scale gate forces the bucket self-joins
+    (prefix-Jaccard candidates, LSH bands, SimHash block keys) to
+    sort-merge on big corpora — a join-STRATEGY hint only, so the pair
+    sets must be bit-identical with the gate on and off, and the gated
+    plan must actually carry SortMergeJoin where the ungated one
+    broadcasts (the sf10 misplan this corrects: Catalyst's estimate of
+    the exploded key relation undershoots the autoBroadcast threshold
+    ~10x and a 300-800 MiB map gets built and probed ~5e8 times)."""
+    from rehiver_spark.operators import dedup
+    from rehiver_spark.operators.dedup import (
+        jaccard_pairs, shingles, simhash_neardup_pairs,
+    )
+
+    sh = docs.select("doc_id", shingles("text", 3).alias("shingles"))
+
+    def pairs_jac():
+        return {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+            for r in jaccard_pairs(sh, threshold=0.8).collect()
+        }
+
+    def pairs_sim():
+        return {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+        }
+
+    monkeypatch.setattr(dedup, "_SELFJOIN_MERGE_MIN_EST_BYTES", 1 << 62)
+    off_jac, off_sim = pairs_jac(), pairs_sim()
+    monkeypatch.setattr(dedup, "_SELFJOIN_MERGE_MIN_EST_BYTES", 0)
+    on_jac, on_sim = pairs_jac(), pairs_sim()
+    assert on_jac == off_jac and len(on_jac) > 0
+    assert on_sim == off_sim and len(on_sim) > 0
+    # the gate really changes the candidate join's strategy
+    plan_on = (
+        jaccard_pairs(sh, threshold=0.8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in plan_on
+    sim_on = (
+        simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in sim_on
