@@ -693,12 +693,17 @@ def minhash_neardup_pairs(
     sigs = track_persist(
         minhash_signatures(sh, "_id", "_sh", num_hashes, seed, hash_fn)
     )  # read by banding and (gated) both estimate sides
-    cand = _lsh_band_candidates(
-        sigs, "_id", num_hashes, bands, prefer_merge=_big_corpus(df)
-    )
+    big = _big_corpus(df)
+    cand = _lsh_band_candidates(sigs, "_id", num_hashes, bands, prefer_merge=big)
     if est_gate_margin is not None:
         sa = sigs.select(F.col("_id").alias("id_a"), F.col("sig").alias("_siga"))
         sb = sigs.select(F.col("_id").alias("id_b"), F.col("sig").alias("_sigb"))
+        if big:
+            # r13: the sig relation's 32-long arrays build a 288 MiB
+            # broadcast map (×2) at sf10 under the misestimate; SMJ
+            # measured 2.51 vs 3.17 s on warm candidates (see
+            # OPTIMIZATION_r13.md §12)
+            sa, sb = sa.hint("merge"), sb.hint("merge")
         cand = (
             cand.join(sa, "id_a")
             .join(sb, "id_b")
@@ -1570,21 +1575,35 @@ def incremental_minhash_neardup(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
 
-    def banded(sigs: DataFrame, id_alias: str) -> DataFrame:
-        return sigs.select(
-            F.col(id_col).alias(id_alias),
-            F.col("sig").alias(f"_sig_{id_alias}"),
-            F.explode(_band_keys(F.col("sig"), num_hashes, bands)).alias("b"),
-        ).select(id_alias, f"_sig_{id_alias}", "b.band", "b.bh")
+    def banded(sigs: DataFrame, id_alias: str, with_sig: bool) -> DataFrame:
+        cols = [F.col(id_col).alias(id_alias)]
+        if with_sig:
+            cols.append(F.col("sig").alias(f"_sig_{id_alias}"))
+        cols.append(F.explode(_band_keys(F.col("sig"), num_hashes, bands)).alias("b"))
+        out_cols = [id_alias] + ([f"_sig_{id_alias}"] if with_sig else [])
+        return sigs.select(*cols).select(*out_cols, "b.band", "b.bh")
 
-    bsig = minhash_index(batch, id_col, text_col, k, num_hashes, seed, hash_fn)
-    bb = banded(bsig, "batch_id")
-    ib = banded(index.select(F.col(id_col), "sig"), "corpus_id")
+    bsig = track_persist(
+        minhash_index(batch, id_col, text_col, k, num_hashes, seed, hash_fn)
+    )  # read by the band-key broadcast AND the post-distinct re-attach
+    # r13: broadcast the batch's band keys WITHOUT its signature — the
+    # 32-long sig array dominated the broadcast (sf10 fixture: 733k
+    # band rows built a 280 MiB map; the narrow keys are ~17 MiB) and
+    # rode through the band join AND the candidate distinct for every
+    # collision. The batch sig is re-attached to the (candidate-sized)
+    # distinct output instead; signatures are deterministic per id, so
+    # the pair set and estimates are bit-identical.
+    bb = banded(bsig, "batch_id", with_sig=False)
+    ib = banded(index.select(F.col(id_col), "sig"), "corpus_id", with_sig=True)
     bb_side = F.broadcast(bb) if broadcast_batch else bb
     cand = (
         ib.join(bb_side, ["band", "bh"])
-        .select("batch_id", "corpus_id", "_sig_batch_id", "_sig_corpus_id")
+        .select("batch_id", "corpus_id", "_sig_corpus_id")
         .distinct()
+    )
+    bsig_b = bsig.select(F.col(id_col).alias("batch_id"), F.col("sig").alias("_sig_batch_id"))
+    cand = cand.join(
+        F.broadcast(bsig_b) if broadcast_batch else bsig_b, "batch_id"
     )
     est = sig_est_jaccard("_sig_batch_id", "_sig_corpus_id", num_hashes)
     out = cand.withColumn("est_jaccard", est).filter(
