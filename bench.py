@@ -54,6 +54,7 @@ def main() -> int:
     # run before self-load accumulates), not by load_max.
     load_pre = _loadavg1()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = _bench_cpus()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     except ValueError:
@@ -104,7 +105,7 @@ def main() -> int:
     flaky: list[str] = []  # succeeded on an early run, crashed on a later one
     loads: dict[str, float] = {}  # 1-min loadavg stamped per query
     reruns: dict[str, int] = {}  # envelope-adjudication extra runs
-    envelope = _load_envelope(sf)
+    envelope = _load_envelope(sf, cpus)
     adj_max = max(0, int(os.environ.get("BENCH_ADJUDICATE_RUNS", "2")))
     # optional positional args: bench only the named queries, with
     # optional n-runs via BENCH_RUNS (the driver passes no args, so its
@@ -216,9 +217,16 @@ def main() -> int:
         return 0
     emit_artifacts(
         timings, flaky, sf, write_file=complete, loadavg=loads,
-        reruns=reruns, load_pre=load_pre,
+        reruns=reruns, load_pre=load_pre, cpus=cpus,
     )
     return 0
+
+
+def _bench_cpus() -> int:
+    """Core count the suite runs on (local[$SPARK_GRAFT_CPUS] — same
+    derivation as session.get_spark); stamped into every artifact so
+    the envelope is scoped by (sf, cpus), not sf alone."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
 def _release_query_state(spark) -> None:
@@ -249,25 +257,48 @@ def _loadavg1() -> float:
         return -1.0
 
 
-def _load_envelope(sf: float) -> dict[str, float]:
+def _scoped_artifact(sf: float, cpus: int) -> str:
+    """Fallback artifact name for a run whose (sf, cpus) does not match
+    the committed BENCH_FULL.json — the r13 driver's 8-core sweep
+    overwrote the 32-core envelope, slackening the 1.3x adjudication
+    gate for every later run (r13 VERDICT task 6)."""
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_FULL_sf{sf}_c{cpus}.json",
+    )
+
+
+def _load_envelope(sf: float, cpus: int | None = None) -> dict[str, float]:
     """Per-query envelope = the previous full-suite record at the SAME
-    sf (BENCH_FULL.json; override with BENCH_ENVELOPE for tests and
-    cross-host anchors). Empty when absent, unparseable, or from a
-    different scale — adjudication then simply never triggers."""
-    path = os.environ.get("BENCH_ENVELOPE") or os.path.join(
+    (sf, cpus) (BENCH_FULL.json, else the (sf, cpus)-scoped fallback;
+    override with BENCH_ENVELOPE for tests and cross-host anchors).
+    Empty when absent, unparseable, or from a different scale or core
+    count — adjudication then simply never triggers. A record without
+    a "cpus" stamp (pre-r14) is treated as matching, preserving the
+    old behavior for legacy artifacts."""
+    if cpus is None:
+        cpus = _bench_cpus()
+    override = os.environ.get("BENCH_ENVELOPE")
+    main = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
-    try:
-        with open(path) as f:
-            rec = json.load(f)
+    paths = [override] if override else [main, _scoped_artifact(sf, cpus)]
+    for path in paths:
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
         if rec.get("sf") != sf:
-            return {}
+            continue
+        rec_cpus = rec.get("cpus")
+        if rec_cpus is not None and rec_cpus != cpus:
+            continue
         return {
             k: v for k, v in rec.get("queries", {}).items()
             if isinstance(v, (int, float)) and v > 0
         }
-    except (OSError, ValueError):
-        return {}
+    return {}
 
 
 def _append_ckpt(
@@ -298,6 +329,7 @@ def emit_artifacts(
     loadavg: dict | None = None,
     reruns: dict | None = None,
     load_pre: float | None = None,
+    cpus: int | None = None,
 ) -> None:
     """Write BENCH_FULL.json (full-suite runs only) and print the record.
 
@@ -310,6 +342,8 @@ def emit_artifacts(
     the top-10 slowest + a pointer) guaranteed to fit the capture
     window whole (invariant unit-tested in tests/test_bench_smoke.py).
     """
+    if cpus is None:
+        cpus = _bench_cpus()
     ok = [v for v in timings.values() if v >= 0]
     full = {
         "metric": "total_query_sec",
@@ -317,6 +351,7 @@ def emit_artifacts(
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": cpus,
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
         "flaky": flaky,
@@ -339,7 +374,27 @@ def emit_artifacts(
     full_line = json.dumps(full, separators=(",", ":"))
     if write_file:
         repo_root = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+        target = os.path.join(repo_root, "BENCH_FULL.json")
+        # envelope integrity (r13 VERDICT task 6): a complete run whose
+        # (sf, cpus) differs from the committed record must not clobber
+        # the envelope — the r13 driver's 8-core sweep overwrote the
+        # 32-core record, slackening the 1.3x adjudication gate. Such
+        # runs land in an (sf, cpus)-scoped sibling artifact instead.
+        try:
+            with open(target) as f:
+                rec = json.load(f)
+            rec_cpus = rec.get("cpus")
+            if rec.get("sf") != sf or (rec_cpus is not None and rec_cpus != cpus):
+                target = _scoped_artifact(sf, cpus)
+                print(
+                    f"# bench: BENCH_FULL.json holds sf={rec.get('sf')} "
+                    f"cpus={rec_cpus}; this run (sf={sf} cpus={cpus}) "
+                    f"written to {os.path.basename(target)}",
+                    file=sys.stderr,
+                )
+        except (OSError, ValueError):
+            pass  # no/unreadable record: write the main artifact
+        with open(target, "w") as f:
             f.write(full_line + "\n")
     print(full_line)
     if len(full_line) > 1500:

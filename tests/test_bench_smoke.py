@@ -134,6 +134,48 @@ def test_bench_adjudicates_envelope_regressions(tmp_path):
     assert "reruns" not in res
 
 
+def test_bench_envelope_scoped_by_sf_and_cpus(monkeypatch, tmp_path, capsys):
+    """r13 VERDICT task 6: the driver's 8-core sweep overwrote the
+    32-core BENCH_FULL.json envelope, slackening the 1.3x adjudication
+    gate for every later 32-core run. A complete run whose (sf, cpus)
+    differs from the committed record must (a) land in an
+    (sf, cpus)-scoped sibling artifact instead, and (b) never be used
+    as the envelope for a different core count."""
+    import bench
+
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _p: str(tmp_path))
+    # 32-core record becomes the main artifact, stamped with cpus
+    bench.emit_artifacts({"q": 1.0}, [], 0.1, cpus=32)
+    main = json.loads((tmp_path / "BENCH_FULL.json").read_text())
+    assert main["cpus"] == 32
+    # an 8-core complete run must NOT clobber it
+    bench.emit_artifacts({"q": 9.0}, [], 0.1, cpus=8)
+    assert json.loads((tmp_path / "BENCH_FULL.json").read_text())["queries"] == {
+        "q": 1.0
+    }
+    scoped = json.loads((tmp_path / "BENCH_FULL_sf0.1_c8.json").read_text())
+    assert scoped["cpus"] == 8 and scoped["queries"] == {"q": 9.0}
+    # nor must a different-sf complete run
+    bench.emit_artifacts({"q": 5.0}, [], 1.0, cpus=32)
+    assert json.loads((tmp_path / "BENCH_FULL.json").read_text())["sf"] == 0.1
+    assert json.loads((tmp_path / "BENCH_FULL_sf1.0_c32.json").read_text())[
+        "queries"
+    ] == {"q": 5.0}
+    # envelope loading is scoped the same way: the 32-core record never
+    # adjudicates an 8-core run (and vice versa); the scoped sibling is
+    # the fallback for its own (sf, cpus)
+    monkeypatch.delenv("BENCH_ENVELOPE", raising=False)
+    assert bench._load_envelope(0.1, 32) == {"q": 1.0}
+    assert bench._load_envelope(0.1, 8) == {"q": 9.0}
+    assert bench._load_envelope(1.0, 32) == {"q": 5.0}
+    assert bench._load_envelope(1.0, 8) == {}
+    # legacy record without a cpus stamp keeps the old behavior
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 2.0}})
+    )
+    assert bench._load_envelope(0.1, 8) == {"q": 2.0}
+
+
 def test_bench_final_line_fits_driver_capture_window(capsys, monkeypatch, tmp_path):
     """The driver records only the last 2000 chars of bench stdout and
     parses the final JSON line. For the REAL registry size (every
