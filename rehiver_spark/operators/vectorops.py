@@ -348,9 +348,12 @@ def _lsh_verify_arrow(
     join; this kernel ships each bucket's vectors ONCE (Σpop × dim
     doubles per table, × ceil(pop/cap) for the few split buckets —
     replication is dim× cheaper than the compute it parallelizes),
-    computes each pop² cosine block in tiled C (L2-resident 256²
-    tiles), and emits only the surviving pairs — so memory is bounded
-    by the tile, not the bucket. A pair colliding in several tables is
+    computes each pop² cosine block in L2-resident 256² tiles — a BLAS
+    dgemm screen per tile pair, then the exact left-to-right fold
+    recomputed for screen survivors only (r14; the screen's margin
+    makes false negatives impossible, see the inline proof) — and
+    emits only the surviving pairs, so memory is bounded by the tile,
+    not the bucket. A pair colliding in several tables is
     verified in each (≤ n_tables× redundant compute, all map-side) and
     collapsed by the caller's ``distinct()``; identical folds give
     identical doubles, so the duplicates are exact.
@@ -458,11 +461,24 @@ def _lsh_verify_arrow(
         out_a: list = []
         out_b: list = []
         out_c: list = []
-        # 256² tiles (~0.5 MB acc + temp) stay L2-resident through all
-        # d accumulation passes — the same finding as the prior-max
-        # kernel's round-9 re-tiling: an 8 MB tile re-touched d times
-        # plus a same-sized broadcast temp per pass is DRAM-bound once
-        # a few tasks share L3
+        # r14: the emitted cosine stays the strict left-to-right fold
+        # (bit-parity with the expr twin and the r9-r13 kernels), but
+        # the pop² block is SCREENED with one BLAS dgemm per tile pair
+        # first, and only screen survivors pay the exact per-dim fold.
+        # Soundness of the screen: fold and dgemm are two summation
+        # orders of the same dim products, so |fold − dgemm| ≤
+        # 2·γ_dim·Σ|aᵢbᵢ| ≤ 2·dim·ε·‖a‖‖b‖ (ε = 2⁻⁵²); the screen
+        # keeps dots ≥ threshold − margin with the per-group scalar
+        # margin 1e-9·(max‖row‖)² ≥ 1e-9·‖a‖‖b‖ — ≥ 7e4× the true
+        # bound at dim = 64 and valid up to dim ≈ 2e6 — plus every NaN
+        # (mixed ±inf products make BOTH orders NaN), so no
+        # fold-passing pair can be screened out. The r13 profile:
+        # the per-dim rank-1 loop was 425.7 of 448.8 kernel core-s at
+        # sf10 (2.1e9 pair-dots), ~0.3 GFLOP/s/core vs dgemm's tens.
+        # 256² tiles stay (0.5 MB dots output): with 32 workers sharing
+        # L3, 1024² tiles (8 MB dgemm output + same-sized mask temps)
+        # measured 8× slower than 256² on the same synthetic block —
+        # the r9 L2-residency finding survives the dgemm rewrite.
         TILE = 256
         for s0, e0 in zip(bounds[:-1], bounds[1:]):
             if e0 - s0 < 2:
@@ -470,10 +486,19 @@ def _lsh_verify_arrow(
             ids = idsv[s0:e0]
             raw = rawv[s0:e0]
             blks = blkv[s0:e0]
+            # float-dtype ndarray cells cannot hold None — skip the
+            # per-element scan (14.9 of 448.8 kernel core-s at sf10)
             lens = np.fromiter(
                 (
                     len(v)
-                    if v is not None and not any(x is None for x in v)
+                    if v is not None
+                    and (
+                        (
+                            isinstance(v, np.ndarray)
+                            and v.dtype.kind == "f"
+                        )
+                        or not any(x is None for x in v)
+                    )
                     else -1
                     for v in raw
                 ),
@@ -502,6 +527,15 @@ def _lsh_verify_arrow(
                 grp = np.zeros(m, dtype=np.int64)
                 if m > 1:
                     grp[1:] = np.cumsum(gids[1:] != gids[:-1])
+                # screen margin: one SCALAR per length group,
+                # 1e-9·max‖a‖·max‖b‖ ≥ 1e-9·‖a‖‖b‖ ≥ the fold-vs-dgemm
+                # bound for every pair. fmax.reduce skips NaN norms
+                # (NaN rows make NaN dots, which screen IN via isnan);
+                # an all-NaN group yields a NaN margin → dots ≥ NaN is
+                # False but every dot is NaN → still screened in
+                norms = np.sqrt(np.einsum("ij,ij->i", v, v))
+                mnorm = np.fmax.reduce(norms)
+                screen_at = threshold - 1e-9 * mnorm * mnorm
                 # upper-triangle tiles suffice for cross subtasks too:
                 # rows are id-sorted, so grp is nondecreasing in
                 # position and lower tiles can never satisfy grp_i < grp_j
@@ -509,10 +543,9 @@ def _lsh_verify_arrow(
                     a = v[s : s + TILE]
                     for u in range(s, m, TILE):
                         b = v[u : u + TILE]
-                        acc = np.zeros((len(a), len(b)), dtype=np.float64)
-                        for j in range(dim):
-                            # sequential per-dim accumulation == the fold
-                            acc += a[:, j : j + 1] * b[:, j][None, :]
+                        # one dgemm per tile pair — screening only; the
+                        # emitted value is recomputed as the exact fold
+                        dots = a @ b.T
                         # strict id inequality via the sorted group rank
                         mask = (
                             grp[s : s + len(a)][:, None]
@@ -527,12 +560,30 @@ def _lsh_verify_arrow(
                                 != gblk[u : u + len(b)][None, :]
                             )
                         ii, jj = np.nonzero(
-                            ((acc >= threshold) | np.isnan(acc)) & mask
+                            ((dots >= screen_at) | np.isnan(dots)) & mask
                         )
-                        if len(ii):
-                            out_a.append(gids[s + ii])
-                            out_b.append(gids[u + jj])
-                            out_c.append(acc[ii, jj])
+                        if not len(ii):
+                            continue
+                        # exact recompute for screen survivors: the
+                        # identical per-pair op sequence as the expr
+                        # fold (one multiply + one add per dimension,
+                        # in dimension order) → bit-identical doubles.
+                        # Chunked: a dense near-dup tile can pass ~TILE²
+                        # pairs, and the (npair, dim) gathers must stay
+                        # bounded (64k × 64 × 8 B ≈ 32 MB per side)
+                        for c0 in range(0, len(ii), 65536):
+                            ic = ii[c0 : c0 + 65536]
+                            jc = jj[c0 : c0 + 65536]
+                            av = a[ic]
+                            bv = b[jc]
+                            acc = np.zeros(len(ic), dtype=np.float64)
+                            for j in range(dim):
+                                acc += av[:, j] * bv[:, j]
+                            keep = (acc >= threshold) | np.isnan(acc)
+                            if keep.any():
+                                out_a.append(gids[s + ic[keep]])
+                                out_b.append(gids[u + jc[keep]])
+                                out_c.append(acc[keep])
         if not out_a:
             return empty
         cos = np.concatenate(out_c)

@@ -12,6 +12,21 @@ import os
 
 from pyspark.sql import SparkSession
 
+# One BLAS thread per Python worker (r14). Spark already fills every
+# core with one task each, so an N-thread BLAS inside each of N
+# workers oversubscribes N× — and OpenBLAS's post-call spin-wait turns
+# many small gemms into a stampede: 32 concurrent workers running the
+# LSH verify kernel's 1024×64 @ 64×1024 screens measured 21.3 s/worker
+# with the default pool vs 0.60 s with a single thread (35×). Set
+# before any numpy/BLAS initialization: the JVM (and through it the
+# Python worker daemon) inherits this process's environment, so the
+# cap reaches every executor-side kernel; setdefault keeps an explicit
+# operator override working. The same reasoning (and setting) holds on
+# a real cluster — spark.executorEnv is set in get_spark for the
+# non-local case where executors are separate processes.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def get_spark(
     app_name: str = "rehiver-spark",
@@ -49,6 +64,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # non-local deployments: executors are separate processes that
+        # do NOT inherit this driver's environment — carry the
+        # one-BLAS-thread-per-worker cap (see module header) with the
+        # app so cluster kernels get the same non-oversubscribed BLAS
+        .config(
+            "spark.executorEnv.OPENBLAS_NUM_THREADS",
+            os.environ.get("OPENBLAS_NUM_THREADS", "1"),
+        )
+        .config(
+            "spark.executorEnv.OMP_NUM_THREADS",
+            os.environ.get("OMP_NUM_THREADS", "1"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
