@@ -171,6 +171,49 @@ def test_winnow_fast_path_same_overlap_structure(spark):
     assert fps[1] & fps[2] and not (fps[1] & fps[3])
 
 
+def test_winnow_byte_gram_path_equals_char_path(spark):
+    """r14: ASCII rows slice UTF-8 BYTES (O(k) per gram) instead of
+    chars (O(position) per gram — UTF8String.substring scans from the
+    string start, an O(n²)-bytes-per-doc pathology). The byte window
+    equals the char window exactly when length == octet_length, and
+    md5/xxhash64 hash a string's UTF-8 bytes — so fingerprints must be
+    BIT-IDENTICAL per row, with non-ASCII rows taking the char path.
+    Pinned against a pure-Python winnow over the same texts."""
+    from rehiver_spark.functions.hashing import md5_hash60_py
+    from rehiver_spark.operators.textops import winnow_fingerprints
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog repeatedly"),
+        (2, "ünïcödé rows take the O(n²) char path and stay exact"),
+        (3, "mixed ascii then ünïcödé"),
+        (4, "tiny"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {i: set() for i, _ in texts}
+    for r in winnow_fingerprints(df, k=5, window=4, hash_fn="md5").collect():
+        got[r["doc_id"]].add(r["fp"])
+
+    # pure-Python reference: normalize == lower + collapse whitespace
+    # (normalize_text), gram hash == md5_hash60_py, window-min distinct
+    import re
+
+    def ref(t):
+        if t is None:
+            # pre-existing operator behavior: greatest(NULL-4, 1) = 1,
+            # so a NULL text emits one NULL fingerprint (both paths)
+            return {None}
+        nt = re.sub(r"\s+", " ", t.lower()).strip()
+        n = max(len(nt) - 4, 1)
+        hs = [md5_hash60_py(nt[i : i + 5]) for i in range(n)]
+        nw = max(len(hs) - 3, 1)
+        return {min(hs[j : j + 4]) for j in range(nw)}
+
+    for i, t in texts:
+        assert got[i] == ref(t), (i, t)
+
+
 def test_quantized_sign_lsh_matches_driver_twin(spark):
     from rehiver_spark.functions.hashing import rademacher_planes
     from rehiver_spark.operators.vectorops import sign_lsh_bucket_quantized
