@@ -64,6 +64,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # bucketed scans report their sortBy ordering (r14). Every
+        # bucketed table this engine writes (SnapshotStore versions,
+        # write_bucketed indexes) is repartitioned to exactly ONE
+        # sorted file per bucket, and Spark only claims the ordering
+        # in that single-file case — so the flag is semantics-safe
+        # globally and lets the downstream sort-merge join / window
+        # skip its local Sort of the pre-sorted state side (the r13
+        # bucketed-store design intent; the Exchange was elided but
+        # the Sort survived because this flag defaults false).
+        # Measured sf10: r10 warm detect 14.7 -> 12.6 s min-of-3.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # non-local deployments: executors are separate processes that
         # do NOT inherit this driver's environment — carry the
         # one-BLAS-thread-per-worker cap (see module header) with the

@@ -133,8 +133,13 @@ def test_x14_winnow_zero_shuffle_array_form(spark, queries):
     assert "RoundRobinPartitioning" in p or p.count("Exchange") == 0
     # the gram hashes must be materialized ONCE in a projection, not
     # inlined into the per-window slice lambda (would re-hash per
-    # window, O(n²))
-    assert p.count("conv(substring(md5") == 1
+    # window, O(n²)): the selection cascade must reference the
+    # materialized _hs attribute, never an inline md5 transform
+    assert "zip_with(_hs#" in p or "zip_with(zip_with(_hs#" in p
+    # exactly the two CASE branches of the r14 byte/char gram split
+    # (ASCII rows slice UTF-8 bytes, others chars) — ONE evaluates per
+    # row; a third site would mean the cascade re-hashes per window
+    assert p.count("conv(substring(md5") == 2
 
 
 def test_x7p_minhash_no_cartesian(spark, queries):
