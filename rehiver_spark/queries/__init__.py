@@ -116,40 +116,81 @@ _R13_COMMITTED = (
     "c16_dedup", "c18_pandas_udf",
     "x57c_substring_dedup_auto", "x9_lsh_cosine_neardup", "x9p_lsh_cosine",
 )
-_DRIVER_WINDOW = (
-    # the committed 23 (rule 1: the core c-block held the last r10
-    # rows; rule 2: x57c/x9/x9p touched post-window in r12) — FIRST
+_R13_WINDOW = (
+    # kept for the r13→r14 audit trail (the round-13 window exactly)
     *_R13_COMMITTED,
+    "r1_glob_match", "r2_glob_filter", "r3_path_capture",
+    "r10_detect_changes", "r11_changes_filter", "r12_snapshot_commit",
+    "x2_jaccard_pairs", "x7_minhash_pairs", "x7p_minhash_lsh",
+    "x17_dedup_clusters", "x29_fuzzy_dedup", "x40_source_overlap",
+    "x12_redact_pii", "x13_stratified_sample", "x15_contamination",
+    "x16_repetition", "x19_pipeline", "x20_training_mix",
+    "x21_winnow_contamination", "x21f_winnow_fast", "x23_span_dedup",
+    "x24_url_dedup", "x25_charlm_quality", "x26_quantize_int8",
+    "x27_line_dedup", "x28_incremental_dedup",
+    "x31_semantic_decontamination",
+)
+_R15_COMMITTED = (
+    # the 26 r12-row holders the r14 rotation could not fit — their
+    # rows turn 3 rounds old in r15, so they MUST enter that window
+    # (rule 1), plus whatever r15 touches (rule 2)
+    "c18b_python_udtf",
+    "r4_partition_parse", "r5_partition_format", "r6_partition_prune",
+    "r7_missing_keys", "r8_time_partition_path", "r8b_time_path_tz",
+    "r9_time_range_paths", "r13_s3key_codec", "r14_valid_bucket_name",
+    "r15_content_type", "r16_object_catalog", "r17_stream_process",
+    "x1_exact_dedup", "x3_cosine_topk", "x4_text_stats", "x5_tf_idf",
+    "x6_approx", "x6b_sampling", "x10_ivf_topk", "x11_chunking",
+    "x18_sequence_packing", "x30_zorder_layout", "x35_epoch_shuffle",
+    "x46_bpe_learn", "x46b_bpe_apply",
+)
+# Round-14 window under the standing policy, rotated AFTER the round's
+# last code commit (the r13 verdict's task 5 — no window query may run
+# code newer than its last driver row):
+#   - the committed 27 (_R14_COMMITTED: r11-row holders whose rows turn
+#     3 rounds old here, rule 1) — FIRST;
+#   - touched this round (rule 2): x9/x9p (dgemm-screen verify kernel +
+#     BLAS thread cap), x14/x21/x21f (byte-sliced winnow grams),
+#     r10/r11/r12/x28 (bucketed-scan ordering flag), x22 (matmul
+#     kernels under the BLAS cap);
+#   - the five post-rotation r13 touches the r13 window missed
+#     (verdict task 5; rotation rule 2 names them): x57b, x34, c17c,
+#     c17d, c17f (x8/x8p/x57/x44/x52/x56/c17d2 are already in the
+#     committed 27);
+#   - remaining 8 slots (rule 4, oldest evidence first, families
+#     contiguous): the mm_* block and the rest of the c17 family
+#     (r12 rows).
+# OUTSIDE and why that is safe: every name not listed has an r12 or
+# r13 driver row on code untouched since; the 26 leftover r12-row
+# holders are the committed r15 window (_R15_COMMITTED above).
+_DRIVER_WINDOW = (
+    *_R14_COMMITTED,
     # touched this round (rule 2)
-    "r1_glob_match",
-    "r2_glob_filter",
-    "r3_path_capture",
+    "x9_lsh_cosine_neardup",
+    "x9p_lsh_cosine",
+    "x14_winnow_fingerprints",
+    "x21_winnow_contamination",
+    "x21f_winnow_fast",
     "r10_detect_changes",
     "r11_changes_filter",
     "r12_snapshot_commit",
-    "x2_jaccard_pairs",
-    "x7_minhash_pairs",
-    "x7p_minhash_lsh",
-    "x17_dedup_clusters",
-    "x29_fuzzy_dedup",
-    "x40_source_overlap",
-    # r11-row holders, oldest evidence first, families contiguous
-    # (rule 4); the remaining 27 are _R14_COMMITTED above
-    "x12_redact_pii",
-    "x13_stratified_sample",
-    "x15_contamination",
-    "x16_repetition",
-    "x19_pipeline",
-    "x20_training_mix",
-    "x21_winnow_contamination",
-    "x21f_winnow_fast",
-    "x23_span_dedup",
-    "x24_url_dedup",
-    "x25_charlm_quality",
-    "x26_quantize_int8",
-    "x27_line_dedup",
     "x28_incremental_dedup",
-    "x31_semantic_decontamination",
+    "x22_semdedup",
+    # post-rotation r13 touches without a driver row on current code
+    "x57b_substring_dedup_pruned",
+    "x34_incremental_neardup",
+    "c17c_streaming_exec",
+    "c17d_stream_join",
+    "c17f_stream_dedup",
+    # oldest-evidence fill (rule 4), families contiguous
+    "mm_decode",
+    "mm_features",
+    "mm_frame_plan",
+    "mm_resize",
+    "c17_tumbling_window",
+    "c17_session_window",
+    "c17e_stream_static_join",
+    "c17g_sliding_window",
 )
 
 
@@ -158,10 +199,10 @@ def load_all() -> None:
 
     Import order alone does not control the driver window: after the
     imports, the registry is reordered to the explicit 50-name
-    ``_DRIVER_WINDOW`` (round-13 rotation under the standing policy —
+    ``_DRIVER_WINDOW`` (round-14 rotation under the standing policy —
     see the note above), with everything else after in import order.
-    Every query outside the window keeps its r11/r12 driver row on
-    untouched code (the leftover r11-row holders are the committed r14
+    Every query outside the window keeps its r12/r13 driver row on
+    untouched code (the leftover r12-row holders are the committed r15
     window), and all are re-verified locally by tools/check_oracle.py
     (the identical gate). Do not change ``_DRIVER_WINDOW`` without
     checking driver-window coverage (tests/test_engine.py pins it).

@@ -110,19 +110,20 @@ def test_metadata_cache_rejects_reconfigure(spark):
     assert c2 is not c1 and c2.ttl == 10
 
 
-def test_driver_window_round13_rotation():
+def test_driver_window_round14_rotation():
     """The correctness harness records only the FIRST 50 registered
     queries. Round 7 adopted the standing rotation policy (every query
     a driver row >= every 3 rounds; touched/new queries enter the next
     window) — see queries/__init__.py. Pins the window AND the exact
     outside set, so any new registration must be explicitly classified
-    into the window, the committed r14 window, or the fresh-row
+    into the window, the committed r15 window, or the fresh-row
     remainder."""
     from rehiver_spark.queries import (
         QUERIES,
         _DRIVER_WINDOW,
-        _R13_COMMITTED,
+        _R13_WINDOW,
         _R14_COMMITTED,
+        _R15_COMMITTED,
         load_all,
     )
 
@@ -130,45 +131,34 @@ def test_driver_window_round13_rotation():
     first50 = list(QUERIES)[:50]
     assert first50 == list(_DRIVER_WINDOW)
     assert len(first50) == 50 and len(set(first50)) == 50
-    # the round-12-committed r13 window MUST lead (rule 1: the core
-    # c-block held the last r10 rows; rule 2: x57c/x9/x9p were touched
-    # in r12 after its window was recorded)
-    assert first50[: len(_R13_COMMITTED)] == list(_R13_COMMITTED)
-    # touched this round (rule 2): glob-compiler exact classes
-    # (r1-r3), the bucketed snapshot store (r10-r12), the PPJoin+
-    # length filter (x2/x17), the auto-scaled est-gate (x7/x7p/x29),
-    # and the per-gram source-set re-plan (x40)
+    # the round-13-committed r14 window MUST lead (rule 1: the 27
+    # r11-row holders whose rows turn 3 rounds old here)
+    assert first50[: len(_R14_COMMITTED)] == list(_R14_COMMITTED)
+    # touched this round (rule 2): the dgemm-screen LSH verify kernel +
+    # BLAS thread cap (x9/x9p, and x22's matmul kernels under the same
+    # cap), byte-sliced winnow grams (x14/x21/x21f), and the
+    # bucketed-scan ordering flag (r10-r12, x28)
     assert {
-        "r1_glob_match", "r2_glob_filter", "r3_path_capture",
-        "r10_detect_changes", "r11_changes_filter", "r12_snapshot_commit",
-        "x2_jaccard_pairs", "x7_minhash_pairs", "x7p_minhash_lsh",
-        "x17_dedup_clusters", "x29_fuzzy_dedup", "x40_source_overlap",
+        "x9_lsh_cosine_neardup", "x9p_lsh_cosine",
+        "x14_winnow_fingerprints", "x21_winnow_contamination",
+        "x21f_winnow_fast", "r10_detect_changes", "r11_changes_filter",
+        "r12_snapshot_commit", "x28_incremental_dedup", "x22_semdedup",
     } <= set(first50)
-    # EXACT outside set: the committed r14 window (r11-row holders the
-    # r13 rotation could not fit) + names with fresh r12 rows on code
-    # untouched since. x57b_substring_dedup_pruned carries its r11 row
-    # on an unchanged query body (its mid-r13 demotion was reversed —
-    # the optimization-phase contract freezes the declared set; pytest
-    # oracle pin in test_textops.py doubles the evidence).
+    # the five post-rotation r13 touches the r13 window missed (the
+    # r13 verdict's task 5 — rotation rule 2 names them; the other
+    # seven are already inside _R14_COMMITTED)
+    assert {
+        "x57b_substring_dedup_pruned", "x34_incremental_neardup",
+        "c17c_streaming_exec", "c17d_stream_join", "c17f_stream_dedup",
+    } <= set(first50)
+    # EXACT outside set: the committed r15 window (r12-row holders the
+    # r14 rotation could not fit) + names with fresh r13 rows (the r13
+    # window) on code untouched since.
     outside = set(QUERIES) - set(first50)
-    has_r12_row = {
-        "mm_resize", "mm_features", "mm_frame_plan", "mm_decode",
-        "r4_partition_parse", "r5_partition_format", "r6_partition_prune",
-        "r7_missing_keys", "r8_time_partition_path", "r8b_time_path_tz",
-        "r9_time_range_paths", "r13_s3key_codec", "r14_valid_bucket_name",
-        "r15_content_type", "r16_object_catalog", "r17_stream_process",
-        "x1_exact_dedup", "x3_cosine_topk", "x4_text_stats", "x5_tf_idf",
-        "x6_approx", "x6b_sampling", "x10_ivf_topk", "x11_chunking",
-        "x14_winnow_fingerprints", "x18_sequence_packing", "x22_semdedup",
-        "x30_zorder_layout", "x34_incremental_neardup", "x35_epoch_shuffle",
-        "x46_bpe_learn", "x46b_bpe_apply", "x57b_substring_dedup_pruned",
-        "c17_tumbling_window", "c17_session_window", "c17c_streaming_exec",
-        "c17d_stream_join", "c17e_stream_static_join", "c17f_stream_dedup",
-        "c17g_sliding_window", "c18b_python_udtf",
-    }
-    assert outside == set(_R14_COMMITTED) | has_r12_row, (
+    has_r13_row = set(_R13_WINDOW) - set(first50)
+    assert outside == set(_R15_COMMITTED) | has_r13_row, (
         f"unclassified registrations: "
-        f"{sorted(outside ^ (set(_R14_COMMITTED) | has_r12_row))}"
+        f"{sorted(outside ^ (set(_R15_COMMITTED) | has_r13_row))}"
     )
 
 
